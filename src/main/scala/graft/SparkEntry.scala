@@ -1,13 +1,271 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.extract.Extract
+import graft.fixtures.SpanGen
+import graft.sinks.Csv
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 has a `queries` entry; the
+  * SQL-expressible ones also have a DuckDB oracle in `oracleSql` (same
+  * column names both sides — the driver sorts columns by name and hashes
+  * values). Extraction itself (the typed map core) is not
+  * SQL-expressible, so its entries get the driver's rows-only check and
+  * are instead gated by golden span-sequence tests in `sbt -batch test`.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: synthesize the interleaved span table from the sf
+    * documents, run the E1 extraction distributed, and emit the ordered
+    * span sequence flat. Driver smoke-checks rows>0 on sf0.001.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    extractFlat(spark, "/root/testdata/sf0.001", Extract.Strategy.RegionClustering)
+
+  private def extractFlat(spark: SparkSession, dir: String, strategy: Extract.Strategy): DataFrame = {
+    val docs = SpanGen.fromDocuments(spark, dir)
+    val extracted = Extract.distributed(spark, docs, strategy)
+    extracted
+      .select(col("doc_id"), col("n_tables"), col("n_cells"), col("status"),
+        explode(col("spans")).as("span"))
+      .select(col("doc_id"), col("span.offset").as("offset"),
+        col("span.kind").as("kind"), col("span.text").as("text"),
+        col("span.media_ref").as("media_ref"),
+        col("n_tables"), col("n_cells"), col("status"))
+  }
+
+  /** K1 CSV sink surface: one Go-quoting CSV string per recovered table. */
+  private def extractCsv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._ // (String, String) tuple encoder for .map
+    val docs = SpanGen.fromDocuments(spark, dir)
+    Extract.distributed(spark, docs)
+      .filter(_.n_cells > 0)
+      .map { d =>
+        val cells = d.spans.filter(_.kind == SpanKinds.Cell)
+        val rows = cells.groupBy(_.media_ref.split(',')(0).toInt).toSeq
+          .sortBy(_._1)
+          .map(_._2.sortBy(_.media_ref.split(',')(1).toInt).map(_.text))
+        (d.doc_id, Csv.fromTable(rows))
+      }
+      .toDF("doc_id", "csv")
+  }
+
+  private def t(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- extraction core (typed map; rows-only driver check, golden-gated in tests)
+    "extract_e1_spans" -> ((s, dir) =>
+      extractFlat(s, dir, Extract.Strategy.RegionClustering)),
+    "extract_e2_spans" -> ((s, dir) =>
+      extractFlat(s, dir, Extract.Strategy.SplitHeuristic)),
+    "extract_tables_csv" -> ((s, dir) => extractCsv(s, dir)),
+
+    // ---- S1/P8: scan + projection arithmetic (pushdown-friendly)
+    "q_scan_project" -> ((s, dir) =>
+      s.read.parquet(t(dir, "lineitem"))
+        // no round(): IEEE multiply is bit-identical across engines,
+        // while round-half implementations differ at 1 ulp
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net"))),
+
+    // ---- P1: WORD-filter analog
+    "q_filter_word" -> ((s, dir) =>
+      s.read.parquet(t(dir, "events"))
+        .filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("value"))),
+
+    // ---- F1: sha256 checksum (file.go:22-24)
+    "q_sha2" -> ((s, dir) =>
+      s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), sha2(col("text"), 256).as("checksum"))),
+
+    // ---- J1: id-lookup join (broadcast hash)
+    "q_join_lookup" -> ((s, dir) => {
+      val o = s.read.parquet(t(dir, "orders"))
+      val c = s.read.parquet(t(dir, "customer"))
+      o.filter(col("o_totalprice") > 450000)
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+    }),
+
+    // ---- S9: resume anti-join (customers with no events)
+    "q_antijoin_resume" -> ((s, dir) => {
+      val c = s.read.parquet(t(dir, "customer"))
+      val e = s.read.parquet(t(dir, "events"))
+      c.join(e, c("c_custkey") === e("user_id"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // ---- A2/A3: ordered string-concat aggregation
+    "q_concat_agg" -> ((s, dir) =>
+      s.read.parquet(t(dir, "documents"))
+        .groupBy(col("lang"))
+        .agg(array_join(
+          transform(sort_array(collect_list(col("doc_id"))), _.cast("string")),
+          " ").as("doc_ids"))),
+
+    // ---- A5-A7: interval-union islands (gaps-and-islands over event windows)
+    "q_islands_union" -> ((s, dir) => {
+      val iv = s.read.parquet(t(dir, "events"))
+        .select(col("user_id"), unix_timestamp(col("ts")).as("s"))
+        .withColumn("e", col("s") + 3600)
+      val w = Window.partitionBy("user_id").orderBy(col("s"), col("e"))
+      val prevMax = max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+      iv.withColumn("brk",
+          when(prevMax.isNull || col("s") > prevMax, 1).otherwise(0))
+        .withColumn("island",
+          sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("island"))
+        .agg(min(col("s")).as("island_start"), max(col("e")).as("island_end"),
+          count(lit(1)).as("n_iv"))
+    }),
+
+    // ---- W2: sessionization (row segmentation analog)
+    "q_sessionize" -> ((s, dir) => {
+      val ev = s.read.parquet(t(dir, "events"))
+        .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("sec"))
+      val w = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
+      ev.withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+        .withColumn("brk", when(col("gap").isNull || col("gap") > 1800, 1).otherwise(0))
+        .withColumn("session", sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session"))
+        .agg(count(lit(1)).as("n_events"), min(col("sec")).as("s_start"),
+          max(col("sec")).as("s_end"))
+    }),
+
+    // ---- W1: running-max sweep (gap-detection analog: record highs)
+    "q_running_max" -> ((s, dir) => {
+      val ev = s.read.parquet(t(dir, "events"))
+        .select(col("user_id"), col("event_id"), col("value"),
+          unix_timestamp(col("ts")).as("sec"))
+      val w = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
+      ev.withColumn("run_max",
+          max(col("value")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .filter(col("run_max").isNull || col("value") > col("run_max"))
+        .select(col("user_id"), col("event_id"), col("value"))
+    }),
+
+    // ---- E3/F5: pivot densification
+    "q_pivot" -> ((s, dir) =>
+      s.read.parquet(t(dir, "events"))
+        .groupBy(col("user_id"))
+        .agg(
+          count(when(col("event_type") === "click", 1)).as("n_click"),
+          count(when(col("event_type") === "view", 1)).as("n_view"),
+          count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
+          count(when(col("event_type") === "signup", 1)).as("n_signup"),
+          count(when(col("event_type") === "error", 1)).as("n_error"))),
+
+    // ---- J2/P5: containment theta-join (small side broadcast)
+    "q_containment_join" -> ((s, dir) => {
+      val sup = s.read.parquet(t(dir, "supplier"))
+      val c = s.read.parquet(t(dir, "customer"))
+      broadcast(sup).join(c,
+          c("c_acctbal") >= sup("s_acctbal") - 500 &&
+            c("c_acctbal") <= sup("s_acctbal") + 500)
+        .groupBy(col("s_suppkey"))
+        .agg(count(lit(1)).as("n_cust"))
+    }),
+
+    // ---- dedup (exact): normalize + hash + group
+    "q_dedup_exact" -> ((s, dir) =>
+      s.read.parquet(t(dir, "documents"))
+        .groupBy(sha2(lower(col("text")), 256).as("checksum"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dupes"))),
+
+    // ---- text analysis: token count
+    "q_text_tokens" -> ((s, dir) =>
+      s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"),
+          size(split(col("text"), " ", -1)).cast("bigint").as("n_tokens"))),
+
+    // ---- text analysis: positional fingerprint (rolling-hash analog)
+    "q_text_fingerprint" -> ((s, dir) =>
+      s.read.parquet(t(dir, "documents"))
+        .withColumn("toks", split(col("text"), " ", -1))
+        .select(col("doc_id"),
+          (expr("aggregate(transform(sequence(1, size(toks)), i -> cast(i as bigint) * length(element_at(toks, i))), 0L, (acc, x) -> acc + x)")
+            % 1000000007L).as("fp"))),
+
+    // ---- text analysis: quality ratios
+    "q_text_quality" -> ((s, dir) =>
+      s.read.parquet(t(dir, "documents"))
+        .withColumn("toks", split(col("text"), " ", -1))
+        .select(col("doc_id"),
+          round(size(col("toks")).cast("double") / col("n_chars"), 5).as("density"),
+          size(filter(col("toks"), _ === "the")).cast("bigint").as("n_the")))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_scan_project" ->
+      "SELECT l_orderkey, l_linenumber, l_extendedprice * (1 - l_discount) AS net FROM lineitem",
+    "q_filter_word" ->
+      "SELECT event_id, user_id, value FROM events WHERE event_type = 'click'",
+    "q_sha2" ->
+      "SELECT doc_id, sha256(text) AS checksum FROM documents",
+    "q_join_lookup" ->
+      "SELECT o_orderkey, c_name, o_totalprice FROM orders JOIN customer ON o_custkey = c_custkey WHERE o_totalprice > 450000",
+    "q_antijoin_resume" ->
+      "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)",
+    "q_concat_agg" ->
+      "SELECT lang, string_agg(CAST(doc_id AS VARCHAR), ' ' ORDER BY doc_id) AS doc_ids FROM documents GROUP BY lang",
+    "q_islands_union" ->
+      """WITH iv AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s, CAST(floor(epoch(ts)) AS BIGINT) + 3600 AS e FROM events
+        |), m AS (
+        |  SELECT user_id, s, e, max(e) OVER (PARTITION BY user_id ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max FROM iv
+        |), f AS (
+        |  SELECT user_id, s, e, CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END AS brk FROM m
+        |), g AS (
+        |  SELECT user_id, s, e, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island FROM f
+        |)
+        |SELECT user_id, island, min(s) AS island_start, max(e) AS island_end, count(*) AS n_iv
+        |FROM g GROUP BY user_id, island""".stripMargin,
+    "q_sessionize" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
+        |), l AS (
+        |  SELECT user_id, event_id, sec, sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS gap FROM ev
+        |), b AS (
+        |  SELECT user_id, event_id, sec, CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS brk FROM l
+        |), g AS (
+        |  SELECT user_id, sec, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY sec, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session FROM b
+        |)
+        |SELECT user_id, session, count(*) AS n_events, min(sec) AS s_start, max(sec) AS s_end
+        |FROM g GROUP BY user_id, session""".stripMargin,
+    "q_running_max" ->
+      """WITH m AS (
+        |  SELECT user_id, event_id, value, max(value) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_max FROM events
+        |)
+        |SELECT user_id, event_id, value FROM m WHERE run_max IS NULL OR value > run_max""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |  count(*) FILTER (WHERE event_type = 'view') AS n_view,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+        |  count(*) FILTER (WHERE event_type = 'error') AS n_error
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q_containment_join" ->
+      """SELECT s_suppkey, count(*) AS n_cust FROM supplier
+        |JOIN customer ON c_acctbal >= s_acctbal - 500 AND c_acctbal <= s_acctbal + 500
+        |GROUP BY s_suppkey""".stripMargin,
+    "q_dedup_exact" ->
+      "SELECT sha256(lower(text)) AS checksum, min(doc_id) AS keep_id, count(*) AS n_dupes FROM documents GROUP BY 1",
+    "q_text_tokens" ->
+      "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents",
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+        |  CAST(list_sum(list_transform(range(1, len(toks) + 1), i -> i * length(toks[i]))) AS BIGINT) % 1000000007 AS fp
+        |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)""".stripMargin,
+    "q_text_quality" ->
+      """SELECT doc_id,
+        |  round(CAST(len(string_split(text, ' ')) AS DOUBLE) / n_chars, 5) AS density,
+        |  len(list_filter(string_split(text, ' '), x -> x = 'the')) AS n_the
+        |FROM documents""".stripMargin
+  )
 }

@@ -113,16 +113,26 @@ object Geom {
     val xs = xRegions(boxes)
     val ys = yRegions(boxes)
     val cells = Array.fill(ys.length, xs.length)("")
-    val sorted = boxes.sorted(rowOrdering)
-    for (b <- sorted) {
+    // Assign each box to its (yRegion, xRegion) cell, then order by
+    // (row band, leftX). For valid inputs this equals the reference's
+    // Boxes sort (band == y-region when bands are disjoint), and unlike
+    // the raw comparator it is a total order — TimSort cannot throw
+    // "Comparison method violates its general contract" on pathological
+    // overlap patterns, which matters when one bad doc must not kill a
+    // 1000-executor job.
+    val assigned = boxes.iterator.map { b =>
       val ci = regionIndexOf(xs, b.leftX, b.rightX)
       val ri = regionIndexOf(ys, b.topY, b.bottomY)
-      // Both always >= 0: regions are unions of the box extents, so every
-      // box lies wholly inside exactly one region per axis.
-      if (ri >= 0 && ci >= 0)
-        // per-append space-join + trim, verbatim box/box.go:241
-        cells(ri)(ci) = trimSpaces(cells(ri)(ci) + " " + b.text)
-    }
+      (ri, ci, b)
+    }.toArray
+    // Both indices always >= 0: regions are unions of the box extents,
+    // so every box lies wholly inside exactly one region per axis.
+    java.util.Arrays.sort(assigned, Ordering.by[(Int, Int, WordBox), (Int, Double)] {
+      case (ri, _, b) => (ri, b.leftX)
+    })
+    for ((ri, ci, b) <- assigned if ri >= 0 && ci >= 0)
+      // per-append space-join + trim, verbatim box/box.go:241
+      cells(ri)(ci) = trimSpaces(cells(ri)(ci) + " " + b.text)
     cells.map(_.toVector).toVector
   }
 

@@ -54,7 +54,8 @@ final case class ExtractedDoc(
     doc_id: String,
     spans: Seq[Span],
     n_tables: Int,
-    n_cells: Int)
+    n_cells: Int,
+    status: String)
 
 object SpanKinds {
   val Text = "text"

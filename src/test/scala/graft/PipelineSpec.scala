@@ -1,0 +1,64 @@
+package graft
+
+import graft.extract.Extract
+import graft.fixtures.SpanGen
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end Dataset pipeline tests on a local session. */
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("distributed extraction matches goldens for all seeded docs") {
+    import spark.implicits._
+    val fixtures = SpanGen.genDocs(120, seed = 42L)
+    val ds = spark.createDataset(fixtures.map(_._1))
+    val got = Extract.distributed(spark, ds, numPartitions = 16)
+      .collect().map(d => d.doc_id -> d).toMap
+    assert(got.size == fixtures.size)
+    for ((doc, golden) <- fixtures) {
+      val e = got(doc.doc_id)
+      assert(e.status == "ok", s"${doc.doc_id}")
+      assert(e.spans == golden, s"${doc.doc_id} span sequence")
+    }
+  }
+
+  test("output is identical across parallelism/partitioning choices") {
+    import spark.implicits._
+    val fixtures = SpanGen.genDocs(60, seed = 9L)
+    val ds = spark.createDataset(fixtures.map(_._1))
+    def runWith(parts: Int): Map[String, Seq[Span]] =
+      Extract.distributed(spark, ds, numPartitions = parts)
+        .collect().map(d => d.doc_id -> d.spans).toMap
+    assert(runWith(2) == runWith(32))
+  }
+
+  test("fromDocuments synthesizes one deterministic doc per documents row") {
+    val ds = SpanGen.fromDocuments(spark, "/root/testdata/sf0.001")
+    val a = ds.collect().map(d => d.doc_id -> d.spans).toMap
+    assert(a.size == 500)
+    val b = SpanGen.fromDocuments(spark, "/root/testdata/sf0.001")
+      .repartition(13).collect().map(d => d.doc_id -> d.spans).toMap
+    assert(a == b)
+    // every synthesized doc extracts cleanly with at least one table
+    import spark.implicits._
+    val ex = Extract.run(ds).collect()
+    assert(ex.forall(_.status == "ok"))
+    assert(ex.forall(_.n_tables >= 1))
+  }
+
+  test("the distributed plan has exactly one exchange (the salted repartition)") {
+    import spark.implicits._
+    val ds = spark.createDataset(SpanGen.genDocs(5, 1L).map(_._1))
+    val plan = Extract.distributed(spark, ds).queryExecution.executedPlan.toString
+    val exchanges = "(?i)exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange, plan:\n$plan")
+  }
+}
