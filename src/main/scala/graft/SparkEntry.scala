@@ -1,8 +1,12 @@
 package graft
 
+import graft.ann.Ann
+import graft.dedup.Dedup
 import graft.extract.Extract
 import graft.fixtures.SpanGen
+import graft.media.Media
 import graft.sinks.Csv
+import graft.textops.TextOps
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -197,7 +201,63 @@ object SparkEntry {
         .withColumn("toks", split(col("text"), " ", -1))
         .select(col("doc_id"),
           round(size(col("toks")).cast("double") / col("n_chars"), 5).as("density"),
-          size(filter(col("toks"), _ === "the")).cast("bigint").as("n_the")))
+          size(filter(col("toks"), _ === "the")).cast("bigint").as("n_the"))),
+
+    // ---- text analysis: stopword-profile language ID
+    "q_text_langid" -> ((s, dir) =>
+      s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), TextOps.langId(col("text")).as("pred_lang"))),
+
+    // ---- text analysis: composite quality score (C4-style gates)
+    "q_quality_score" -> ((s, dir) =>
+      s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))),
+
+    // ---- text analysis: BPE-ish token estimate
+    "q_bpe_estimate" -> ((s, dir) =>
+      s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), TextOps.bpeTokenEstimate(col("text")).as("n_bpe"))),
+
+    // ---- dedup: exact n-gram Jaccard pairs (bounded id range)
+    "q_dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(
+        s.read.parquet(t(dir, "documents")).filter(col("doc_id") < 200),
+        "doc_id", "text", n = 3, threshold = 0.05)),
+
+    // ---- dedup: MinHash+LSH near-dups (banded; Spark-hash-specific -> rows-only)
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashNearDups(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text",
+        n = 3, k = 64, bands = 16, threshold = 0.5)),
+
+    // ---- dedup: SimHash near-dups (rows-only)
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashNearDups(s,
+        s.read.parquet(t(dir, "documents")), "doc_id", "text", maxDist = 3)),
+
+    // ---- ANN: brute-force cosine top-k (exact baseline)
+    "q_ann_topk" -> ((s, dir) =>
+      Ann.bruteForceTopK(
+        s.read.parquet(t(dir, "embeddings")), "vec_id", "embedding",
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
+
+    // ---- ANN: LSH-bucketed top-k (scale path; JVM RNG -> rows-only)
+    "q_ann_lsh" -> ((s, dir) =>
+      Ann.lshTopK(s,
+        s.read.parquet(t(dir, "embeddings")), "vec_id", "embedding",
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
+
+    // ---- dedup: embedding-cosine near-dup pairs (bounded exact)
+    "q_ann_neardup" -> ((s, dir) =>
+      Ann.cosineNearDupPairs(
+        s.read.parquet(t(dir, "embeddings")), "vec_id", "embedding",
+        threshold = 0.3, maxId = 300)),
+
+    // ---- multimodal: binary round-trip through the stub codec
+    "q_media_meta" -> ((s, dir) =>
+      Media.decodeStub(Media.synthesize(s, dir))
+        .select(col("doc_id"), col("width"), col("height"),
+          col("n_frames"), col("format"), col("decode_ok")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -266,6 +326,111 @@ object SparkEntry {
       """SELECT doc_id,
         |  round(CAST(len(string_split(text, ' ')) AS DOUBLE) / n_chars, 5) AS density,
         |  len(list_filter(string_split(text, ' '), x -> x = 'the')) AS n_the
+        |FROM documents""".stripMargin,
+    "q_text_langid" -> {
+      val sets = TextOps.LangMarkers.map { case (l, ms) =>
+        l -> ms.map(m => s"'$m'").mkString("(", ", ", ")")
+      }.toMap
+      s"""WITH sc AS (
+         |  SELECT doc_id,
+         |    len(list_filter(string_split(lower(text), ' '), x -> x IN ${sets("en")})) AS s_en,
+         |    len(list_filter(string_split(lower(text), ' '), x -> x IN ${sets("de")})) AS s_de,
+         |    len(list_filter(string_split(lower(text), ' '), x -> x IN ${sets("es")})) AS s_es,
+         |    len(list_filter(string_split(lower(text), ' '), x -> x IN ${sets("fr")})) AS s_fr,
+         |    len(list_filter(string_split(lower(text), ' '), x -> x IN ${sets("zh")})) AS s_zh
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  CASE WHEN s_en + s_de + s_es + s_fr + s_zh = 0 THEN 'und'
+         |       WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+         |       WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+         |       WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+         |       WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+         |       ELSE 'zh' END AS pred_lang
+         |FROM sc""".stripMargin
+    },
+    "q_quality_score" -> {
+      val allMarkers = TextOps.LangMarkers.flatMap(_._2)
+        .map(m => s"'$m'").mkString("(", ", ", ")")
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+         |    CAST(length(text) AS DOUBLE) AS n_ch,
+         |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN $allMarkers)) AS DOUBLE) AS hits
+         |  FROM documents
+         |), d AS (
+         |  SELECT doc_id,
+         |    least(n_tok / 64.0, 1.0) AS len_score,
+         |    n_ch / greatest(n_tok, 1.0) AS mean_word,
+         |    least(hits / greatest(n_tok * 0.05, 1.0), 1.0) AS stop_score
+         |  FROM m
+         |)
+         |SELECT doc_id,
+         |  len_score * 0.4
+         |  + (CASE WHEN mean_word >= 3 AND mean_word <= 10 THEN 1.0
+         |          ELSE greatest(0.0, 1.0 - abs(mean_word - 6.5) / 10.0) END) * 0.3
+         |  + stop_score * 0.3 AS quality
+         |FROM d""".stripMargin
+    },
+    "q_bpe_estimate" ->
+      """SELECT doc_id,
+        |  CAST(list_sum(list_transform(regexp_split_to_array(text, '[^A-Za-z0-9]+'),
+        |    w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpe
+        |FROM documents""".stripMargin,
+    "q_dedup_ngram" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 200
+        |), sh AS (
+        |  SELECT DISTINCT doc_id AS id, s AS shingle FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+        |    FROM t)
+        |), cnt AS (
+        |  SELECT id, count(*) AS n FROM sh GROUP BY id
+        |), com AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b, n_common,
+        |  CAST(n_common AS DOUBLE) / CAST(ca.n + cb.n - n_common AS DOUBLE) AS jaccard
+        |FROM com JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b
+        |WHERE CAST(n_common AS DOUBLE) / CAST(ca.n + cb.n - n_common AS DOUBLE) >= 0.05""".stripMargin,
+    "q_ann_topk" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id IN (0, 1, 2, 3, 4)
+        |), s AS (
+        |  SELECT q.query_id, v.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, len(v.e) + 1), i -> q.qe[i] * v.e[i])) /
+        |    (sqrt(list_sum(list_transform(range(1, len(q.qe) + 1), i -> q.qe[i] * q.qe[i]))) *
+        |     sqrt(list_sum(list_transform(range(1, len(v.e) + 1), i -> v.e[i] * v.e[i])))) AS sim
+        |  FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id
+        |), r AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM s
+        |)
+        |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 10""".stripMargin,
+    "q_ann_neardup" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e,
+        |    sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+        |      i -> (embedding::DOUBLE[])[i] * (embedding::DOUBLE[])[i]))) AS nrm
+        |  FROM embeddings WHERE vec_id < 300
+        |)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm) AS sim
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm) >= 0.3""".stripMargin,
+    "q_media_meta" ->
+      """SELECT doc_id,
+        |  CAST(64 + (doc_id % 7) * 32 AS INTEGER) AS width,
+        |  CAST(48 + (doc_id % 5) * 32 AS INTEGER) AS height,
+        |  CAST(1 + (doc_id % 10) AS INTEGER) AS n_frames,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 THEN 'jpg' ELSE 'mp4' END AS format,
+        |  true AS decode_ok
         |FROM documents""".stripMargin
   )
 }

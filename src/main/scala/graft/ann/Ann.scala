@@ -1,0 +1,158 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  *  - Brute-force cosine top-k: broadcast the (small) query set, one
+  *    codegen'd pass over the corpus, per-query window rank. The exact
+  *    baseline; O(|corpus| * |queries|) but shuffle-free except the
+  *    final per-query top-k.
+  *  - LSH-bucketed top-k (the scale path): random-hyperplane signatures
+  *    (L tables x nbits sign bits, seeded), equi-join on (table, sig) to
+  *    form candidates, exact cosine rerank within candidates only. At
+  *    10^9 vectors the bucket join replaces the full scan per query with
+  *    ~L * bucketsize candidates.
+  */
+object Ann {
+
+  /** Dot product of two double-array columns (codegen-friendly HOFs). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(v: Column): Column =
+    sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  private def asDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Exact cosine top-k for each query id. Output:
+    * (query_id, neighbor_id, rank, sim). Self-matches excluded.
+    */
+  def bruteForceTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIds: Seq[Long],
+      k: Int): DataFrame = {
+    val items = emb.select(col(idCol).cast("long").as("item_id"),
+      asDouble(col(vecCol)).as("item_vec"))
+    val queries = items
+      .filter(col("item_id").isin(queryIds: _*))
+      .select(col("item_id").as("query_id"), col("item_vec").as("query_vec"))
+    val joined = items.crossJoin(broadcast(queries))
+      .filter(col("item_id") =!= col("query_id"))
+      .withColumn("sim",
+        dot(col("query_vec"), col("item_vec")) /
+          (norm(col("query_vec")) * norm(col("item_vec"))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("item_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("item_id").as("neighbor_id"),
+        col("rank").cast("bigint").as("rank"), col("sim"))
+  }
+
+  /** Seeded random hyperplanes: tables x bits x dim. */
+  def hyperplanes(tables: Int, bits: Int, dim: Int, seed: Long): Array[Array[Array[Double]]] = {
+    val rng = new Random(seed)
+    Array.fill(tables, bits, dim)(rng.nextGaussian())
+  }
+
+  /** Sign-bit signature of one vector under one table's hyperplanes. */
+  def signature(vec: Array[Double], planes: Array[Array[Double]]): Int = {
+    var sig = 0
+    var b = 0
+    while (b < planes.length) {
+      val p = planes(b)
+      var s = 0.0
+      var i = 0
+      val n = math.min(p.length, vec.length)
+      while (i < n) { s += p(i) * vec(i); i += 1 }
+      if (s > 0) sig |= (1 << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** (id, table, sig) rows for every vector — record-local typed map. */
+  def signatures(
+      spark: SparkSession,
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tables: Int,
+      bits: Int,
+      seed: Long): DataFrame = {
+    import spark.implicits._
+    val dim = emb.select(size(col(vecCol))).head().getInt(0)
+    val planes = hyperplanes(tables, bits, dim, seed)
+    val bc = spark.sparkContext.broadcast(planes)
+    emb.select(col(idCol).cast("long"), asDouble(col(vecCol)))
+      .as[(Long, Seq[Double])]
+      .flatMap { case (id, v) =>
+        val arr = v.toArray
+        val ps = bc.value
+        (0 until ps.length).iterator.map(t => (id, t, signature(arr, ps(t))))
+      }
+      .toDF("id", "table", "sig")
+  }
+
+  /** Approximate top-k: LSH candidates then exact cosine rerank. */
+  def lshTopK(
+      spark: SparkSession,
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIds: Seq[Long],
+      k: Int,
+      tables: Int = 8,
+      bits: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val sigs = signatures(spark, emb, idCol, vecCol, tables, bits, seed)
+    val qSigs = sigs.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("query_id"), col("table"), col("sig"))
+    val candidates = sigs.join(broadcast(qSigs), Seq("table", "sig"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("item_id"))
+      .distinct()
+    val vecs = emb.select(col(idCol).cast("long").as("vid"),
+      asDouble(col(vecCol)).as("vec"))
+    val reranked = candidates
+      .join(vecs.withColumnRenamed("vid", "item_id").withColumnRenamed("vec", "item_vec"), "item_id")
+      .join(broadcast(vecs.withColumnRenamed("vid", "query_id").withColumnRenamed("vec", "query_vec")
+        .filter(col("query_id").isin(queryIds: _*))), "query_id")
+      .withColumn("sim",
+        dot(col("query_vec"), col("item_vec")) /
+          (norm(col("query_vec")) * norm(col("item_vec"))))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("item_id"))
+    reranked.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("item_id").as("neighbor_id"),
+        col("rank").cast("bigint").as("rank"), col("sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (sim >= threshold) among a
+    * bounded id range — exact via self-join; the LSH path above is the
+    * unbounded-scale variant.
+    */
+  def cosineNearDupPairs(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      maxId: Long): DataFrame = {
+    val v = emb.filter(col(idCol) < maxId)
+      .select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("vec"),
+        norm(asDouble(col(vecCol))).as("nrm"))
+    val a = v.select(col("id").as("id_a"), col("vec").as("vec_a"), col("nrm").as("nrm_a"))
+    val b = v.select(col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("nrm_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("sim", dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+}

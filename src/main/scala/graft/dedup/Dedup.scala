@@ -1,0 +1,156 @@
+package graft.dedup
+
+import graft.textops.TextOps
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for a training-data pipeline, Spark-first:
+  *
+  *  - exact: hash-groupBy on a normalized checksum (one shuffle,
+  *    map-side partial agg);
+  *  - n-gram Jaccard: shingle explode -> self-equi-join on shingle ->
+  *    per-pair intersection counts vs per-doc counts (the classic
+  *    relational Jaccard; shuffle keyed by shingle, so frequent shingles
+  *    are the skew axis — cap with a document-frequency filter);
+  *  - MinHash + LSH: k min-hashes per doc (single groupBy with k partial
+  *    mins), banded into b buckets, candidate pairs only within equal
+  *    (band, bandHash) buckets — the published banding construction, so
+  *    the cross-join never materializes;
+  *  - SimHash: 64-bit sign-vector fingerprint per doc (record-local typed
+  *    map), candidates from 16-bit chunk equality (pigeonhole: hamming
+  *    <= 3 guarantees one of 4 chunks equal), verified by exact Hamming
+  *    distance.
+  *
+  * All stages are DataFrame transforms; nothing collects to the driver.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by normalized text checksum. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(sha2(lower(trim(col(textCol))), 256).as("checksum"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dupes"))
+
+  /** (id, shingle) pairs: distinct n-gram token shingles per doc. */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val sh = transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))
+    docs.select(col(idCol).as("id"), explode(array_distinct(sh)).as("shingle"))
+  }
+
+  /** Near-duplicate pairs by exact n-gram Jaccard >= threshold.
+    * maxShingleDf drops shingles appearing in more docs than the cap —
+    * the standard stop-shingle guard that bounds join fan-out (skew) at
+    * scale; dropped shingles are noise for near-dup detection anyway.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxShingleDf: Int = 1000): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+    val filtered = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+      .filter(col("df") <= maxShingleDf)
+      .drop("df")
+    val counts = filtered.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val a = filtered.as("a")
+    val b = filtered.as("b")
+    val common = a.join(b, col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(counts.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(counts.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_common"), col("jaccard"))
+  }
+
+  /** k MinHash components per doc: min over shingles of hash(shingle, i).
+    * One groupBy with k partial-aggregating mins — no per-seed shuffle.
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+    val mins = (0 until k).map(i => min(hash(col("shingle"), lit(i))).as(s"mh_$i"))
+    sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"mh_$i")): _*).as("sig"))
+  }
+
+  /** LSH banding: b bands of r rows; bucket key = hash of the band slice.
+    * Candidate pairs are generated within buckets only.
+    */
+  def minhashCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        bIdx => hash(slice(col("sig"), bIdx * rowsPerBand + 1, lit(rowsPerBand)), bIdx))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+  }
+
+  /** MinHash near-dup pairs with estimated Jaccard (matching signature
+    * fraction) >= threshold.
+    */
+  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 64, bands: Int = 16, threshold: Double = 0.7): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val sigs = minhashSignatures(docs, idCol, textCol, n, k)
+    minhashCandidates(sigs, bands, k / bands)
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
+          when(x === y, 1).otherwise(0)), _ === 1)).cast("double") / k)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** SimHash fingerprints (typed map — record-local, no shuffle). */
+  def simhashes(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, TextOps.simhash64(text)) }
+      .toDF("id", "simhash")
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxDist (<= 3 for
+    * the 4x16-bit pigeonhole banding to be lossless).
+    */
+  def simhashNearDups(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String, maxDist: Int = 3): DataFrame = {
+    val fp = simhashes(spark, docs, idCol, textCol)
+    val chunked = fp.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .withColumnRenamed("pos", "chunk")
+      .withColumnRenamed("col", "chunk_val")
+    val a = chunked.as("a")
+    val b = chunked.as("b")
+    a.join(b,
+        col("a.chunk") === col("b.chunk") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,128 @@
+package graft.lineage
+
+import graft.{Doc, ExtractedDoc}
+import graft.extract.Extract
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Checkpoint / lineage / resume (SURVEY.md S9 + K6 — the Spark-native
+  * replacement for the reference's DynamoDB result cache,
+  * dynamodb/dynamodb.go:38-90).
+  *
+  * Layout (Parquet with Iceberg-shaped layout — no Iceberg runtime jar in
+  * this sandbox; swapping the `format` to "iceberg" is the only change
+  * needed on a real cluster):
+  *
+  *  - output table  `<outPath>/run_id=<runId>/...`  — extracted docs plus
+  *    `partition_id` and `wall_ms` lineage columns, partitioned by run_id
+  *    so metrics derivation is a directory-pruned read-back (no cache of
+  *    the full output in memory, which would not survive 100 TB).
+  *  - metrics table `<metricsPath>` — one row per document:
+  *    (run_id, partition_id, doc_id, status, n_tables, n_cells, checksum,
+  *    wall_ms, ts) per FIXTURES.md §4.
+  *
+  * Resume = left-anti join of the input against the metrics table's
+  * successfully completed doc_ids. Idempotence: Spark's output committer
+  * publishes task files only on job success, and metrics are appended
+  * strictly after the output write succeeds, so a killed run re-processes
+  * at most the last in-flight (uncommitted) work and never duplicates a
+  * doc in the metrics table.
+  */
+object Lineage {
+
+  final case class LineageDoc(
+      doc_id: String,
+      spans: Seq[graft.Span],
+      n_tables: Int,
+      n_cells: Int,
+      status: String,
+      partition_id: Int,
+      wall_ms: Long)
+
+  /** doc_ids already successfully extracted in any previous run. */
+  def completedDocIds(spark: SparkSession, metricsPath: String): DataFrame = {
+    val exists = try {
+      spark.read.parquet(metricsPath)
+        .filter(col("status") === "ok")
+        .select(col("doc_id")).distinct()
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        spark.range(0).select(lit("").as("doc_id")).filter(lit(false))
+    }
+    exists
+  }
+
+  /** Input minus completed docs — the resume anti-join (broadcast-able
+    * when the completed set is small; Catalyst/AQE picks the strategy).
+    */
+  def filterPending(spark: SparkSession, input: Dataset[Doc], metricsPath: String): Dataset[Doc] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[Doc]
+    val done = completedDocIds(spark, metricsPath)
+    input.join(done, Seq("doc_id"), "left_anti").as[Doc]
+  }
+
+  /** Extract with lineage columns captured inside the task (partition id
+    * and per-doc wall time measured where the work happens).
+    */
+  def extractWithLineage(
+      spark: SparkSession,
+      docs: Dataset[Doc],
+      strategy: Extract.Strategy,
+      numPartitions: Int): Dataset[LineageDoc] = {
+    implicit val docEnc = org.apache.spark.sql.Encoders.product[Doc]
+    implicit val outEnc = org.apache.spark.sql.Encoders.product[LineageDoc]
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else math.max(1, spark.sparkContext.defaultParallelism * 4)
+    docs
+      .repartition(parts, pmod(xxhash64(col("doc_id"), lit(16)), lit(parts)))
+      .as[Doc]
+      .mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        it.map { doc =>
+          val t0 = System.nanoTime()
+          val e: ExtractedDoc = Extract.extractDoc(doc, strategy)
+          val wallMs = (System.nanoTime() - t0) / 1000000L
+          LineageDoc(e.doc_id, e.spans, e.n_tables, e.n_cells, e.status, pid, wallMs)
+        }
+      }
+  }
+
+  /** One resumable run. Returns (#processed this run, #skipped as done). */
+  def runResumable(
+      spark: SparkSession,
+      input: Dataset[Doc],
+      outPath: String,
+      metricsPath: String,
+      runId: String,
+      strategy: Extract.Strategy = Extract.Strategy.RegionClustering,
+      numPartitions: Int = 0): (Long, Long) = {
+    val total = input.count()
+    val pending = filterPending(spark, input, metricsPath)
+    val extracted = extractWithLineage(spark, pending, strategy, numPartitions)
+
+    extracted.withColumn("run_id", lit(runId))
+      .write.mode(SaveMode.Append).partitionBy("run_id").parquet(outPath)
+
+    // Directory-pruned read-back of just this run's output; checksum is
+    // sha256 over the canonical JSON of the ordered span sequence (the
+    // reference checksums input bytes, file.go:22-24 — ours gates the
+    // output invariant).
+    val runOut = spark.read.parquet(outPath).filter(col("run_id") === runId)
+    val metrics = runOut.select(
+      col("run_id"), col("partition_id"), col("doc_id"), col("status"),
+      col("n_tables"), col("n_cells"),
+      sha2(to_json(col("spans")), 256).as("checksum"),
+      col("wall_ms"), current_timestamp().as("ts"))
+    metrics.write.mode(SaveMode.Append).parquet(metricsPath)
+
+    val processed = runOut.count()
+    (processed, total - processed)
+  }
+
+  /** The full extracted output across all runs (resume-aware readers). */
+  def readOutput(spark: SparkSession, outPath: String): DataFrame =
+    spark.read.parquet(outPath)
+}

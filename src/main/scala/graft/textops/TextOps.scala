@@ -1,0 +1,138 @@
+package graft.textops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline, expressed as
+  * codegen-friendly Column functions (`org.apache.spark.sql.functions`
+  * only — no UDFs in the hot path). Each has a DuckDB-oracle-backed
+  * entry in SparkEntry.
+  */
+object TextOps {
+
+  /** Whitespace tokens (keeps empty trailing fields off by splitting on
+    * single spaces — the synthetic corpus is single-spaced).
+    */
+  def tokens(text: Column): Column = split(text, " ", -1)
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("bigint")
+
+  /** A BPE-ish subword proxy: word-piece count estimated by splitting on
+    * non-alphanumerics and counting ceil(len/4) pieces per word — a
+    * published rule-of-thumb (~4 chars/token) that keeps the hot path in
+    * whole-stage codegen instead of calling a real tokenizer.
+    */
+  def bpeTokenEstimate(text: Column): Column =
+    aggregate(
+      split(text, "[^A-Za-z0-9]+", -1),
+      lit(0L),
+      (acc, w) => acc + ceil(length(w).cast("double") / 4.0).cast("bigint"))
+
+  /** Per-language marker-stopword hit counts; the langId heuristic is the
+    * deterministic argmax (ties break in declaration order). N-gram-free
+    * but the same shape as published stopword-profile language ID.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "y", "es"),
+    "fr" -> Seq("le", "les", "et", "est", "une"),
+    "zh" -> Seq("的", "是", "了"))
+
+  def markerHits(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(lower(text)), t => t.isin(markers: _*))).cast("bigint")
+
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (lang, ms) => lang -> markerHits(text, ms) }
+    // argmax, first-wins on ties, 'und' (undetermined) when all zero
+    val best = scores.tail.foldLeft((scores.head._1: String, scores.head._2)) {
+      case ((bl, bs), (l, s)) => (l, when(s > bs, s).otherwise(bs))
+    }
+    val allZero = scores.map(_._2).reduce(_ + _) === 0
+    val pick = scores.reverse.foldLeft(lit("und")) {
+      case (acc, (l, s)) => when(s === best._2 && s > 0, lit(l)).otherwise(acc)
+    }
+    when(allZero, lit("und")).otherwise(pick)
+  }
+
+  /** Quality score in [0,1]: blend of length saturation, mean word
+    * length plausibility and stopword presence — the standard cheap
+    * quality gates (C4-style heuristics) as one codegen'd expression.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text)
+    val nChars = length(text).cast("double")
+    val meanWord = nChars / greatest(nTok.cast("double"), lit(1.0))
+    val lenScore = least(nTok.cast("double") / 64.0, lit(1.0))
+    val wordScore =
+      when(meanWord >= 3 && meanWord <= 10, 1.0)
+        .otherwise(greatest(lit(0.0), lit(1.0) - abs(meanWord - 6.5) / 10.0))
+    val stopScore =
+      least(markerHits(text, LangMarkers.flatMap(_._2)).cast("double") /
+        greatest(nTok.cast("double") * 0.05, lit(1.0)), lit(1.0))
+    // unrounded: the whole expression tree is plain IEEE arithmetic, so
+    // the DuckDB oracle reproduces it bit-identically; round() would
+    // reintroduce 1-ulp cross-engine differences
+    lenScore * 0.4 + wordScore * 0.3 + stopScore * 0.3
+  }
+
+  /** Positional rolling-hash fingerprint: sum_i i*len(tok_i) mod p —
+    * order-sensitive, engine-portable (pure integer arithmetic).
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      zip_with(
+        tokens(text),
+        sequence(lit(1), greatest(size(tokens(text)), lit(1))),
+        (tok, i) => i.cast("bigint") * length(tok)),
+      lit(0L), (acc, x) => acc + x) % 1000000007L
+
+  /** 64-bit SimHash over whitespace tokens (pure Scala, for typed maps):
+    * per token a 64-bit hash votes +1/-1 on each bit; the sign vector is
+    * the fingerprint. Near-duplicates have small Hamming distance.
+    */
+  def simhash64(text: String): Long = {
+    val acc = new Array[Int](64)
+    var start = 0
+    val n = text.length
+    var i = 0
+    while (i <= n) {
+      if (i == n || text.charAt(i) == ' ') {
+        if (i > start) {
+          var h = hash64(text, start, i)
+          var b = 0
+          while (b < 64) {
+            if ((h & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+            h >>>= 1
+            b += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (acc(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** FNV-1a 64-bit over a char range — stable across JVMs. */
+  def hash64(s: String, from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  def hash64(s: String): Long = hash64(s, 0, s.length)
+
+  def hammingDistance(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+}

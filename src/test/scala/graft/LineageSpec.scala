@@ -1,0 +1,74 @@
+package graft
+
+import graft.fixtures.SpanGen
+import graft.lineage.Lineage
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Resume semantics (SURVEY.md §5.6): a partial run followed by a resume
+  * must process only the remainder and the union must equal a single
+  * uninterrupted run's output.
+  */
+class LineageSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-lineage-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-lineage").toString
+
+  test("partial run + resume equals one full run; nothing reprocessed") {
+    import spark.implicits._
+    val fixtures = SpanGen.genDocs(80, seed = 21L)
+    val all = spark.createDataset(fixtures.map(_._1))
+    val firstHalf = spark.createDataset(fixtures.take(40).map(_._1))
+
+    val out = tmp() + "/out"
+    val metrics = tmp() + "/metrics"
+
+    // run 1: only half the input reaches the job (simulated interruption)
+    val (p1, s1) = Lineage.runResumable(spark, firstHalf, out, metrics, "run-1")
+    assert(p1 == 40 && s1 == 0)
+
+    // run 2: full input; the 40 completed docs must be skipped
+    val (p2, s2) = Lineage.runResumable(spark, all, out, metrics, "run-2")
+    assert(p2 == 40 && s2 == 40)
+
+    // union equals goldens, each doc exactly once
+    val rows = Lineage.readOutput(spark, out)
+      .select("doc_id", "spans", "status").as[(String, Seq[Span], String)]
+      .collect()
+    assert(rows.length == 80)
+    assert(rows.map(_._1).distinct.length == 80)
+    val byId = rows.map(r => r._1 -> r).toMap
+    for ((doc, golden) <- fixtures) {
+      val (_, spans, status) = byId(doc.doc_id)
+      assert(status == "ok")
+      assert(spans == golden, s"${doc.doc_id}")
+    }
+
+    // a third run over the same input is a no-op
+    val (p3, s3) = Lineage.runResumable(spark, all, out, metrics, "run-3")
+    assert(p3 == 0 && s3 == 80)
+
+    // metrics: one row per (doc, run), checksums present
+    val m = spark.read.parquet(metrics)
+    assert(m.count() == 80)
+    assert(m.filter($"checksum".isNull || $"checksum" === "").count() == 0)
+    assert(m.select("doc_id").distinct().count() == 80)
+  }
+
+  test("filterPending on a fresh metrics path passes everything through") {
+    import spark.implicits._
+    val ds = spark.createDataset(SpanGen.genDocs(5, 2L).map(_._1))
+    val pending = Lineage.filterPending(spark, ds, tmp() + "/nonexistent")
+    assert(pending.count() == 5)
+  }
+}

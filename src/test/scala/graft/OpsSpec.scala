@@ -1,0 +1,159 @@
+package graft
+
+import graft.ann.Ann
+import graft.dedup.Dedup
+import graft.media.Media
+import graft.textops.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Training-data pipeline operators: dedup family, ANN, text analysis,
+  * multimodal stubs.
+  */
+class OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-ops-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def docsDf(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  test("simhash: identical texts collide, near texts are near, far are far") {
+    val a = TextOps.simhash64("the quick brown fox jumps over the lazy dog")
+    val b = TextOps.simhash64("the quick brown fox jumps over the lazy dog")
+    val c = TextOps.simhash64("the quick brown fox jumps over the lazy cat")
+    val d = TextOps.simhash64("completely different words entirely unrelated content here")
+    assert(a == b)
+    assert(TextOps.hammingDistance(a, c) < TextOps.hammingDistance(a, d))
+  }
+
+  test("exact dedup groups duplicates under one checksum") {
+    val df = docsDf(
+      (1L, "same text"), (2L, "Same Text"), (3L, "other text"))
+    val got = Dedup.exactGroups(df, "doc_id", "text")
+      .orderBy("keep_id").collect()
+    assert(got.length == 2)
+    assert(got(0).getAs[Long]("keep_id") == 1L && got(0).getAs[Long]("n_dupes") == 2L)
+    assert(got(1).getAs[Long]("keep_id") == 3L && got(1).getAs[Long]("n_dupes") == 1L)
+  }
+
+  test("ngram jaccard finds the near-duplicate pair only") {
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val near = base + " kilo" // high shingle overlap
+    val far = "one two three four five six seven eight nine ten"
+    val got = Dedup.ngramJaccardPairs(
+      docsDf((1L, base), (2L, near), (3L, far)),
+      "doc_id", "text", n = 3, threshold = 0.5).collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[Long]("id_a") == 1L && got(0).getAs[Long]("id_b") == 2L)
+    assert(got(0).getAs[Double]("jaccard") > 0.7)
+  }
+
+  test("minhash near-dups: dup pair found, unrelated pair absent") {
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " * 3
+    val far = "uno dos tres cuatro cinco seis siete ocho nueve diez " * 3
+    val got = Dedup.minhashNearDups(
+      docsDf((1L, base), (2L, base), (3L, far), (4L, far + "extra ")),
+      "doc_id", "text", n = 3, k = 64, bands = 16, threshold = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)))
+    assert(!got.contains((1L, 3L)) && !got.contains((2L, 3L)))
+  }
+
+  test("simhash near-dups via chunk banding + hamming verify") {
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val got = Dedup.simhashNearDups(spark,
+      docsDf((1L, base), (2L, base), (3L, "totally different content with many other words involved")),
+      "doc_id", "text", maxDist = 3)
+      .select("id_a", "id_b", "hamming").collect()
+    assert(got.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L && r.getInt(2) == 0))
+    assert(!got.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
+  }
+
+  test("brute-force cosine top-k: exact ranks on a known geometry") {
+    import spark.implicits._
+    // 2-d embeddings: q=(1,0); a=(1,0.1) closest, b=(1,1), c=(-1,0) farthest
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.1f)),
+      (2L, Seq(1.0f, 1.0f)), (3L, Seq(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Ann.bruteForceTopK(df, "vec_id", "embedding", Seq(0L), k = 3)
+      .orderBy("rank").collect()
+    assert(got.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 2L, 3L))
+    assert(got(0).getAs[Double]("sim") > 0.99)
+    assert(got(2).getAs[Double]("sim") < -0.99)
+  }
+
+  test("LSH top-k returns exact-cosine-consistent ranks over its candidates") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qids = Seq(0L, 1L, 2L)
+    val lsh = Ann.lshTopK(spark, emb, "vec_id", "embedding", qids, k = 5)
+      .collect()
+    assert(lsh.nonEmpty)
+    // determinism
+    val again = Ann.lshTopK(spark, emb, "vec_id", "embedding", qids, k = 5).collect()
+    assert(lsh.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+    // per query: ranks are 1..n without gaps and sims non-increasing
+    lsh.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to sorted.length).toSeq)
+      val sims = sorted.map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("cosine near-dup pairs are symmetric-free and thresholded") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val got = Ann.cosineNearDupPairs(emb, "vec_id", "embedding", 0.3, maxId = 200).collect()
+    assert(got.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
+    assert(got.forall(_.getAs[Double]("sim") >= 0.3))
+  }
+
+  test("langId picks the dominant marker profile") {
+    val df = docsDf(
+      (1L, "the cat and the dog is a friend of the house"),
+      (2L, "der hund und die katze ist das tier und der vogel"),
+      (3L, "xyzzy plugh qwerty"))
+    val got = df.select(col("doc_id"), TextOps.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "de")
+    assert(got(3L) == "und")
+  }
+
+  test("token counts and bpe estimate") {
+    val df = docsDf((1L, "one two three"))
+    assert(df.select(TextOps.tokenCount(col("text"))).head().getLong(0) == 3L)
+    // ceil(3/4)+ceil(3/4)+ceil(5/4) = 1+1+2 = 4
+    assert(df.select(TextOps.bpeTokenEstimate(col("text"))).head().getLong(0) == 4L)
+  }
+
+  test("media: binary round-trip through the stub codec at sf0.001") {
+    val blobs = Media.synthesize(spark, "/root/testdata/sf0.001")
+    val decoded = Media.decodeStub(blobs).collect()
+    assert(decoded.length == 500)
+    assert(decoded.forall(_.getAs[Boolean]("decode_ok")))
+    val r7 = decoded.find(_.getAs[Long]("doc_id") == 7L).get
+    assert(r7.getAs[Int]("width") == 64 && r7.getAs[Int]("height") == 112)
+    assert(r7.getAs[Int]("n_frames") == 8 && r7.getAs[String]("format") == "jpg")
+  }
+
+  test("media: resize + frame sampling stubs keep the binary contract") {
+    val blobs = Media.synthesize(spark, "/root/testdata/sf0.001")
+    val resized = Media.resizeStub(blobs, 32, 32)
+    val dec = Media.decodeStub(resized).collect()
+    assert(dec.forall(r => r.getAs[Int]("width") == 32 && r.getAs[Int]("height") == 32))
+    val frames = Media.frameSample(blobs, stride = 2).collect()
+    // doc 7 has 8 frames -> indices 0,2,4,6
+    assert(frames.count(_.doc_id == 7L) == 4)
+    assert(frames.filter(_.doc_id == 7L).map(_.frame_idx).sorted.toSeq == Seq(0, 2, 4, 6))
+  }
+}
