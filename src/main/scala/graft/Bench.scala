@@ -1,24 +1,120 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import graft.extract.Extract
+import graft.fixtures.SpanGen
+import graft.functions.GraftFunctions
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+/** Benchmark harness (driver contract): runs the headline extraction
+  * pipeline plus every SparkEntry query at SPARK_GRAFT_SF_DIR on
+  * local[SPARK_GRAFT_CPUS], printing ONE JSON line.
+  *
+  * The headline measures the north_rule metric — documents/sec of the
+  * extraction over a pre-materialized span table, end to end: parquet
+  * scan -> extraction -> parquet write (the real job shape, not a
+  * count() that Catalyst can prune). Two engine paths are timed:
+  *  - expr:  the native Catalyst expression (extract_spans) — one
+  *    Project, zero object materialization; the production path;
+  *  - typed: the Dataset[Doc] => Dataset[ExtractedDoc] reference
+  *    implementation (golden-equal, kept as the semantic baseline).
+  */
 object Bench {
+
+  def materializeInput(spark: SparkSession, sfDir: String, replicate: Int): (String, Long) = {
+    val dir = s"/root/repo/target/bench_input/${new java.io.File(sfDir).getName}_x$replicate"
+    val marker = new java.io.File(dir + "/_SUCCESS")
+    if (!marker.exists()) {
+      // documents.parquet is a single split; without an explicit
+      // repartition the bench input would be 1-4 files and the timed
+      // scan stage would have no parallelism to scale with
+      SpanGen.fromDocuments(spark, sfDir, replicate = replicate)
+        .repartition(256)
+        .write.mode(SaveMode.Overwrite).parquet(dir)
+    }
+    val n = spark.read.parquet(dir).count()
+    (dir, n)
+  }
+
+  private def freshOutDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_bench_out")
+    d.toFile.deleteOnExit()
+    d.toString + "/out"
+  }
+
+  /** scan -> extract_spans Project -> parquet write; returns (sec, docs). */
+  def timeExtractExpr(spark: SparkSession, inputDir: String): (Double, Long) = {
+    val out = freshOutDir()
+    val t0 = System.nanoTime()
+    val df = GraftFunctions.extractDF(spark, spark.read.parquet(inputDir))
+    df.write.mode(SaveMode.Overwrite).parquet(out)
+    val sec = (System.nanoTime() - t0) / 1e9
+    val n = spark.read.parquet(out).count()
+    deleteRecursively(new java.io.File(out).getParentFile)
+    (sec, n)
+  }
+
+  /** scan -> typed map -> parquet write (reference implementation). */
+  def timeExtractTyped(spark: SparkSession, inputDir: String): (Double, Long) = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[Doc]
+    val out = freshOutDir()
+    val t0 = System.nanoTime()
+    val docs = spark.read.parquet(inputDir).as[Doc]
+    Extract.distributed(spark, docs).toDF()
+      .write.mode(SaveMode.Overwrite).parquet(out)
+    val sec = (System.nanoTime() - t0) / 1e9
+    val n = spark.read.parquet(out).count()
+    deleteRecursively(new java.io.File(out).getParentFile)
+    (sec, n)
+  }
+
+  /** Back-compat alias used by scaling evidence: the production path. */
+  def timeExtract(spark: SparkSession, inputDir: String): (Double, Long) =
+    timeExtractExpr(spark, inputDir)
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val fs = f.listFiles()
+    if (fs != null) fs.foreach(deleteRecursively)
+    f.delete()
+  }
+
+  def session(cpus: String): SparkSession = {
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-bench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val replicate = sys.env.getOrElse("SPARK_GRAFT_REPLICATE", "20").toInt
+    val spark = session(cpus)
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val (inputDir, nDocs) = materializeInput(spark, sfDir, replicate)
+    timeExtractExpr(spark, inputDir) // warmup (JIT + codegen caches)
+    val (exprSec, okDocs) = timeExtractExpr(spark, inputDir)
+    val (typedSec, _) = timeExtractTyped(spark, inputDir)
+    val docsPerSec = okDocs / exprSec
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double](
+      "extract_pipeline" -> exprSec,
+      "extract_pipeline_typed" -> typedSec)
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      results(name) = (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.sum
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","docs":$nDocs,"docs_per_sec":$docsPerSec%.1f,"cpus":"$cpus"}""")
     spark.stop()
   }
 }

@@ -81,18 +81,38 @@ object Extract {
     }
 
   private def extractDocUnsafe(doc: Doc, strategy: Strategy): ExtractedDoc = {
-    val sorted = doc.spans.sortBy(_.offset).toVector
-    val out = new ArrayBuffer[(String, String, String)](sorted.length)
+    // most inputs store spans already offset-ordered; skip the re-sort
+    val raw = doc.spans
+    var isSorted = true
+    var k = 1
+    while (isSorted && k < raw.length) {
+      if (raw(k - 1).offset > raw(k).offset) isSorted = false
+      k += 1
+    }
+    val sorted: IndexedSeq[Span] =
+      if (isSorted) raw.toIndexedSeq else raw.sortBy(_.offset).toIndexedSeq
+    val out = new ArrayBuffer[Span](sorted.length)
     var nTables = 0
     var nCells = 0
 
+    def emit(kind: String, text: String, ref: String): Unit =
+      out += Span(kind, text, ref, out.length)
+
     def emitTable(table: Vector[Vector[String]]): Unit = {
-      val cells = tableToSpans(table)
-      if (cells.nonEmpty) {
-        nTables += 1
-        nCells += cells.length
-        out ++= cells
+      var any = false
+      var r = 0
+      while (r < table.length) {
+        val row = table(r)
+        var c = 0
+        while (c < row.length) {
+          emit(SpanKinds.Cell, row(c), s"${r + 1},${c + 1}")
+          nCells += 1
+          any = true
+          c += 1
+        }
+        r += 1
       }
+      if (any) nTables += 1
     }
 
     var i = 0
@@ -103,11 +123,17 @@ object Extract {
         case SpanKinds.WordBox =>
           var j = i
           while (j < n && sorted(j).kind == SpanKinds.WordBox) j += 1
-          val run = sorted.slice(i, j)
-          val boxes = run.flatMap(Decode.wordBoxOf)
+          val boxes = new ArrayBuffer[WordBox](j - i)
+          var p = i
+          while (p < j) {
+            val b = Decode.wordBoxOfRef(sorted(p).media_ref, sorted(p).text)
+            if (b != null) boxes += b
+            p += 1
+          }
           if (boxes.isEmpty) {
             // empty/undecodable word run: pass through (SURVEY §2.8.8)
-            run.foreach(sp => out += ((sp.kind, sp.text, sp.media_ref)))
+            p = i
+            while (p < j) { val sp = sorted(p); emit(sp.kind, sp.text, sp.media_ref); p += 1 }
           } else {
             val table = strategy match {
               case Strategy.RegionClustering => Geom.toTable(boxes)
@@ -119,31 +145,36 @@ object Extract {
         case SpanKinds.Cell =>
           var j = i
           while (j < n && sorted(j).kind == SpanKinds.Cell) j += 1
-          val run = sorted.slice(i, j)
-          val cells = run.flatMap(Decode.cellOf)
-          val decoded =
-            if (cells.length == run.length) Geom.cellsToTable(cells) else None
+          val cells = new ArrayBuffer[(Int, Int, String)](j - i)
+          var p = i
+          var allValid = true
+          while (p < j && allValid) {
+            Decode.cellOf(sorted(p)) match {
+              case Some(c) => cells += c
+              case None    => allValid = false
+            }
+            p += 1
+          }
+          val decoded = if (allValid) Geom.cellsToTable(cells) else None
           decoded match {
             case Some(table) => emitTable(table)
             case None => // invalid grid (reference panics): pass through
-              run.foreach(sp => out += ((sp.kind, sp.text, sp.media_ref)))
+              p = i
+              while (p < j) { val sp = sorted(p); emit(sp.kind, sp.text, sp.media_ref); p += 1 }
           }
           i = j
         case SpanKinds.Html =>
           HtmlStrip.mainContentBlocks(s.text).foreach { block =>
-            out += ((SpanKinds.Text, block, ""))
+            emit(SpanKinds.Text, block, "")
           }
           i += 1
         case _ => // text / media / unknown: pass through
-          out += ((s.kind, s.text, s.media_ref))
+          emit(s.kind, s.text, s.media_ref)
           i += 1
       }
     }
 
-    val spans = out.iterator.zipWithIndex.map { case ((k, t, m), idx) =>
-      Span(k, t, m, idx)
-    }.toVector
-    ExtractedDoc(doc.doc_id, spans, nTables, nCells, "ok")
+    ExtractedDoc(doc.doc_id, out.toVector, nTables, nCells, "ok")
   }
 
   /** Local (already-partitioned) transform — no shuffle. */
@@ -152,26 +183,41 @@ object Extract {
     ds.mapPartitions(_.map(extractDoc(_, strategy)))
   }
 
-  /** Distributed transform with the explicit skew posture: salted hash
+  /** Distributed transform with the explicit skew posture: a salted hash
     * repartition on doc_id into `numPartitions` (default 4x the session
     * parallelism so oversized-document stragglers interleave), then the
     * per-partition map. doc_id is unique, so hash(doc_id, salt) is
     * uniform in row count; the salt decorrelates any size-ordered input
-    * layout. Exactly one exchange in the plan.
+    * layout.
+    *
+    * Shuffle elision: when the caller did not pin a partition count and
+    * the scan already yields at least 2x the session parallelism in
+    * splits (`spark.sql.files.maxPartitionBytes` splits large files for
+    * free), the exchange is skipped — the map is record-local, so the
+    * shuffle buys placement only, and paying a full
+    * serialize-spill-deserialize of every span to re-place rows is the
+    * wrong trade. Pass `forceRepartition = true` (or an explicit
+    * `numPartitions`) for adversarially laid-out inputs, e.g. a source
+    * sorted by document size.
     */
   def distributed(
       spark: SparkSession,
       ds: Dataset[Doc],
       strategy: Strategy = Strategy.RegionClustering,
       numPartitions: Int = 0,
-      salt: Int = 16): Dataset[ExtractedDoc] = {
+      salt: Int = 16,
+      forceRepartition: Boolean = false): Dataset[ExtractedDoc] = {
+    val parallelism = math.max(1, spark.sparkContext.defaultParallelism)
     val parts =
-      if (numPartitions > 0) numPartitions
-      else math.max(1, spark.sparkContext.defaultParallelism * 4)
+      if (numPartitions > 0) numPartitions else parallelism * 4
     implicit val docEnc = org.apache.spark.sql.Encoders.product[Doc]
-    val salted = ds
-      .repartition(parts, pmod(xxhash64(col("doc_id"), lit(salt)), lit(parts)))
-      .as[Doc]
-    run(salted, strategy)
+    val inputParts = ds.rdd.getNumPartitions
+    val needShuffle =
+      forceRepartition || numPartitions > 0 || inputParts < 2 * parallelism
+    val placed =
+      if (needShuffle)
+        ds.repartition(parts, pmod(xxhash64(col("doc_id"), lit(salt)), lit(parts))).as[Doc]
+      else ds
+    run(placed, strategy)
   }
 }

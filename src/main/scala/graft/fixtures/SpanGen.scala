@@ -172,12 +172,21 @@ object SpanGen {
     * identical output at any parallelism. Table shapes and word
     * placement are seeded by doc_id; words come from the document text.
     */
-  def fromDocuments(spark: SparkSession, sfDir: String, seed: Long = 42L): Dataset[Doc] = {
+  def fromDocuments(
+      spark: SparkSession,
+      sfDir: String,
+      seed: Long = 42L,
+      replicate: Int = 1): Dataset[Doc] = {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text")
       .as[(Long, String)]
-    docs.map { case (id, text) => synthDoc(id, text, seed) }
+    if (replicate <= 1) docs.map { case (id, text) => synthDoc(id, text, seed) }
+    else docs.flatMap { case (id, text) =>
+      // deterministic fan-out for bench-scale corpora: each replica is a
+      // distinct doc with its own seeded geometry
+      (0 until replicate).iterator.map(k => synthDoc(id * replicate + k, text, seed))
+    }
   }
 
   /** Pure per-row synthesis used by fromDocuments (exposed for tests). */

@@ -1,0 +1,442 @@
+package graft.functions
+
+import graft.geom.Geom
+import graft.html.HtmlStrip
+import graft.{Region, SpanKinds}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Native Catalyst expression for the extraction core: the same
+  * semantics as `Extract.extractDoc` (golden-tested for equality), but
+  * evaluated directly over Tungsten's `ArrayData`/`UTF8String` memory —
+  * no `Doc`/`Span` object materialization, no
+  * DeserializeToObject/SerializeFromObject in the plan, text bytes flow
+  * zero-copy from input buffer to output array.
+  *
+  * Motivation (measured on the bench corpus): the typed-Dataset path
+  * spends the bulk of its cycles and allocations materializing ~40
+  * short-lived objects per span; at 16 local threads that object churn
+  * inflated total CPU 4x through cache pressure. This expression is the
+  * Spark-preferred fix — "custom Expression beats Scala UDF beats
+  * anything else" — and keeps the pipeline inside one Project operator.
+  *
+  * Cell-text equivalence note: the reference accumulates
+  * `acc = trim(acc + " " + w)` per word (box/box.go:241); that fold is
+  * provably equal to joining the space-trimmed nonempty word texts with
+  * single spaces, which is what we compute with UTF8String.trim +
+  * concatWs (E2 instead joins raw and trims once, textract.go:261).
+  */
+case class ExtractSpansExpr(child: Expression, useSplitHeuristic: Boolean)
+    extends UnaryExpression with CodegenFallback {
+
+  import ExtractSpansExpr._
+
+  override def prettyName: String = "extract_spans"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    child.dataType match {
+      case ArrayType(s: StructType, _)
+          if s.length == 4 &&
+            s(0).dataType == StringType && s(1).dataType == StringType &&
+            s(2).dataType == StringType && s(3).dataType == IntegerType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"extract_spans expects array<struct<kind:string,text:string," +
+            s"media_ref:string,offset:int>>, got ${other.catalogString}")
+    }
+  }
+
+  override def dataType: DataType = OutputType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    try evalSpans(arr)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        // pass-through with error status (one bad doc must not kill a run)
+        val n = arr.numElements()
+        val out = new Array[Any](n)
+        var i = 0
+        while (i < n) {
+          val row = arr.getStruct(i, 4)
+          out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](row.getUTF8String(0), row.getUTF8String(1),
+              row.getUTF8String(2), i))
+          i += 1
+        }
+        InternalRow(new GenericArrayData(out), 0, 0,
+          UTF8String.fromString(s"error:${e.getClass.getSimpleName}"))
+    }
+  }
+
+  private def evalSpans(arr: ArrayData): InternalRow = {
+    val n = arr.numElements()
+    val kinds = new Array[UTF8String](n)
+    val texts = new Array[UTF8String](n)
+    val refs = new Array[UTF8String](n)
+    val offs = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, 4)
+      if (row != null) {
+        kinds(i) = row.getUTF8String(0)
+        texts(i) = if (row.isNullAt(1)) U8Empty else row.getUTF8String(1)
+        refs(i) = if (row.isNullAt(2)) U8Empty else row.getUTF8String(2)
+        offs(i) = if (row.isNullAt(3)) 0 else row.getInt(3)
+      } else {
+        kinds(i) = null; texts(i) = U8Empty; refs(i) = U8Empty; offs(i) = 0
+      }
+      i += 1
+    }
+    // offset order (stable); packed long sort, bias for negative offsets
+    var sortedAlready = true
+    i = 1
+    while (sortedAlready && i < n) {
+      if (offs(i - 1) > offs(i)) sortedAlready = false
+      i += 1
+    }
+    val order = new Array[Int](n)
+    if (sortedAlready) {
+      i = 0; while (i < n) { order(i) = i; i += 1 }
+    } else {
+      val keys = new Array[Long](n)
+      i = 0
+      while (i < n) {
+        keys(i) = ((offs(i).toLong - Int.MinValue) << 32) | i.toLong
+        i += 1
+      }
+      java.util.Arrays.sort(keys)
+      i = 0
+      while (i < n) { order(i) = (keys(i) & 0xffffffffL).toInt; i += 1 }
+    }
+
+    val out = new ArrayBuffer[Any](n)
+    var nTables = 0
+    var nCells = 0
+    def emit(kind: UTF8String, text: UTF8String, ref: UTF8String): Unit =
+      out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](kind, text, ref, out.length))
+    def passThrough(p: Int): Unit = {
+      val s = order(p)
+      emit(kinds(s), texts(s), refs(s))
+    }
+    def emitTable(rows: Array[Array[UTF8String]]): Unit = {
+      var any = false
+      var r = 0
+      while (r < rows.length) {
+        val row = rows(r)
+        var c = 0
+        while (c < row.length) {
+          emit(U8Cell, row(c), cellRef(r + 1, c + 1))
+          nCells += 1
+          any = true
+          c += 1
+        }
+        r += 1
+      }
+      if (any) nTables += 1
+    }
+
+    def kindAt(p: Int): UTF8String = kinds(order(p))
+    var p = 0
+    while (p < n) {
+      val kind = kindAt(p)
+      if (kind != null && kind.equals(U8WordBox)) {
+        var q = p
+        while (q < n && kindAt(q) != null && kindAt(q).equals(U8WordBox)) q += 1
+        val m0 = q - p
+        val bx0 = new Array[Double](m0)
+        val bx1 = new Array[Double](m0)
+        val by0 = new Array[Double](m0)
+        val by1 = new Array[Double](m0)
+        val btx = new Array[UTF8String](m0)
+        var m = 0
+        var k = p
+        while (k < q) {
+          val s = order(k)
+          if (parseBBox(refs(s), bx0, bx1, by0, by1, m)) {
+            btx(m) = texts(s)
+            m += 1
+          }
+          k += 1
+        }
+        if (m == 0) {
+          k = p; while (k < q) { passThrough(k); k += 1 }
+        } else if (useSplitHeuristic) {
+          emitTable(toTableSplit(bx0, bx1, by0, by1, btx, m))
+        } else {
+          emitTable(toTableRegions(bx0, bx1, by0, by1, btx, m))
+        }
+        p = q
+      } else if (kind != null && kind.equals(U8Cell)) {
+        var q = p
+        while (q < n && kindAt(q) != null && kindAt(q).equals(U8Cell)) q += 1
+        val table = decodeCellRun(p, q, order, refs, texts)
+        if (table != null) emitTable(table)
+        else { var k = p; while (k < q) { passThrough(k); k += 1 } }
+        p = q
+      } else if (kind != null && kind.equals(U8Html)) {
+        val s = order(p)
+        HtmlStrip.mainContentBlocks(texts(s).toString).foreach { block =>
+          emit(U8Text, UTF8String.fromString(block), U8Empty)
+        }
+        p += 1
+      } else {
+        passThrough(p)
+        p += 1
+      }
+    }
+
+    InternalRow(new GenericArrayData(out.toArray), nTables, nCells, U8Ok)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ExtractSpansExpr =
+    copy(child = newChild)
+}
+
+object ExtractSpansExpr {
+
+  val SpanStructType: StructType = StructType(Seq(
+    StructField("kind", StringType), StructField("text", StringType),
+    StructField("media_ref", StringType), StructField("offset", IntegerType, nullable = false)))
+
+  val OutputType: StructType = StructType(Seq(
+    StructField("spans", ArrayType(SpanStructType, containsNull = false)),
+    StructField("n_tables", IntegerType, nullable = false),
+    StructField("n_cells", IntegerType, nullable = false),
+    StructField("status", StringType, nullable = false)))
+
+  private val U8WordBox = UTF8String.fromString(SpanKinds.WordBox)
+  private val U8Cell = UTF8String.fromString(SpanKinds.Cell)
+  private val U8Html = UTF8String.fromString(SpanKinds.Html)
+  private val U8Text = UTF8String.fromString(SpanKinds.Text)
+  private val U8Ok = UTF8String.fromString("ok")
+  private val U8Empty = UTF8String.fromString("")
+  private val U8Space = UTF8String.fromString(" ")
+
+  // interned "r,c" media_refs for typical grid sizes — cell-ref strings
+  // are the single highest-volume allocation of a full run
+  private val RefCacheDim = 64
+  private val RefCache: Array[Array[UTF8String]] =
+    Array.tabulate(RefCacheDim, RefCacheDim)((r, c) => UTF8String.fromString(s"${r + 1},${c + 1}"))
+
+  def cellRef(r1: Int, c1: Int): UTF8String =
+    if (r1 <= RefCacheDim && c1 <= RefCacheDim) RefCache(r1 - 1)(c1 - 1)
+    else UTF8String.fromString(s"$r1,$c1")
+
+  /** Byte-level double parse over ref[from,until); NaN on malformed. */
+  def parseDoubleBytes(b: Array[Byte], from: Int, until: Int): Double = {
+    var i = from
+    while (i < until && b(i) == ' ') i += 1
+    var end = until
+    while (end > i && b(end - 1) == ' ') end -= 1
+    if (i >= end) return Double.NaN
+    var neg = false
+    b(i) match {
+      case '-' => neg = true; i += 1
+      case '+' => i += 1
+      case _ =>
+    }
+    var mant = 0.0
+    var seenDigit = false
+    while (i < end && b(i) >= '0' && b(i) <= '9') {
+      mant = mant * 10 + (b(i) - '0'); seenDigit = true; i += 1
+    }
+    var scale = 0
+    if (i < end && b(i) == '.') {
+      i += 1
+      while (i < end && b(i) >= '0' && b(i) <= '9') {
+        mant = mant * 10 + (b(i) - '0'); scale += 1; seenDigit = true; i += 1
+      }
+    }
+    if (!seenDigit || i != end) return Double.NaN
+    if (scale >= Pow10.length || mant > 9.007199254740992e15) {
+      return try java.lang.Double.parseDouble(
+        new String(b, from, until - from, "US-ASCII").trim)
+      catch { case _: NumberFormatException => Double.NaN }
+    }
+    val v = mant / Pow10(scale)
+    if (neg) -v else v
+  }
+
+  private val Pow10: Array[Double] = Array.tabulate(19)(k => math.pow(10, k))
+
+  /** Parse "x0,x1,y0,y1" into the box arrays at slot m; false if bad. */
+  def parseBBox(ref: UTF8String, x0: Array[Double], x1: Array[Double],
+      y0: Array[Double], y1: Array[Double], m: Int): Boolean = {
+    val bytes = ref.getBytes
+    var c1 = -1; var c2 = -1; var c3 = -1
+    var commas = 0
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ',') {
+        commas += 1
+        if (commas == 1) c1 = i else if (commas == 2) c2 = i
+        else if (commas == 3) c3 = i else return false
+      }
+      i += 1
+    }
+    if (commas != 3) return false
+    val a = parseDoubleBytes(bytes, 0, c1)
+    val b = parseDoubleBytes(bytes, c1 + 1, c2)
+    val c = parseDoubleBytes(bytes, c2 + 1, c3)
+    val d = parseDoubleBytes(bytes, c3 + 1, bytes.length)
+    if (a.isNaN || b.isNaN || c.isNaN || d.isNaN || b < a || d < c) return false
+    x0(m) = a; x1(m) = b; y0(m) = c; y1(m) = d
+    true
+  }
+
+  /** trim(' ') each word, drop empties, join with single spaces — equal
+    * to the reference's per-append trim fold (see class scaladoc).
+    */
+  private def joinCell(words: ArrayBuffer[UTF8String]): UTF8String = {
+    if (words == null || words.isEmpty) return U8Empty
+    val trimmed = words.map(_.trim(U8Space)).filter(_.numBytes() > 0)
+    if (trimmed.isEmpty) U8Empty
+    else UTF8String.concatWs(U8Space, trimmed.toSeq: _*)
+  }
+
+  /** E1 over primitive arrays: region clustering + grid assignment. */
+  def toTableRegions(x0: Array[Double], x1: Array[Double], y0: Array[Double],
+      y1: Array[Double], txt: Array[UTF8String], m: Int): Array[Array[UTF8String]] = {
+    val xiv = new Array[Region](m)
+    val yiv = new Array[Region](m)
+    var i = 0
+    while (i < m) { xiv(i) = Region(x0(i), x1(i)); yiv(i) = Region(y0(i), y1(i)); i += 1 }
+    val xs = Geom.intervalUnion(xiv)
+    val ys = Geom.intervalUnion(yiv)
+    val ri = new Array[Int](m)
+    val ci = new Array[Int](m)
+    i = 0
+    while (i < m) {
+      ci(i) = Geom.regionIndexOf(xs, x0(i), x1(i))
+      ri(i) = Geom.regionIndexOf(ys, y0(i), y1(i))
+      i += 1
+    }
+    val idx = Array.range(0, m).sortBy(i => (ri(i), x0(i)))
+    val cells = Array.ofDim[ArrayBuffer[UTF8String]](ys.length, xs.length)
+    for (i <- idx if ri(i) >= 0 && ci(i) >= 0) {
+      if (cells(ri(i))(ci(i)) == null) cells(ri(i))(ci(i)) = new ArrayBuffer[UTF8String](2)
+      cells(ri(i))(ci(i)) += txt(i)
+    }
+    cells.map(_.map(joinCell))
+  }
+
+  /** E2 over primitive arrays: row segmentation + gap splits + pointer
+    * bucketing, all quirks preserved (extract.go:65-142).
+    */
+  def toTableSplit(x0: Array[Double], x1: Array[Double], y0: Array[Double],
+      y1: Array[Double], txt: Array[UTF8String], m: Int): Array[Array[UTF8String]] = {
+    // byRow ordering (extract.go:35-49) over indices
+    val rowOrd = new Ordering[Int] {
+      def compare(a: Int, b: Int): Int =
+        if (y1(a) < y0(b)) -1
+        else if (y0(a) > y1(b)) 1
+        else java.lang.Double.compare(x0(a), x0(b))
+    }
+    val byRow = Array.range(0, m).sorted(rowOrd)
+    // PartitionIntoRows (extract.go:121-142): prevX=0 seeding quirk
+    val rows = new ArrayBuffer[ArrayBuffer[Int]]
+    rows += ArrayBuffer(byRow(0))
+    var prevX = 0.0
+    var r = 0
+    var k = 1
+    while (k < m) {
+      val w = byRow(k)
+      if (x0(w) < prevX) { r += 1; rows += new ArrayBuffer[Int] }
+      rows(r) += w
+      prevX = x0(w)
+      k += 1
+    }
+    // FindSplits (extract.go:65-88)
+    val byX = Array.range(0, m).sortBy(x0(_))
+    val mids = new ArrayBuffer[Double]
+    var xRight = 0.0
+    k = 0
+    while (k < m) {
+      val w = byX(k)
+      if (x0(w) > xRight && k > 0) mids += xRight + (x0(w) - xRight) / 2
+      if (x1(w) > xRight) xRight = x1(w)
+      k += 1
+    }
+    val splits = mids.sorted.toArray
+    // per row: SplitRowBoxesEdge (pointer advances at most one per word)
+    rows.map { rowIdx =>
+      val sortedRow = rowIdx.sortBy(x0(_))
+      val buckets = Array.fill(splits.length + 1)(null: ArrayBuffer[UTF8String])
+      var bi = 0
+      for (w <- sortedRow) {
+        if (bi < splits.length && x0(w) > splits(bi)) bi += 1
+        if (buckets(bi) == null) buckets(bi) = new ArrayBuffer[UTF8String](2)
+        buckets(bi) += txt(w)
+      }
+      // E2 cell text: join raw then trim once (textract.go:261)
+      buckets.map { b =>
+        if (b == null || b.isEmpty) U8Empty
+        else UTF8String.concatWs(U8Space, b.toSeq: _*).trim()
+      }
+    }.toArray
+  }
+
+  /** E3: parse "r,c" refs, last duplicate wins, validate contiguity;
+    * null when invalid (caller passes the run through).
+    */
+  def decodeCellRun(p: Int, q: Int, order: Array[Int],
+      refs: Array[UTF8String], texts: Array[UTF8String]): Array[Array[UTF8String]] = {
+    val rowMap = scala.collection.mutable.LinkedHashMap[Int, scala.collection.mutable.LinkedHashMap[Int, UTF8String]]()
+    var k = p
+    while (k < q) {
+      val s = order(k)
+      val bytes = refs(s).getBytes
+      var comma = -1
+      var i = 0
+      while (i < bytes.length) {
+        if (bytes(i) == ',') { if (comma >= 0) return null; comma = i }
+        i += 1
+      }
+      if (comma <= 0 || comma == bytes.length - 1) return null
+      val r = parseIntBytes(bytes, 0, comma)
+      val c = parseIntBytes(bytes, comma + 1, bytes.length)
+      if (r < 1 || c < 1) return null
+      rowMap.getOrElseUpdate(r, scala.collection.mutable.LinkedHashMap[Int, UTF8String]())
+        .update(c, texts(s))
+      k += 1
+    }
+    if (rowMap.isEmpty) return Array.empty
+    val rowIdx = rowMap.keys.toArray.sorted
+    if (!rowIdx.sameElements(1 to rowIdx.length)) return null
+    val out = new Array[Array[UTF8String]](rowIdx.length)
+    for (r <- rowIdx) {
+      val row = rowMap(r)
+      val colIdx = row.keys.toArray.sorted
+      if (!colIdx.sameElements(1 to colIdx.length)) return null
+      out(r - 1) = colIdx.map(row)
+    }
+    out
+  }
+
+  private def parseIntBytes(b: Array[Byte], from: Int, until: Int): Int = {
+    var i = from
+    while (i < until && b(i) == ' ') i += 1
+    var end = until
+    while (end > i && b(end - 1) == ' ') end -= 1
+    if (i >= end) return -1
+    var v = 0
+    while (i < end) {
+      val c = b(i)
+      if (c < '0' || c > '9') return -1
+      v = v * 10 + (c - '0')
+      if (v < 0) return -1 // overflow
+      i += 1
+    }
+    v
+  }
+}

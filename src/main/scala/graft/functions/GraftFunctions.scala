@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Registration and Column-level API for the engine's native Catalyst
+  * expressions.
+  */
+object GraftFunctions {
+
+  val Builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "extract_spans" -> (exprs => ExtractSpansExpr(exprs.head, useSplitHeuristic = false)),
+    "extract_spans_split" -> (exprs => ExtractSpansExpr(exprs.head, useSplitHeuristic = true)))
+
+  /** Session-scoped registration (tests, local jobs). */
+  def register(spark: SparkSession): Unit =
+    Builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+
+  /** The full extraction as one Project over the span table:
+    * (doc_id, spans) -> (doc_id, spans, n_tables, n_cells, status).
+    */
+  def extractDF(spark: SparkSession, df: DataFrame, split: Boolean = false): DataFrame = {
+    register(spark)
+    val fn = if (split) "extract_spans_split" else "extract_spans"
+    df.select(col("doc_id"), expr(s"$fn(spans)").as("ex"))
+      .select(col("doc_id"), col("ex.spans").as("spans"),
+        col("ex.n_tables").as("n_tables"), col("ex.n_cells").as("n_cells"),
+        col("ex.status").as("status"))
+  }
+}
+
+/** Cluster deployment hook:
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions` makes
+  * extract_spans available in every session without code access.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.Builders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.ExtractSpansExpr", name),
+        builder))
+    }
+}

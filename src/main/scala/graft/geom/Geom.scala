@@ -47,7 +47,7 @@ object Geom {
     * inputs. Touching intervals merge (the reference's overlap predicates
     * box/box.go:26-49 use <=/>=). O(n log n).
     */
-  def intervalUnion(intervals: Seq[Region]): Vector[Region] = {
+  def intervalUnion(intervals: collection.Seq[Region]): Vector[Region] = {
     if (intervals.isEmpty) return Vector.empty
     val sorted = intervals.sortBy(r => (r.start, r.end))
     val out = new ArrayBuffer[Region](sorted.length)
@@ -65,11 +65,11 @@ object Geom {
   }
 
   /** Column regions: x-interval union over word boxes (box/box.go:53-72). */
-  def xRegions(boxes: Seq[WordBox]): Vector[Region] =
+  def xRegions(boxes: collection.Seq[WordBox]): Vector[Region] =
     intervalUnion(boxes.map(b => Region(b.leftX, b.rightX)))
 
   /** Row regions: y-interval union over word boxes (box/box.go:76-100). */
-  def yRegions(boxes: Seq[WordBox]): Vector[Region] =
+  def yRegions(boxes: collection.Seq[WordBox]): Vector[Region] =
     intervalUnion(boxes.map(b => Region(b.topY, b.bottomY)))
 
   /** Index of the unique region fully containing [lo, hi], or -1.
@@ -108,7 +108,7 @@ object Geom {
     s.substring(a, b)
   }
 
-  def toTable(boxes: Seq[WordBox]): Vector[Vector[String]] = {
+  def toTable(boxes: collection.Seq[WordBox]): Vector[Vector[String]] = {
     if (boxes.isEmpty) return Vector.empty
     val xs = xRegions(boxes)
     val ys = yRegions(boxes)
@@ -142,7 +142,7 @@ object Geom {
     * ascending (the intermediate by-size sort at extract.go:78 is erased
     * by the ascending sort at :86).
     */
-  def findSplits(words: Seq[WordBox]): Vector[Double] = {
+  def findSplits(words: collection.Seq[WordBox]): Vector[Double] = {
     val sorted = words.sorted(byLeftX)
     val mids = new ArrayBuffer[Double]
     var xRight = 0.0
@@ -162,7 +162,7 @@ object Geom {
     * several splits still moves only one bucket).
     */
   def splitRowBoxesFunc(
-      words: Seq[WordBox],
+      words: collection.Seq[WordBox],
       xs: IndexedSeq[Double],
       f: WordBox => Double): Vector[Vector[WordBox]] = {
     val sorted = words.sorted(byLeftX)
@@ -176,11 +176,11 @@ object Geom {
   }
 
   /** extract.go:96-100 — bucket by left edge. */
-  def splitRowBoxesEdge(words: Seq[WordBox], xs: IndexedSeq[Double]): Vector[Vector[WordBox]] =
+  def splitRowBoxesEdge(words: collection.Seq[WordBox], xs: IndexedSeq[Double]): Vector[Vector[WordBox]] =
     splitRowBoxesFunc(words, xs, _.leftX)
 
   /** extract.go:90-94 — bucket by midpoint. */
-  def splitRowBoxesMidpoint(words: Seq[WordBox], xs: IndexedSeq[Double]): Vector[Vector[WordBox]] =
+  def splitRowBoxesMidpoint(words: collection.Seq[WordBox], xs: IndexedSeq[Double]): Vector[Vector[WordBox]] =
     splitRowBoxesFunc(words, xs, w => w.leftX + (w.rightX - w.leftX) / 2)
 
   /** W2 (PartitionIntoRows, extract.go:121-142): sort by row order; first
@@ -189,7 +189,7 @@ object Geom {
     * open a new row (verbatim quirk — fixtures give the first row ≥2
     * words). Divergence: empty input returns Nil (reference panics).
     */
-  def partitionIntoRows(words: Seq[WordBox]): Vector[Vector[WordBox]] = {
+  def partitionIntoRows(words: collection.Seq[WordBox]): Vector[Vector[WordBox]] = {
     if (words.isEmpty) return Vector.empty
     val sorted = words.sorted(rowOrdering)
     val rows = new ArrayBuffer[ArrayBuffer[WordBox]]
@@ -212,7 +212,7 @@ object Geom {
     * words bucketed by left edge, cell text = trimmed space-join.
     * Every row has findSplits(words).length + 1 cells.
     */
-  def toTableSplitHeuristic(words: Seq[WordBox]): Vector[Vector[String]] = {
+  def toTableSplitHeuristic(words: collection.Seq[WordBox]): Vector[Vector[String]] = {
     if (words.isEmpty) return Vector.empty
     val rows = partitionIntoRows(words)
     val splitAt = findSplits(words)
@@ -229,7 +229,7 @@ object Geom {
     * textract/textract.go:158-173); we validate and return None instead.
     * Duplicate (row, col) keeps the last occurrence (Go map overwrite).
     */
-  def cellsToTable(cells: Seq[(Int, Int, String)]): Option[Vector[Vector[String]]] = {
+  def cellsToTable(cells: collection.Seq[(Int, Int, String)]): Option[Vector[Vector[String]]] = {
     if (cells.isEmpty) return Some(Vector.empty)
     val rowMap = scala.collection.mutable.LinkedHashMap[Int, scala.collection.mutable.LinkedHashMap[Int, String]]()
     for ((r, c, t) <- cells)
