@@ -24,11 +24,23 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   /** Flagship: synthesize the interleaved span table from the sf
-    * documents, run the E1 extraction distributed, and emit the ordered
-    * span sequence flat. Driver smoke-checks rows>0 on sf0.001.
+    * documents, run the E1 extraction through the native extract_spans
+    * expression (the production path), and emit the ordered span
+    * sequence flat. Driver smoke-checks rows>0 on sf0.001.
     */
   def entry(spark: SparkSession): DataFrame =
-    extractFlat(spark, "/root/testdata/sf0.001", Extract.Strategy.RegionClustering)
+    extractExprFlat(spark, "/root/testdata/sf0.001")
+
+  private def extractExprFlat(spark: SparkSession, dir: String): DataFrame = {
+    val docs = SpanGen.fromDocuments(spark, dir).toDF()
+    graft.functions.GraftFunctions.extractDF(spark, docs)
+      .select(col("doc_id"), col("n_tables"), col("n_cells"), col("status"),
+        explode(col("spans")).as("span"))
+      .select(col("doc_id"), col("span.offset").as("offset"),
+        col("span.kind").as("kind"), col("span.text").as("text"),
+        col("span.media_ref").as("media_ref"),
+        col("n_tables"), col("n_cells"), col("status"))
+  }
 
   private def extractFlat(spark: SparkSession, dir: String, strategy: Extract.Strategy): DataFrame = {
     val docs = SpanGen.fromDocuments(spark, dir)
@@ -66,6 +78,7 @@ object SparkEntry {
       extractFlat(s, dir, Extract.Strategy.RegionClustering)),
     "extract_e2_spans" -> ((s, dir) =>
       extractFlat(s, dir, Extract.Strategy.SplitHeuristic)),
+    "extract_expr_spans" -> ((s, dir) => extractExprFlat(s, dir)),
     "extract_tables_csv" -> ((s, dir) => extractCsv(s, dir)),
 
     // ---- S1/P8: scan + projection arithmetic (pushdown-friendly)

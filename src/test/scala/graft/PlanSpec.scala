@@ -1,0 +1,68 @@
+package graft
+
+import graft.fixtures.SpanGen
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality gates: the physical plans we ship must keep the
+  * properties that matter at 100 TB — pushdown reaching the scan,
+  * pruned read schemas, broadcast where a side is small, whole-stage
+  * codegen on relational hot paths, and no needless exchange in the
+  * extraction pipeline.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-plan-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("filter pushdown reaches the parquet scan (P1)") {
+    val p = plan("q_filter_word")
+    assert(p.contains("PushedFilters") && p.contains("event_type"), p)
+    assert(p.contains("IsNotNull(event_type)") || p.contains("EqualTo(event_type,click)"), p)
+  }
+
+  test("column pruning: the scan reads only projected columns (S1/P8)") {
+    val p = plan("q_scan_project")
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("l_shipdate"), s"unpruned scan:\n$p")
+    assert(!p.contains("l_returnflag"), s"unpruned scan:\n$p")
+  }
+
+  test("small-dimension joins broadcast (J1/J2)") {
+    assert(plan("q_join_lookup").contains("BroadcastHashJoin"))
+    assert(plan("q_containment_join").contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("relational hot paths stay inside whole-stage codegen") {
+    // WholeStageCodegenExec prints as "*(n) Op" in the plan tree
+    for (q <- Seq("q_scan_project", "q_filter_word", "q_sha2", "q_text_tokens")) {
+      val p = plan(q)
+      assert(p.contains("WholeStageCodegen") || p.contains("*("),
+        s"$q fell out of codegen:\n$p")
+    }
+  }
+
+  test("extraction pipeline is scan -> project, no exchange, no object round-trip") {
+    import spark.implicits._
+    val docs = spark.createDataset(SpanGen.genDocs(4, 2L).map(_._1)).toDF()
+    val p = GraftFunctions.extractDF(spark, docs).queryExecution.executedPlan.toString
+    assert(!p.toLowerCase.contains("exchange"), p)
+    assert(!p.contains("DeserializeToObject") && !p.contains("SerializeFromObject"), p)
+  }
+
+  test("resume anti-join plans as a join, not a driver-side collect (S9)") {
+    val p = plan("q_antijoin_resume")
+    assert(p.contains("LeftAnti"), p)
+  }
+}
