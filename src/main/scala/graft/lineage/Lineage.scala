@@ -42,24 +42,23 @@ object Lineage {
       wall_ms: Long)
 
   /** doc_ids already successfully extracted in any previous run. */
-  def completedDocIds(spark: SparkSession, metricsPath: String): DataFrame = {
-    val exists = try {
-      spark.read.parquet(metricsPath)
+  def completedDocIds(spark: SparkSession, metricsPath: String,
+      catalog: TableCatalog = ParquetCatalog): DataFrame = {
+    if (catalog.exists(spark, metricsPath))
+      catalog.read(spark, metricsPath)
         .filter(col("status") === "ok")
         .select(col("doc_id")).distinct()
-    } catch {
-      case _: org.apache.spark.sql.AnalysisException =>
-        spark.range(0).select(lit("").as("doc_id")).filter(lit(false))
-    }
-    exists
+    else
+      spark.range(0).select(lit("").as("doc_id")).filter(lit(false))
   }
 
   /** Input minus completed docs — the resume anti-join (broadcast-able
     * when the completed set is small; Catalyst/AQE picks the strategy).
     */
-  def filterPending(spark: SparkSession, input: Dataset[Doc], metricsPath: String): Dataset[Doc] = {
+  def filterPending(spark: SparkSession, input: Dataset[Doc], metricsPath: String,
+      catalog: TableCatalog = ParquetCatalog): Dataset[Doc] = {
     implicit val enc = org.apache.spark.sql.Encoders.product[Doc]
-    val done = completedDocIds(spark, metricsPath)
+    val done = completedDocIds(spark, metricsPath, catalog)
     input.join(done, Seq("doc_id"), "left_anti").as[Doc]
   }
 
@@ -98,25 +97,26 @@ object Lineage {
       metricsPath: String,
       runId: String,
       strategy: Extract.Strategy = Extract.Strategy.RegionClustering,
-      numPartitions: Int = 0): (Long, Long) = {
+      numPartitions: Int = 0,
+      catalog: TableCatalog = ParquetCatalog): (Long, Long) = {
     val total = input.count()
-    val pending = filterPending(spark, input, metricsPath)
+    val pending = filterPending(spark, input, metricsPath, catalog)
     val extracted = extractWithLineage(spark, pending, strategy, numPartitions)
 
-    extracted.withColumn("run_id", lit(runId))
-      .write.mode(SaveMode.Append).partitionBy("run_id").parquet(outPath)
+    catalog.appendPartitioned(
+      extracted.withColumn("run_id", lit(runId)), outPath, "run_id")
 
     // Directory-pruned read-back of just this run's output; checksum is
     // sha256 over the canonical JSON of the ordered span sequence (the
     // reference checksums input bytes, file.go:22-24 — ours gates the
     // output invariant).
-    val runOut = spark.read.parquet(outPath).filter(col("run_id") === runId)
+    val runOut = catalog.read(spark, outPath).filter(col("run_id") === runId)
     val metrics = runOut.select(
       col("run_id"), col("partition_id"), col("doc_id"), col("status"),
       col("n_tables"), col("n_cells"),
       sha2(to_json(col("spans")), 256).as("checksum"),
       col("wall_ms"), current_timestamp().as("ts"))
-    metrics.write.mode(SaveMode.Append).parquet(metricsPath)
+    catalog.append(metrics, metricsPath)
 
     val processed = runOut.count()
     (processed, total - processed)

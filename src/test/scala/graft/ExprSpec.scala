@@ -68,6 +68,41 @@ class ExprSpec extends AnyFunSuite {
     for ((k, v) <- typed) assert(exprd(k) == v, s"doc $k")
   }
 
+  test("fuzz: expression == typed on adversarial (constraint-violating) geometry") {
+    import spark.implicits._
+    // random overlapping bands / chained x-overlaps / zero-area boxes /
+    // negative coords — outside the fixture validity envelope on purpose
+    val rng = new scala.util.Random(99)
+    def randDoc(id: Int): Doc = {
+      val nSpans = 1 + rng.nextInt(25)
+      val spans = (0 until nSpans).map { k =>
+        rng.nextInt(6) match {
+          case 0 => Span("text", s"t$k", "", k)
+          case 1 => Span("media", "", s"m$k", k)
+          case 2 =>
+            val x0 = rng.nextDouble() * 2 - 0.5
+            val y0 = rng.nextDouble() * 2 - 0.5
+            val w = rng.nextDouble() * 0.6
+            val h = rng.nextDouble() * 0.6
+            Span("word_box", s"w$k", f"$x0%.4f,${x0 + w}%.4f,$y0%.4f,${y0 + h}%.4f", k)
+          case 3 => Span("word_box", s"bad$k", "not,a,box", k)
+          case 4 => Span("cell", s"c$k", s"${1 + rng.nextInt(4)},${1 + rng.nextInt(4)}", k)
+          case 5 => Span("html", s"<p>p$k</p>", "", k)
+        }
+      }
+      Doc(s"fuzz-$id", spans)
+    }
+    val docs = (0 until 400).map(randDoc)
+    val ds = spark.createDataset(docs)
+    val typed = collectPath(Extract.run(ds).toDF())
+    val exprd = collectPath(GraftFunctions.extractDF(spark, ds.toDF()))
+    for ((k, v) <- typed) assert(exprd(k) == v, s"doc $k")
+    // and E2 (the non-total-comparator path) too
+    val typed2 = collectPath(Extract.run(ds, Extract.Strategy.SplitHeuristic).toDF())
+    val exprd2 = collectPath(GraftFunctions.extractDF(spark, ds.toDF(), split = true))
+    for ((k, v) <- typed2) assert(exprd2(k) == v, s"E2 doc $k")
+  }
+
   test("extract_spans is callable from SQL") {
     import spark.implicits._
     GraftFunctions.register(spark)

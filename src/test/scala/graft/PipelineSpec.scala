@@ -61,4 +61,35 @@ class PipelineSpec extends AnyFunSuite {
     val exchanges = "(?i)exchange".r.findAllIn(plan).length
     assert(exchanges == 1, s"expected 1 exchange, plan:\n$plan")
   }
+
+  test("shuffle elision: well-partitioned input plans with no exchange") {
+    import spark.implicits._
+    // 16 partitions >= 2x local[4] parallelism -> the exchange is elided
+    val ds = spark.createDataset(SpanGen.genDocs(32, 4L).map(_._1)).repartition(16).as[Doc]
+    val plan = Extract.distributed(spark, ds).queryExecution.executedPlan.toString
+    // the input's own repartition remains BELOW the map; distributed()
+    // must not have added an exchange above it
+    assert(plan.indexOf("MapPartitions") < plan.indexOf("Exchange"),
+      s"exchange above the map means distributed() added one:\n$plan")
+  }
+
+  test("skew posture: forceRepartition re-places a size-skewed input correctly") {
+    import spark.implicits._
+    // one giant doc (2k word boxes) among tiny ones, all in ONE partition
+    val giantSpans = SpanGen.layoutSpans(
+      SpanGen.TableSpec(40, 25, (for { r <- 0 until 40; c <- 0 until 25 }
+        yield (r, c) -> Vector(SpanGen.Vocab((r * 25 + c) % SpanGen.Vocab.length))).toMap),
+      new scala.util.Random(8)).zipWithIndex.map { case ((w, ref), i) =>
+      Span("word_box", w, ref, i)
+    }
+    val docs = Doc("giant", giantSpans) +:
+      SpanGen.genDocs(63, 11L).map(_._1)
+    val ds = spark.createDataset(docs).coalesce(1).as[Doc]
+    val out = Extract.distributed(spark, ds, forceRepartition = true, numPartitions = 16)
+    assert(out.rdd.getNumPartitions == 16)
+    val got = out.collect().map(d => d.doc_id -> d).toMap
+    assert(got("giant").status == "ok")
+    assert(got("giant").n_cells == 1000)
+    assert(got.size == 64)
+  }
 }
