@@ -6,7 +6,6 @@ import graft.{Region, SpanKinds}
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -34,11 +33,23 @@ import scala.collection.mutable.ArrayBuffer
   * concatWs (E2 instead joins raw and trims once, textract.go:261).
   */
 case class ExtractSpansExpr(child: Expression, useSplitHeuristic: Boolean)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   import ExtractSpansExpr._
 
   override def prettyName: String = "extract_spans"
+
+  /** Real codegen (not CodegenFallback): emit a static call so the
+    * surrounding Project stays inside whole-stage codegen — a
+    * CodegenFallback expression would demote the entire stage to an
+    * interpreted projection.
+    */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ExtractSpansExpr.evalStatic($c, $useSplitHeuristic);")
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     child.dataType match {
@@ -56,9 +67,18 @@ case class ExtractSpansExpr(child: Expression, useSplitHeuristic: Boolean)
 
   override def dataType: DataType = OutputType
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    try evalSpans(arr)
+  override def nullSafeEval(input: Any): Any =
+    ExtractSpansExpr.evalStatic(input.asInstanceOf[ArrayData], useSplitHeuristic)
+
+  override protected def withNewChildInternal(newChild: Expression): ExtractSpansExpr =
+    copy(child = newChild)
+}
+
+object ExtractSpansExpr {
+
+  /** Entry point shared by interpreted eval and generated code. */
+  def evalStatic(arr: ArrayData, useSplitHeuristic: Boolean): InternalRow =
+    try evalSpans(arr, useSplitHeuristic)
     catch {
       case scala.util.control.NonFatal(e) =>
         // pass-through with error status (one bad doc must not kill a run)
@@ -75,9 +95,8 @@ case class ExtractSpansExpr(child: Expression, useSplitHeuristic: Boolean)
         InternalRow(new GenericArrayData(out), 0, 0,
           UTF8String.fromString(s"error:${e.getClass.getSimpleName}"))
     }
-  }
 
-  private def evalSpans(arr: ArrayData): InternalRow = {
+  private def evalSpans(arr: ArrayData, useSplitHeuristic: Boolean): InternalRow = {
     val n = arr.numElements()
     val kinds = new Array[UTF8String](n)
     val texts = new Array[UTF8String](n)
@@ -197,12 +216,6 @@ case class ExtractSpansExpr(child: Expression, useSplitHeuristic: Boolean)
 
     InternalRow(new GenericArrayData(out.toArray), nTables, nCells, U8Ok)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): ExtractSpansExpr =
-    copy(child = newChild)
-}
-
-object ExtractSpansExpr {
 
   val SpanStructType: StructType = StructType(Seq(
     StructField("kind", StringType), StructField("text", StringType),

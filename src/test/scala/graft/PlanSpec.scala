@@ -55,10 +55,22 @@ class PlanSpec extends AnyFunSuite {
 
   test("extraction pipeline is scan -> project, no exchange, no object round-trip") {
     import spark.implicits._
-    val docs = spark.createDataset(SpanGen.genDocs(4, 2L).map(_._1)).toDF()
-    val p = GraftFunctions.extractDF(spark, docs).queryExecution.executedPlan.toString
+    // must be a file-backed scan: over a LocalRelation, Catalyst's
+    // ConvertToLocalRelation pre-evaluates the Project at optimization
+    // time and the plan degenerates to LocalTableScan (which would make
+    // this test vacuous)
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan").toString + "/docs"
+    spark.createDataset(SpanGen.genDocs(4, 2L).map(_._1)).toDF()
+      .write.parquet(dir)
+    val p = GraftFunctions.extractDF(spark, spark.read.parquet(dir))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Scan parquet"), p)
     assert(!p.toLowerCase.contains("exchange"), p)
     assert(!p.contains("DeserializeToObject") && !p.contains("SerializeFromObject"), p)
+    // extract_spans implements doGenCode (not CodegenFallback), so the
+    // Project must be inside a whole-stage-codegen stage ("*(n)")
+    assert(p.contains("WholeStageCodegen") || p.contains("*("),
+      s"extraction Project fell out of codegen:\n$p")
   }
 
   test("resume anti-join plans as a join, not a driver-side collect (S9)") {
