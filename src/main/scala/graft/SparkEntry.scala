@@ -260,6 +260,13 @@ object SparkEntry {
         s.read.parquet(t(dir, "embeddings")), "vec_id", "embedding",
         queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
 
+    // ---- ANN: IVF coarse-quantizer top-k (scale path; k-means -> rows-only)
+    "q_ann_ivf" -> ((s, dir) =>
+      graft.ann.Ivf.topK(s,
+        s.read.parquet(t(dir, "embeddings")), "vec_id", "embedding",
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10,
+        nList = 16, nProbe = 4, iters = 3)),
+
     // ---- dedup: embedding-cosine near-dup pairs (bounded exact)
     "q_ann_neardup" -> ((s, dir) =>
       Ann.cosineNearDupPairs(

@@ -156,4 +156,32 @@ class OpsSpec extends AnyFunSuite {
     assert(frames.count(_.doc_id == 7L) == 4)
     assert(frames.filter(_.doc_id == 7L).map(_.frame_idx).sorted.toSeq == Seq(0, 2, 4, 6))
   }
+
+  test("IVF top-k: probes a fraction of lists, exact ranks within candidates") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qids = Seq(0L, 1L, 2L)
+    val ivf = graft.ann.Ivf.topK(spark, emb, "vec_id", "embedding", qids,
+      k = 10, nList = 8, nProbe = 2, iters = 3).collect()
+    assert(ivf.nonEmpty)
+    // per query: ranks contiguous from 1, sims non-increasing
+    ivf.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to sorted.length).toSeq)
+      val sims = sorted.map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
+    }
+    // IVF neighbors' sims agree with the exact brute-force sims
+    val exact = Ann.bruteForceTopK(emb, "vec_id", "embedding", qids, k = 500)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("sim")).toMap
+    for (r <- ivf) {
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(math.abs(exact(key) - r.getAs[Double]("sim")) < 1e-9)
+    }
+    // recall@10 vs brute force is nonzero (uniform-random corpus; IVF
+    // scans ~nProbe/nList of it)
+    val bf10 = Ann.bruteForceTopK(emb, "vec_id", "embedding", qids, k = 10)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val hits = ivf.count(r => bf10((r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))))
+    assert(hits > 0, s"IVF found none of the true top-10")
+  }
 }
