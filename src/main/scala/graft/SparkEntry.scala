@@ -54,20 +54,20 @@ object SparkEntry {
         col("n_tables"), col("n_cells"), col("status"))
   }
 
-  /** K1 CSV sink surface: one Go-quoting CSV string per recovered table. */
+  /** K1 CSV sink surface: one Go-quoting CSV string per recovered table,
+    * taken from the extraction's own table IR (never re-parsed from cell
+    * refs — pass-through cells keep arbitrary original refs, and adjacent
+    * tables would merge).
+    */
   private def extractCsv(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._ // (String, String) tuple encoder for .map
+    import spark.implicits._ // (String, Int, String) tuple encoder
     val docs = SpanGen.fromDocuments(spark, dir)
-    Extract.distributed(spark, docs)
-      .filter(_.n_cells > 0)
-      .map { d =>
-        val cells = d.spans.filter(_.kind == SpanKinds.Cell)
-        val rows = cells.groupBy(_.media_ref.split(',')(0).toInt).toSeq
-          .sortBy(_._1)
-          .map(_._2.sortBy(_.media_ref.split(',')(1).toInt).map(_.text))
-        (d.doc_id, Csv.fromTable(rows))
+    docs.flatMap { d =>
+      val (_, tables) = Extract.extractDocTables(d)
+      tables.iterator.zipWithIndex.map { case (t, i) =>
+        (d.doc_id, i, Csv.fromTable(t))
       }
-      .toDF("doc_id", "csv")
+    }.toDF("doc_id", "table_idx", "csv")
   }
 
   private def t(dir: String, name: String): String = s"$dir/$name.parquet"
@@ -117,13 +117,20 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_name"))
     }),
 
-    // ---- A2/A3: ordered string-concat aggregation
+    // ---- A2/A3: ordered string-concat aggregation. Keyed per user so no
+    // group aggregates unbounded state (grouping by the 5-value lang
+    // column would buffer every doc_id of a language in one agg buffer —
+    // a scale-killer at 100x).
     "q_concat_agg" -> ((s, dir) =>
-      s.read.parquet(t(dir, "documents"))
-        .groupBy(col("lang"))
+      s.read.parquet(t(dir, "events"))
+        .select(col("user_id"), unix_timestamp(col("ts")).as("sec"),
+          col("event_id"), col("event_type"))
+        .groupBy(col("user_id"))
         .agg(array_join(
-          transform(sort_array(collect_list(col("doc_id"))), _.cast("string")),
-          " ").as("doc_ids"))),
+          transform(
+            sort_array(collect_list(struct(col("sec"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type")),
+          " ").as("events_concat"))),
 
     // ---- A5-A7: interval-union islands (gaps-and-islands over event windows)
     "q_islands_union" -> ((s, dir) => {
@@ -292,7 +299,7 @@ object SparkEntry {
     "q_antijoin_resume" ->
       "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)",
     "q_concat_agg" ->
-      "SELECT lang, string_agg(CAST(doc_id AS VARCHAR), ' ' ORDER BY doc_id) AS doc_ids FROM documents GROUP BY lang",
+      "SELECT user_id, string_agg(event_type, ' ' ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id, event_type) AS events_concat FROM events GROUP BY user_id",
     "q_islands_union" ->
       """WITH iv AS (
         |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s, CAST(floor(epoch(ts)) AS BIGINT) + 3600 AS e FROM events

@@ -32,11 +32,16 @@ object Dedup {
     docs.groupBy(sha2(lower(trim(col(textCol))), 256).as("checksum"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dupes"))
 
-  /** (id, shingle) pairs: distinct n-gram token shingles per doc. */
+  /** (id, shingle) pairs: distinct n-gram token shingles per doc. A doc
+    * with fewer than n tokens yields no shingles at all (the greatest()
+    * clamp alone would emit one null-padded partial shingle, diverging
+    * from the relational oracle's range(1, len-n+1) construction).
+    */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val toks = TextOps.tokens(col(textCol))
-    val sh = transform(
-      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+    val idx = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
+      .otherwise(array().cast("array<int>"))
+    val sh = transform(idx,
       i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))
     docs.select(col(idCol).as("id"), explode(array_distinct(sh)).as("shingle"))
   }
@@ -102,7 +107,11 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .distinct()
+      // dedupe on the id pair only (a pair can match in several bands);
+      // first() keeps one signature copy out of the shuffle instead of
+      // hashing the full k-int arrays through a distinct()
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("sig_a")).as("sig_a"), first(col("sig_b")).as("sig_b"))
   }
 
   /** MinHash near-dup pairs with estimated Jaccard (matching signature
@@ -131,15 +140,28 @@ object Dedup {
 
   /** SimHash near-dup pairs with Hamming distance <= maxDist (<= 3 for
     * the 4x16-bit pigeonhole banding to be lossless).
+    *
+    * maxBucketSize caps the per-(chunk, chunk_val) bucket fan-out — the
+    * same skew guard as ngramJaccardPairs' maxShingleDf. Without it a
+    * common fingerprint chunk (near-empty docs, boilerplate) makes the
+    * self-join quadratic in that bucket: at 10^9 docs a 16-bit chunk
+    * bucket averages ~n/65k members, i.e. ~10^8 candidate pairs per hot
+    * value. Over-cap buckets are dropped entirely: their members are
+    * mass-duplicates that exact dedup already catches, and recall for
+    * genuinely near (Hamming<=3) pairs only needs ONE of the four chunk
+    * buckets to survive.
     */
   def simhashNearDups(spark: SparkSession, docs: DataFrame, idCol: String,
-      textCol: String, maxDist: Int = 3): DataFrame = {
+      textCol: String, maxDist: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
     val fp = simhashes(spark, docs, idCol, textCol)
     val chunked = fp.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xffffL))): _*)))
       .withColumnRenamed("pos", "chunk")
       .withColumnRenamed("col", "chunk_val")
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("chunk", "chunk_val")))
+      .filter(col("bsz") <= maxBucketSize)
+      .drop("bsz")
     val a = chunked.as("a")
     val b = chunked.as("b")
     a.join(b,
@@ -148,7 +170,10 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
-      .distinct()
+      // dedupe on the id pair before the Hamming check (not distinct():
+      // the pair key alone shuffles, one fingerprint copy rides along)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("sh_a")).as("sh_a"), first(col("sh_b")).as("sh_b"))
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxDist)
       .select(col("id_a"), col("id_b"), col("hamming"))

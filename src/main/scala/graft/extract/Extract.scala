@@ -75,14 +75,59 @@ object Extract {
     try extractDocUnsafe(doc, strategy)
     catch {
       case scala.util.control.NonFatal(e) =>
-        val spans = doc.spans.sortBy(_.offset).iterator.zipWithIndex
+        // null-safe, offset-sorted, renumbered — identical shape to the
+        // expression path's error handler (golden-equality holds on the
+        // error path too)
+        val spans = doc.spans.map(normalizeSpan).sortBy(_.offset).iterator.zipWithIndex
           .map { case (s, i) => Span(s.kind, s.text, s.media_ref, i) }.toVector
         ExtractedDoc(doc.doc_id, spans, 0, 0, s"error:${e.getClass.getSimpleName}")
     }
 
-  private def extractDocUnsafe(doc: Doc, strategy: Strategy): ExtractedDoc = {
+  /** Null span elements and null text/ref fields normalize to the same
+    * values the expression path reads off Tungsten memory, so both paths
+    * emit identical pass-through rows for degenerate inputs.
+    */
+  private def normalizeSpan(s: Span): Span =
+    if (s == null) Span(null, "", "", 0)
+    else if (s.text == null || s.media_ref == null)
+      Span(s.kind,
+        if (s.text == null) "" else s.text,
+        if (s.media_ref == null) "" else s.media_ref,
+        s.offset)
+    else s
+
+  /** Extraction plus the recovered tables themselves (the reference's
+    * [][]string IR, cmd/lambda/main.go:161-176) — the CSV/HTML sinks need
+    * table identity, which the flat span sequence cannot recover once two
+    * tables are adjacent or a pass-through cell run mimics "1,1" refs.
+    * Error docs yield no tables (pass-through only).
+    */
+  def extractDocTables(doc: Doc, strategy: Strategy = Strategy.RegionClustering)
+      : (ExtractedDoc, Vector[Vector[Vector[String]]]) = {
+    val tables = new ArrayBuffer[Vector[Vector[String]]]
+    try {
+      val e = extractDocUnsafe(doc, strategy, tables)
+      (e, tables.toVector)
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        (extractDoc(doc, strategy), Vector.empty)
+    }
+  }
+
+  private def extractDocUnsafe(
+      doc: Doc,
+      strategy: Strategy,
+      tables: ArrayBuffer[Vector[Vector[String]]] = null): ExtractedDoc = {
     // most inputs store spans already offset-ordered; skip the re-sort
-    val raw = doc.spans
+    val raw0 = doc.spans
+    var anomalous = false
+    var a = 0
+    while (!anomalous && a < raw0.length) {
+      val s = raw0(a)
+      if (s == null || s.text == null || s.media_ref == null) anomalous = true
+      a += 1
+    }
+    val raw = if (anomalous) raw0.map(normalizeSpan) else raw0
     var isSorted = true
     var k = 1
     while (isSorted && k < raw.length) {
@@ -112,7 +157,10 @@ object Extract {
         }
         r += 1
       }
-      if (any) nTables += 1
+      if (any) {
+        nTables += 1
+        if (tables != null) tables += table
+      }
     }
 
     var i = 0

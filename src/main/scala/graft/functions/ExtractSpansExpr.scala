@@ -26,11 +26,10 @@ import scala.collection.mutable.ArrayBuffer
   * Spark-preferred fix — "custom Expression beats Scala UDF beats
   * anything else" — and keeps the pipeline inside one Project operator.
   *
-  * Cell-text equivalence note: the reference accumulates
-  * `acc = trim(acc + " " + w)` per word (box/box.go:241); that fold is
-  * provably equal to joining the space-trimmed nonempty word texts with
-  * single spaces, which is what we compute with UTF8String.trim +
-  * concatWs (E2 instead joins raw and trims once, textract.go:261).
+  * Cell-text note: E1 runs the reference's per-append trim fold
+  * (`acc = trim(acc + " " + w, ' ')`, box/box.go:241) verbatim, with a
+  * zero-copy concatWs fast path for clean words; E2 joins raw and trims
+  * once with String.trim semantics (strings.TrimSpace, textract.go:261).
   */
 case class ExtractSpansExpr(child: Expression, useSplitHeuristic: Boolean)
     extends UnaryExpression {
@@ -76,48 +75,43 @@ case class ExtractSpansExpr(child: Expression, useSplitHeuristic: Boolean)
 
 object ExtractSpansExpr {
 
-  /** Entry point shared by interpreted eval and generated code. */
-  def evalStatic(arr: ArrayData, useSplitHeuristic: Boolean): InternalRow =
-    try evalSpans(arr, useSplitHeuristic)
-    catch {
-      case scala.util.control.NonFatal(e) =>
-        // pass-through with error status (one bad doc must not kill a run)
-        val n = arr.numElements()
-        val out = new Array[Any](n)
-        var i = 0
-        while (i < n) {
-          val row = arr.getStruct(i, 4)
-          out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-            Array[Any](row.getUTF8String(0), row.getUTF8String(1),
-              row.getUTF8String(2), i))
-          i += 1
-        }
-        InternalRow(new GenericArrayData(out), 0, 0,
-          UTF8String.fromString(s"error:${e.getClass.getSimpleName}"))
-    }
-
-  private def evalSpans(arr: ArrayData, useSplitHeuristic: Boolean): InternalRow = {
-    val n = arr.numElements()
+  /** Normalized column-wise copy of the span structs: null struct
+    * elements become (null, "", "", 0) and null text/ref fields become ""
+    * — the same normalization `Extract.extractDoc` applies, so the two
+    * paths agree on degenerate inputs.
+    */
+  private final class Spans(arr: ArrayData) {
+    val n: Int = arr.numElements()
     val kinds = new Array[UTF8String](n)
     val texts = new Array[UTF8String](n)
     val refs = new Array[UTF8String](n)
     val offs = new Array[Int](n)
-    var i = 0
-    while (i < n) {
-      val row = arr.getStruct(i, 4)
-      if (row != null) {
-        kinds(i) = row.getUTF8String(0)
-        texts(i) = if (row.isNullAt(1)) U8Empty else row.getUTF8String(1)
-        refs(i) = if (row.isNullAt(2)) U8Empty else row.getUTF8String(2)
-        offs(i) = if (row.isNullAt(3)) 0 else row.getInt(3)
-      } else {
-        kinds(i) = null; texts(i) = U8Empty; refs(i) = U8Empty; offs(i) = 0
+    locally {
+      var i = 0
+      while (i < n) {
+        val row = arr.getStruct(i, 4)
+        if (row != null) {
+          kinds(i) = row.getUTF8String(0)
+          texts(i) = if (row.isNullAt(1)) U8Empty else row.getUTF8String(1)
+          refs(i) = if (row.isNullAt(2)) U8Empty else row.getUTF8String(2)
+          offs(i) = if (row.isNullAt(3)) 0 else row.getInt(3)
+        } else {
+          kinds(i) = null; texts(i) = U8Empty; refs(i) = U8Empty; offs(i) = 0
+        }
+        i += 1
       }
-      i += 1
     }
-    // offset order (stable); packed long sort, bias for negative offsets
+  }
+
+  /** Stable by-offset permutation. Packed signed-long sort: the signed
+    * int offset occupies the high 32 bits (sign-extended shift keeps the
+    * long's order equal to the int's), the array index the low 32 — a
+    * biased key would order non-negative offsets before negative ones
+    * under the signed sort.
+    */
+  private def orderByOffset(offs: Array[Int], n: Int): Array[Int] = {
     var sortedAlready = true
-    i = 1
+    var i = 1
     while (sortedAlready && i < n) {
       if (offs(i - 1) > offs(i)) sortedAlready = false
       i += 1
@@ -129,13 +123,47 @@ object ExtractSpansExpr {
       val keys = new Array[Long](n)
       i = 0
       while (i < n) {
-        keys(i) = ((offs(i).toLong - Int.MinValue) << 32) | i.toLong
+        keys(i) = (offs(i).toLong << 32) | (i.toLong & 0xffffffffL)
         i += 1
       }
       java.util.Arrays.sort(keys)
       i = 0
       while (i < n) { order(i) = (keys(i) & 0xffffffffL).toInt; i += 1 }
     }
+    order
+  }
+
+  /** Entry point shared by interpreted eval and generated code. */
+  def evalStatic(arr: ArrayData, useSplitHeuristic: Boolean): InternalRow =
+    try evalSpans(arr, useSplitHeuristic)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        // pass-through with error status (one bad doc must not kill a
+        // run): null-safe read, sorted by offset and renumbered — the
+        // exact shape of the typed path's error handler, so the
+        // golden-equality contract holds on the error path too.
+        val sp = new Spans(arr)
+        val order = orderByOffset(sp.offs, sp.n)
+        val out = new Array[Any](sp.n)
+        var i = 0
+        while (i < sp.n) {
+          val s = order(i)
+          out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](sp.kinds(s), sp.texts(s), sp.refs(s), i))
+          i += 1
+        }
+        InternalRow(new GenericArrayData(out), 0, 0,
+          UTF8String.fromString(s"error:${e.getClass.getSimpleName}"))
+    }
+
+  private def evalSpans(arr: ArrayData, useSplitHeuristic: Boolean): InternalRow = {
+    val sp = new Spans(arr)
+    val n = sp.n
+    val kinds = sp.kinds
+    val texts = sp.texts
+    val refs = sp.refs
+    val offs = sp.offs
+    val order = orderByOffset(offs, n)
 
     val out = new ArrayBuffer[Any](n)
     var nTables = 0
@@ -270,15 +298,25 @@ object ExtractSpansExpr {
         mant = mant * 10 + (b(i) - '0'); scale += 1; seenDigit = true; i += 1
       }
     }
-    if (!seenDigit || i != end) return Double.NaN
+    if (!seenDigit) return Double.NaN
+    if (i < end && (b(i) == 'e' || b(i) == 'E')) {
+      // exponent forms: defer to the JDK parser — same fallback (and
+      // same check order) as Decode.parseDoubleRange, so the expression
+      // and typed paths accept exactly the same payloads
+      return jdkParse(b, from, until)
+    }
+    if (i != end) return Double.NaN
     if (scale >= Pow10.length || mant > 9.007199254740992e15) {
-      return try java.lang.Double.parseDouble(
-        new String(b, from, until - from, "US-ASCII").trim)
-      catch { case _: NumberFormatException => Double.NaN }
+      return jdkParse(b, from, until)
     }
     val v = mant / Pow10(scale)
     if (neg) -v else v
   }
+
+  private def jdkParse(b: Array[Byte], from: Int, until: Int): Double =
+    try java.lang.Double.parseDouble(
+      new String(b, from, until - from, "US-ASCII").trim)
+    catch { case _: NumberFormatException => Double.NaN }
 
   private val Pow10: Array[Double] = Array.tabulate(19)(k => math.pow(10, k))
 
@@ -307,14 +345,32 @@ object ExtractSpansExpr {
     true
   }
 
-  /** trim(' ') each word, drop empties, join with single spaces — equal
-    * to the reference's per-append trim fold (see class scaladoc).
+  /** E1 cell text: the reference's per-append trim fold, verbatim —
+    * `acc = trim(acc + " " + w, ' ')` per word (box/box.go:241). For
+    * clean words (nonempty, no edge spaces — the overwhelmingly common
+    * case) the fold equals a single-space join, taken zero-copy via
+    * concatWs; otherwise run the exact fold (a word with leading spaces
+    * keeps them mid-string: "a", " b" -> "a  b", which a trim-each join
+    * would collapse).
     */
   private def joinCell(words: ArrayBuffer[UTF8String]): UTF8String = {
     if (words == null || words.isEmpty) return U8Empty
-    val trimmed = words.map(_.trim(U8Space)).filter(_.numBytes() > 0)
-    if (trimmed.isEmpty) U8Empty
-    else UTF8String.concatWs(U8Space, trimmed.toSeq: _*)
+    var clean = true
+    var i = 0
+    while (clean && i < words.length) {
+      val w = words(i)
+      val nb = w.numBytes()
+      if (nb == 0 || w.getByte(0) == ' ' || w.getByte(nb - 1) == ' ') clean = false
+      i += 1
+    }
+    if (clean) return UTF8String.concatWs(U8Space, words.toSeq: _*)
+    var acc = U8Empty
+    i = 0
+    while (i < words.length) {
+      acc = UTF8String.concat(acc, U8Space, words(i)).trim()
+      i += 1
+    }
+    acc
   }
 
   /** E1 over primitive arrays: region clustering + grid assignment. */
@@ -348,14 +404,28 @@ object ExtractSpansExpr {
     */
   def toTableSplit(x0: Array[Double], x1: Array[Double], y0: Array[Double],
       y1: Array[Double], txt: Array[UTF8String], m: Int): Array[Array[UTF8String]] = {
-    // byRow ordering (extract.go:35-49) over indices
-    val rowOrd = new Ordering[Int] {
-      def compare(a: Int, b: Int): Int =
+    // byRow ordering (extract.go:35-49) over indices. Deliberately
+    // java.util.Arrays.sort over boxed indices: the typed path sorts
+    // WordBox objects through TimSort, whose comparator-contract check
+    // can throw on pathological overlapping bands (the comparator is
+    // only a total order for disjoint bands) — Scala's stableSort for
+    // small primitive arrays never throws, which would make the two
+    // paths diverge (ok-with-arbitrary-grid vs error pass-through).
+    val rowCmp = new java.util.Comparator[Integer] {
+      def compare(ia: Integer, ib: Integer): Int = {
+        val a = ia.intValue; val b = ib.intValue
         if (y1(a) < y0(b)) -1
         else if (y0(a) > y1(b)) 1
         else java.lang.Double.compare(x0(a), x0(b))
+      }
     }
-    val byRow = Array.range(0, m).sorted(rowOrd)
+    val byRowBoxed = new Array[Integer](m)
+    var bi0 = 0
+    while (bi0 < m) { byRowBoxed(bi0) = Integer.valueOf(bi0); bi0 += 1 }
+    java.util.Arrays.sort(byRowBoxed, rowCmp)
+    val byRow = new Array[Int](m)
+    bi0 = 0
+    while (bi0 < m) { byRow(bi0) = byRowBoxed(bi0).intValue; bi0 += 1 }
     // PartitionIntoRows (extract.go:121-142): prevX=0 seeding quirk
     val rows = new ArrayBuffer[ArrayBuffer[Int]]
     rows += ArrayBuffer(byRow(0))
@@ -391,12 +461,29 @@ object ExtractSpansExpr {
         if (buckets(bi) == null) buckets(bi) = new ArrayBuffer[UTF8String](2)
         buckets(bi) += txt(w)
       }
-      // E2 cell text: join raw then trim once (textract.go:261)
+      // E2 cell text: join raw then trim once (strings.TrimSpace,
+      // textract.go:261; trimControl == java String.trim for parity
+      // with the typed path on tab/control-bearing word texts)
       buckets.map { b =>
         if (b == null || b.isEmpty) U8Empty
-        else UTF8String.concatWs(U8Space, b.toSeq: _*).trim()
+        else trimControl(UTF8String.concatWs(U8Space, b.toSeq: _*))
       }
     }.toArray
+  }
+
+  /** java.lang.String.trim parity over UTF-8 bytes: strip chars <= 0x20
+    * from both ends. ASCII-only by construction — every byte of a
+    * multi-byte UTF-8 sequence has the high bit set, so the signed-byte
+    * range check never clips inside a code point.
+    */
+  private def trimControl(s: UTF8String): UTF8String = {
+    val n = s.numBytes()
+    var a = 0
+    while (a < n && s.getByte(a) >= 0 && s.getByte(a) <= 0x20) a += 1
+    var b = n
+    while (b > a && s.getByte(b - 1) >= 0 && s.getByte(b - 1) <= 0x20) b -= 1
+    if (a == 0 && b == n) s
+    else UTF8String.fromBytes(s.getBytes, a, b - a)
   }
 
   /** E3: parse "r,c" refs, last duplicate wins, validate contiguity;

@@ -89,7 +89,17 @@ object Lineage {
       }
   }
 
-  /** One resumable run. Returns (#processed this run, #skipped as done). */
+  /** One resumable run. Returns (#processed this run, #skipped as done).
+    *
+    * Crash-window contract: the output append commits before the metrics
+    * append, so a crash between the two leaves output rows with no
+    * metrics row ("orphans"). Each attempt MUST use a fresh runId
+    * (enforced below); a retry then re-extracts the orphaned docs under
+    * the new runId, and `readCommitted` excludes the orphans by keeping
+    * only (run_id, doc_id) pairs present in the metrics table. Skipped
+    * count is derived from the metrics table — never from a count of the
+    * input, which at 100 TB would be a second full scan.
+    */
   def runResumable(
       spark: SparkSession,
       input: Dataset[Doc],
@@ -99,7 +109,12 @@ object Lineage {
       strategy: Extract.Strategy = Extract.Strategy.RegionClustering,
       numPartitions: Int = 0,
       catalog: TableCatalog = ParquetCatalog): (Long, Long) = {
-    val total = input.count()
+    if (catalog.exists(spark, outPath) &&
+        !catalog.read(spark, outPath).filter(col("run_id") === runId).isEmpty)
+      throw new IllegalStateException(
+        s"run_id=$runId already exists under $outPath; every attempt needs " +
+          "a fresh run_id (a same-id rerun would append duplicate rows)")
+    val skipped = completedDocIds(spark, metricsPath, catalog).count()
     val pending = filterPending(spark, input, metricsPath, catalog)
     val extracted = extractWithLineage(spark, pending, strategy, numPartitions)
 
@@ -119,10 +134,22 @@ object Lineage {
     catalog.append(metrics, metricsPath)
 
     val processed = runOut.count()
-    (processed, total - processed)
+    (processed, skipped)
   }
 
   /** The full extracted output across all runs (resume-aware readers). */
   def readOutput(spark: SparkSession, outPath: String): DataFrame =
     spark.read.parquet(outPath)
+
+  /** Committed output only: rows whose (run_id, doc_id) reached the
+    * metrics table. Excludes orphans from a crash between the output
+    * append and the metrics append — the reader-side half of the
+    * idempotence contract (one row per doc even across crashed attempts).
+    */
+  def readCommitted(spark: SparkSession, outPath: String, metricsPath: String,
+      catalog: TableCatalog = ParquetCatalog): DataFrame = {
+    val committed = catalog.read(spark, metricsPath)
+      .select(col("run_id"), col("doc_id")).distinct()
+    catalog.read(spark, outPath).join(committed, Seq("run_id", "doc_id"), "left_semi")
+  }
 }

@@ -75,6 +75,15 @@ class ExprSpec extends AnyFunSuite {
     val rng = new scala.util.Random(99)
     def randDoc(id: Int): Doc = {
       val nSpans = 1 + rng.nextInt(25)
+      // word texts cover the trim-parity corners: leading/trailing
+      // spaces (per-append fold vs naive join), tabs (String.trim vs
+      // space-only trim), and empty strings
+      def wordText(k: Int): String = rng.nextInt(6) match {
+        case 0 | 1 | 2 => s"w$k"
+        case 3 => s" w$k"
+        case 4 => s"w$k\t"
+        case 5 => ""
+      }
       val spans = (0 until nSpans).map { k =>
         rng.nextInt(6) match {
           case 0 => Span("text", s"t$k", "", k)
@@ -84,7 +93,12 @@ class ExprSpec extends AnyFunSuite {
             val y0 = rng.nextDouble() * 2 - 0.5
             val w = rng.nextDouble() * 0.6
             val h = rng.nextDouble() * 0.6
-            Span("word_box", s"w$k", f"$x0%.4f,${x0 + w}%.4f,$y0%.4f,${y0 + h}%.4f", k)
+            // exponent-format refs exercise the JDK-fallback parse parity
+            val ref =
+              if (rng.nextInt(4) == 0)
+                f"$x0%.3e,${x0 + w}%.3e,$y0%.3e,${y0 + h}%.3e"
+              else f"$x0%.4f,${x0 + w}%.4f,$y0%.4f,${y0 + h}%.4f"
+            Span("word_box", wordText(k), ref, k)
           case 3 => Span("word_box", s"bad$k", "not,a,box", k)
           case 4 => Span("cell", s"c$k", s"${1 + rng.nextInt(4)},${1 + rng.nextInt(4)}", k)
           case 5 => Span("html", s"<p>p$k</p>", "", k)
@@ -101,6 +115,102 @@ class ExprSpec extends AnyFunSuite {
     val typed2 = collectPath(Extract.run(ds, Extract.Strategy.SplitHeuristic).toDF())
     val exprd2 = collectPath(GraftFunctions.extractDF(spark, ds.toDF(), split = true))
     for ((k, v) <- typed2) assert(exprd2(k) == v, s"E2 doc $k")
+  }
+
+  test("mixed-sign offsets sort identically on both paths (signed key order)") {
+    import spark.implicits._
+    val docs = Seq(
+      Doc("mixed", Vector(Span("text", "a", "", 3), Span("text", "b", "", -5),
+        Span("text", "c", "", 0))),
+      Doc("mixed2", Vector(Span("text", "a", "", 0), Span("text", "b", "", -1),
+        Span("text", "c", "", 3), Span("text", "d", "", -5))))
+    val ds = spark.createDataset(docs)
+    val typed = collectPath(Extract.run(ds).toDF())
+    val exprd = collectPath(GraftFunctions.extractDF(spark, ds.toDF()))
+    for ((k, v) <- typed) assert(exprd(k) == v, s"doc $k")
+    // negative offsets come first — the order a biased packed key broke
+    assert(exprd("mixed")._1.map(_.text) == Seq("b", "c", "a"))
+    assert(exprd("mixed2")._1.map(_.text) == Seq("d", "b", "a", "c"))
+  }
+
+  /** 64 random tall overlapping boxes: the E2 row comparator is
+    * non-transitive on overlapping bands and trips TimSort's
+    * contract check once merge runs engage (>32 elements). Seed pinned
+    * by search (graft.tools.FindAdversarial).
+    */
+  private def adversarialBoxes(seed: Int): Vector[Span] = {
+    val rng = new scala.util.Random(seed)
+    (0 until 64).map { k =>
+      val x0 = rng.nextDouble()
+      val y0 = rng.nextDouble()
+      val w = rng.nextDouble() * 0.5
+      val h = rng.nextDouble() * 0.9
+      Span("word_box", s"w$k", f"$x0%.6f,${x0 + w}%.6f,$y0%.6f,${y0 + h}%.6f", k)
+    }.toVector
+  }
+
+  test("error path: comparator-tripping unsorted doc passes through sorted on both paths") {
+    import spark.implicits._
+    // stored in reverse array order, so the error handler must sort by
+    // offset (the round-1 expr handler passed through in array order)
+    val docs = Seq(
+      Doc("adv-sorted", adversarialBoxes(19)),
+      Doc("adv-unsorted", adversarialBoxes(19).reverse),
+      // null span element alongside the throwing geometry: the handler
+      // must be null-safe (round-1 handler NPE'd inside the catch)
+      Doc("adv-null", (adversarialBoxes(19) :+ null).reverse))
+    val ds = spark.createDataset(docs)
+    val typed = collectPath(Extract.run(ds, Extract.Strategy.SplitHeuristic).toDF())
+    val exprd = collectPath(GraftFunctions.extractDF(spark, ds.toDF(), split = true))
+    assert(typed("adv-sorted")._4.startsWith("error:"), typed("adv-sorted")._4)
+    for ((k, v) <- typed) {
+      assert(v._4.startsWith("error:"), s"doc $k expected error status, got ${v._4}")
+      assert(exprd(k) == v, s"doc $k")
+      // pass-through is offset-sorted and renumbered on both paths
+      assert(v._1.map(_.offset) == v._1.indices)
+      assert(v._1.filter(_.kind == "word_box").map(_.text) ==
+        (0 until 64).map(i => s"w$i"), s"doc $k not offset-sorted")
+    }
+  }
+
+  test("null span elements and null fields pass through identically (status ok)") {
+    import spark.implicits._
+    val docs = Seq(
+      Doc("with-null-span", Vector(Span("text", "a", "", 0), null, Span("text", "b", "", 2))),
+      Doc("with-null-fields", Vector(Span("text", null, null, 0), Span("media", null, "m", 1))))
+    val ds = spark.createDataset(docs)
+    val typed = collectPath(Extract.run(ds).toDF())
+    val exprd = collectPath(GraftFunctions.extractDF(spark, ds.toDF()))
+    for ((k, v) <- typed) {
+      assert(v._4 == "ok", s"doc $k")
+      assert(exprd(k) == v, s"doc $k")
+    }
+    assert(typed("with-null-span")._1.length == 3)
+  }
+
+  test("E1 cell-text fold: leading-space word keeps its space mid-cell (a, ' b' -> 'a  b')") {
+    import spark.implicits._
+    // two words in one cell: same row band, same x-region (chained)
+    val docs = Seq(Doc("fold", Vector(
+      Span("word_box", "a", "0.10,0.20,0.10,0.20", 0),
+      Span("word_box", " b", "0.15,0.30,0.10,0.20", 1))))
+    val ds = spark.createDataset(docs)
+    val typed = collectPath(Extract.run(ds).toDF())
+    val exprd = collectPath(GraftFunctions.extractDF(spark, ds.toDF()))
+    assert(typed("fold")._1.map(_.text) == Seq("a  b"))
+    assert(exprd("fold") == typed("fold"))
+  }
+
+  test("exponent-format bbox refs decode on both paths") {
+    import spark.implicits._
+    val docs = Seq(Doc("expref", Vector(
+      Span("word_box", "x", "1e-1,2e-1,1e-1,2e-1", 0),
+      Span("word_box", "y", "3.0E-1,4.0E-1,1e-1,2e-1", 1))))
+    val ds = spark.createDataset(docs)
+    val typed = collectPath(Extract.run(ds).toDF())
+    val exprd = collectPath(GraftFunctions.extractDF(spark, ds.toDF()))
+    assert(typed("expref")._3 == 2, "exponent refs should decode to a 1x2 table")
+    assert(exprd("expref") == typed("expref"))
   }
 
   test("extract_spans is callable from SQL") {

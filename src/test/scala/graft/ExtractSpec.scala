@@ -107,6 +107,28 @@ class ExtractSpec extends AnyFunSuite {
       sp("cell", "x", "1,1", 3), sp("cell", "y", "2,1", 4)))
   }
 
+  test("extractDocTables: one table IR per recovered table; pass-through runs yield none") {
+    val doc = Doc("t1", Vector(
+      // table 1: 1x2 word grid
+      sp("word_box", "a", "0.1,0.2,0.1,0.15", 0),
+      sp("word_box", "b,x", "0.5,0.6,0.1,0.15", 1), // comma forces CSV quoting
+      // adjacent cell-run table 2 (no separator: tables must not merge)
+      sp("cell", "p", "1,1", 2), sp("cell", "q", "2,1", 3),
+      sp("text", "sep", "", 4),
+      // invalid cell run (ref "1,x" unparseable): pass-through, no table,
+      // and crucially no NumberFormatException
+      sp("cell", "r", "1,1", 5), sp("cell", "s", "1,x", 6)
+    ))
+    val (e, tables) = Extract.extractDocTables(doc)
+    assert(e.status == "ok")
+    assert(e.n_tables == 2)
+    assert(tables == Vector(
+      Vector(Vector("a", "b,x")),
+      Vector(Vector("p"), Vector("q"))))
+    import graft.sinks.Csv
+    assert(tables.map(Csv.fromTable) == Vector("a,\"b,x\"\n", "p\nq\n"))
+  }
+
   test("golden span sequences: 300 seeded docs match generator expectations") {
     for ((doc, golden) <- SpanGen.genDocs(300, seed = 42L)) {
       val got = Extract.extractDoc(doc)

@@ -65,6 +65,45 @@ class LineageSpec extends AnyFunSuite {
     assert(m.select("doc_id").distinct().count() == 80)
   }
 
+  test("reusing a run_id fails fast instead of appending duplicates") {
+    import spark.implicits._
+    val ds = spark.createDataset(SpanGen.genDocs(5, 3L).map(_._1))
+    val out = tmp() + "/out"
+    val metrics = tmp() + "/metrics"
+    Lineage.runResumable(spark, ds, out, metrics, "run-x")
+    val e = intercept[IllegalStateException] {
+      Lineage.runResumable(spark, ds, out, metrics, "run-x")
+    }
+    assert(e.getMessage.contains("run-x"))
+  }
+
+  test("crash between output and metrics appends: readCommitted sees each doc once") {
+    import spark.implicits._
+    val fixtures = SpanGen.genDocs(20, seed = 9L)
+    val ds = spark.createDataset(fixtures.map(_._1))
+    val out = tmp() + "/out"
+    val metrics = tmp() + "/metrics"
+
+    // simulate a crashed attempt: the output append committed but the
+    // metrics append never ran (orphan rows under run_id=crashed)
+    import org.apache.spark.sql.functions.lit
+    Lineage.extractWithLineage(spark, ds, graft.extract.Extract.Strategy.RegionClustering, 4)
+      .withColumn("run_id", lit("crashed"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("run_id").parquet(out)
+
+    // retry under a fresh run_id processes everything (metrics is empty)
+    val (p, s) = Lineage.runResumable(spark, ds, out, metrics, "retry")
+    assert(p == 20 && s == 0)
+
+    // raw output holds both attempts; committed view dedups to one row/doc
+    assert(Lineage.readOutput(spark, out).count() == 40)
+    val committed = Lineage.readCommitted(spark, out, metrics)
+    assert(committed.count() == 20)
+    assert(committed.select("doc_id").distinct().count() == 20)
+    assert(committed.filter($"run_id" =!= "retry").count() == 0)
+  }
+
   test("filterPending on a fresh metrics path passes everything through") {
     import spark.implicits._
     val ds = spark.createDataset(SpanGen.genDocs(5, 2L).map(_._1))

@@ -78,6 +78,33 @@ class OpsSpec extends AnyFunSuite {
     assert(!got.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
   }
 
+  test("shingles: a doc with fewer than n tokens yields zero shingles") {
+    val got = Dedup.shingles(
+      docsDf((1L, "just two"), (2L, "exactly three tokens"), (3L, "one")),
+      "doc_id", "text", n = 3).collect()
+    // doc 2 has exactly n tokens -> one shingle; docs 1 and 3 none (the
+    // round-1 greatest() clamp emitted a null-padded partial shingle,
+    // diverging from the relational oracle)
+    assert(got.length == 1)
+    assert(got(0).getLong(0) == 2L && got(0).getString(1) == "exactly three tokens")
+  }
+
+  test("simhash near-dups: over-cap buckets are dropped, not exploded") {
+    // 300 identical docs: one shared fingerprint -> every chunk bucket
+    // holds all 300 ids; uncapped that is 4 * C(300,2) ~ 180k join rows
+    val clones = (1L to 300L).map(i => (i, "identical mass duplicate text body"))
+    val capped = Dedup.simhashNearDups(spark,
+      docsDf(clones: _*), "doc_id", "text", maxDist = 3, maxBucketSize = 100)
+    assert(capped.count() == 0, "over-cap buckets must be dropped entirely")
+    // near pairs in small buckets still come through under the cap
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val mixed = Dedup.simhashNearDups(spark,
+      docsDf(((1L, base) +: (2L, base) +: clones.map { case (i, t) => (i + 10L, t) }): _*),
+      "doc_id", "text", maxDist = 3, maxBucketSize = 100)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mixed == Set((1L, 2L)))
+  }
+
   test("brute-force cosine top-k: exact ranks on a known geometry") {
     import spark.implicits._
     // 2-d embeddings: q=(1,0); a=(1,0.1) closest, b=(1,1), c=(-1,0) farthest
