@@ -17,9 +17,11 @@ import org.apache.spark.sql.functions._
   * Every operator from SURVEY.md §2 has a `queries` entry; the
   * SQL-expressible ones also have a DuckDB oracle in `oracleSql` (same
   * column names both sides — the driver sorts columns by name and hashes
-  * values). Extraction itself (the typed map core) is not
-  * SQL-expressible, so its entries get the driver's rows-only check and
-  * are instead gated by golden span-sequence tests in `sbt -batch test`.
+  * values). The extraction core is oracled too: `Verify` dumps the
+  * synthesized input span table, and `extractSpansOracle` reconstructs
+  * the expected output relationally (islands + containment + ordered
+  * string_agg + dense pivot) for DuckDB to hash-match; the degenerate
+  * corners SQL can't express stay gated by the golden/fuzz suites.
   */
 object SparkEntry {
 
@@ -78,6 +80,8 @@ object SparkEntry {
       extractFlat(s, dir, Extract.Strategy.RegionClustering)),
     "extract_e2_spans" -> ((s, dir) =>
       extractFlat(s, dir, Extract.Strategy.SplitHeuristic)),
+    "extract_e2mid_spans" -> ((s, dir) =>
+      extractFlat(s, dir, Extract.Strategy.SplitMidpoint)),
     "extract_expr_spans" -> ((s, dir) => extractExprFlat(s, dir)),
     "extract_tables_csv" -> ((s, dir) => extractCsv(s, dir)),
 
@@ -287,7 +291,121 @@ object SparkEntry {
           col("n_frames"), col("format"), col("decode_ok")))
   )
 
+  /** Shared CTE chain reconstructing the E1/E2 extraction in pure SQL
+    * over the input span table `Verify` dumps to {OUT}/spans_input —
+    * the independent oracle for the extraction core (box/box.go:250-280
+    * semantics): run segmentation by kind streaks, per-run closed-interval
+    * union per axis (gaps-and-islands; touching intervals merge, so the
+    * break is start > prev_max), cell assignment = (y-island, x-island),
+    * cell text = ordered string_agg (== the reference's per-append trim
+    * fold for clean words), dense grid via per-run row x col expansion.
+    * On this corpus (dense seeded grids, FIXTURES.md §2) E1 == E2 ==
+    * E2-midpoint, so all four extract_* span queries share it; the
+    * degenerate/adversarial corners where they differ are gated by the
+    * in-repo golden + fuzz suites instead.
+    */
+  private val extractCtes: String =
+    """WITH sp AS (
+      |  SELECT doc_id, "offset", kind, text, media_ref
+      |  FROM '{OUT}/spans_input/*.parquet'
+      |), runs AS (
+      |  SELECT *, CAST(sum(brk) OVER (PARTITION BY doc_id ORDER BY "offset"
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rid
+      |  FROM (
+      |    SELECT *, CASE WHEN kind = lag(kind) OVER (PARTITION BY doc_id ORDER BY "offset")
+      |      THEN 0 ELSE 1 END AS brk
+      |    FROM sp)
+      |), wb AS (
+      |  SELECT doc_id, rid, "offset", text,
+      |    CAST(string_split(media_ref, ',')[1] AS DOUBLE) AS x0,
+      |    CAST(string_split(media_ref, ',')[2] AS DOUBLE) AS x1,
+      |    CAST(string_split(media_ref, ',')[3] AS DOUBLE) AS y0,
+      |    CAST(string_split(media_ref, ',')[4] AS DOUBLE) AS y1
+      |  FROM runs WHERE kind = 'word_box'
+      |), xi AS (
+      |  SELECT doc_id, rid, "offset",
+      |    CAST(sum(CASE WHEN prev_max IS NULL OR x0 > prev_max THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id, rid ORDER BY x0, x1, "offset"
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ci
+      |  FROM (
+      |    SELECT doc_id, rid, "offset", x0, x1,
+      |      max(x1) OVER (PARTITION BY doc_id, rid ORDER BY x0, x1, "offset"
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      |    FROM wb)
+      |), yi AS (
+      |  SELECT doc_id, rid, "offset",
+      |    CAST(sum(CASE WHEN prev_max IS NULL OR y0 > prev_max THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id, rid ORDER BY y0, y1, "offset"
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ri
+      |  FROM (
+      |    SELECT doc_id, rid, "offset", y0, y1,
+      |      max(y1) OVER (PARTITION BY doc_id, rid ORDER BY y0, y1, "offset"
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      |    FROM wb)
+      |), boxes AS (
+      |  SELECT w.doc_id, w.rid, w."offset", w.text, w.x0, yi.ri, xi.ci
+      |  FROM wb w
+      |  JOIN xi ON xi.doc_id = w.doc_id AND xi.rid = w.rid AND xi."offset" = w."offset"
+      |  JOIN yi ON yi.doc_id = w.doc_id AND yi.rid = w.rid AND yi."offset" = w."offset"
+      |), celltxt AS (
+      |  SELECT doc_id, rid, ri, ci, string_agg(text, ' ' ORDER BY x0, "offset") AS txt
+      |  FROM boxes GROUP BY 1, 2, 3, 4
+      |), dims AS (
+      |  SELECT doc_id, rid, max(ri) AS nr, max(ci) AS nc FROM boxes GROUP BY 1, 2
+      |), rows_g AS (
+      |  SELECT doc_id, rid, nc, unnest(range(1, nr + 1)) AS ri FROM dims
+      |), cells_g AS (
+      |  SELECT doc_id, rid, ri, unnest(range(1, nc + 1)) AS ci FROM rows_g
+      |), cells AS (
+      |  SELECT g.doc_id, g.rid, g.ri, g.ci, coalesce(t.txt, '') AS txt
+      |  FROM cells_g g LEFT JOIN celltxt t
+      |    ON t.doc_id = g.doc_id AND t.rid = g.rid AND t.ri = g.ri AND t.ci = g.ci
+      |)""".stripMargin
+
+  private val extractSpansOracle: String =
+    extractCtes +
+      """, outsp AS (
+        |  SELECT doc_id, rid, CAST("offset" AS BIGINT) AS s1, CAST(0 AS BIGINT) AS s2,
+        |    kind, text, media_ref
+        |  FROM runs WHERE kind <> 'word_box'
+        |  UNION ALL
+        |  SELECT doc_id, rid, ri AS s1, ci AS s2, 'cell' AS kind, txt AS text,
+        |    CAST(ri AS VARCHAR) || ',' || CAST(ci AS VARCHAR) AS media_ref
+        |  FROM cells
+        |), numbered AS (
+        |  SELECT doc_id, kind, text, media_ref,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY rid, s1, s2) - 1 AS INTEGER) AS "offset"
+        |  FROM outsp
+        |), stats AS (
+        |  SELECT doc_id, CAST(count(DISTINCT rid) AS INTEGER) AS n_tables,
+        |    CAST(count(*) AS INTEGER) AS n_cells
+        |  FROM cells GROUP BY doc_id
+        |)
+        |SELECT n.doc_id, n."offset", n.kind, n.text, n.media_ref,
+        |  coalesce(s.n_tables, 0) AS n_tables, coalesce(s.n_cells, 0) AS n_cells,
+        |  'ok' AS status
+        |FROM numbered n LEFT JOIN stats s USING (doc_id)""".stripMargin
+
+  private val extractCsvOracle: String =
+    extractCtes +
+      """, rowstr AS (
+        |  SELECT doc_id, rid, ri, string_agg(txt, ',' ORDER BY ci) AS line
+        |  FROM cells GROUP BY 1, 2, 3
+        |), csvs AS (
+        |  SELECT doc_id, rid, string_agg(line, chr(10) ORDER BY ri) || chr(10) AS csv
+        |  FROM rowstr GROUP BY 1, 2
+        |)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY rid) - 1 AS INTEGER) AS table_idx,
+        |  csv
+        |FROM csvs""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "extract_e1_spans" -> extractSpansOracle,
+    "extract_e2_spans" -> extractSpansOracle,
+    "extract_e2mid_spans" -> extractSpansOracle,
+    "extract_expr_spans" -> extractSpansOracle,
+    "extract_tables_csv" -> extractCsvOracle,
     "q_scan_project" ->
       "SELECT l_orderkey, l_linenumber, l_extendedprice * (1 - l_discount) AS net FROM lineitem",
     "q_filter_word" ->

@@ -15,6 +15,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Dump the synthesized extraction INPUT (the interleaved span table
+    // the extract_* queries run on, derived deterministically from
+    // documents.parquet) so the extraction oracles can reconstruct the
+    // expected output in pure SQL from the same rows. oracleSql entries
+    // reference it via the {OUT} placeholder substituted below.
+    locally {
+      import org.apache.spark.sql.functions.{col, explode}
+      graft.fixtures.SpanGen.fromDocuments(spark, sfDir).toDF()
+        .select(col("doc_id"), explode(col("spans")).as("s"))
+        .select(col("doc_id"), col("s.offset").as("offset"),
+          col("s.kind").as("kind"), col("s.text").as("text"),
+          col("s.media_ref").as("media_ref"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/spans_input")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -35,7 +49,8 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{OUT}", outDir))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

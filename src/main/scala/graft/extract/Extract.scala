@@ -43,8 +43,12 @@ object Extract {
   object Strategy {
     /** E1 — region-clustering (the reference's live path). */
     case object RegionClustering extends Strategy
-    /** E2 — split-gap heuristic. */
+    /** E2 — split-gap heuristic, left-edge bucketing (textract.go:242). */
     case object SplitHeuristic extends Strategy
+    /** E2 variant — split-gap heuristic, midpoint bucketing
+      * (SplitRowBoxesMidpoint, extract.go:90-94).
+      */
+    case object SplitMidpoint extends Strategy
   }
 
   /** Serialize a recovered table row-major as cell spans (1-based
@@ -186,6 +190,7 @@ object Extract {
             val table = strategy match {
               case Strategy.RegionClustering => Geom.toTable(boxes)
               case Strategy.SplitHeuristic   => Geom.toTableSplitHeuristic(boxes)
+              case Strategy.SplitMidpoint    => Geom.toTableSplitHeuristicMidpoint(boxes)
             }
             emitTable(table)
           }

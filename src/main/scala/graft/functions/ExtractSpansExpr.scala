@@ -31,7 +31,8 @@ import scala.collection.mutable.ArrayBuffer
   * zero-copy concatWs fast path for clean words; E2 joins raw and trims
   * once with String.trim semantics (strings.TrimSpace, textract.go:261).
   */
-case class ExtractSpansExpr(child: Expression, useSplitHeuristic: Boolean)
+case class ExtractSpansExpr(child: Expression, useSplitHeuristic: Boolean,
+    useMidpoint: Boolean = false)
     extends UnaryExpression {
 
   import ExtractSpansExpr._
@@ -48,7 +49,7 @@ case class ExtractSpansExpr(child: Expression, useSplitHeuristic: Boolean)
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.ExtractSpansExpr.evalStatic($c, $useSplitHeuristic);")
+      s"${ev.value} = graft.functions.ExtractSpansExpr.evalStatic($c, $useSplitHeuristic, $useMidpoint);")
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     child.dataType match {
@@ -67,7 +68,7 @@ case class ExtractSpansExpr(child: Expression, useSplitHeuristic: Boolean)
   override def dataType: DataType = OutputType
 
   override def nullSafeEval(input: Any): Any =
-    ExtractSpansExpr.evalStatic(input.asInstanceOf[ArrayData], useSplitHeuristic)
+    ExtractSpansExpr.evalStatic(input.asInstanceOf[ArrayData], useSplitHeuristic, useMidpoint)
 
   override protected def withNewChildInternal(newChild: Expression): ExtractSpansExpr =
     copy(child = newChild)
@@ -134,8 +135,8 @@ object ExtractSpansExpr {
   }
 
   /** Entry point shared by interpreted eval and generated code. */
-  def evalStatic(arr: ArrayData, useSplitHeuristic: Boolean): InternalRow =
-    try evalSpans(arr, useSplitHeuristic)
+  def evalStatic(arr: ArrayData, useSplitHeuristic: Boolean, useMidpoint: Boolean = false): InternalRow =
+    try evalSpans(arr, useSplitHeuristic, useMidpoint)
     catch {
       case scala.util.control.NonFatal(e) =>
         // pass-through with error status (one bad doc must not kill a
@@ -156,7 +157,7 @@ object ExtractSpansExpr {
           UTF8String.fromString(s"error:${e.getClass.getSimpleName}"))
     }
 
-  private def evalSpans(arr: ArrayData, useSplitHeuristic: Boolean): InternalRow = {
+  private def evalSpans(arr: ArrayData, useSplitHeuristic: Boolean, useMidpoint: Boolean): InternalRow = {
     val sp = new Spans(arr)
     val n = sp.n
     val kinds = sp.kinds
@@ -218,7 +219,7 @@ object ExtractSpansExpr {
         if (m == 0) {
           k = p; while (k < q) { passThrough(k); k += 1 }
         } else if (useSplitHeuristic) {
-          emitTable(toTableSplit(bx0, bx1, by0, by1, btx, m))
+          emitTable(toTableSplit(bx0, bx1, by0, by1, btx, m, useMidpoint))
         } else {
           emitTable(toTableRegions(bx0, bx1, by0, by1, btx, m))
         }
@@ -403,7 +404,8 @@ object ExtractSpansExpr {
     * bucketing, all quirks preserved (extract.go:65-142).
     */
   def toTableSplit(x0: Array[Double], x1: Array[Double], y0: Array[Double],
-      y1: Array[Double], txt: Array[UTF8String], m: Int): Array[Array[UTF8String]] = {
+      y1: Array[Double], txt: Array[UTF8String], m: Int,
+      useMid: Boolean = false): Array[Array[UTF8String]] = {
     // byRow ordering (extract.go:35-49) over indices. Deliberately
     // java.util.Arrays.sort over boxed indices: the typed path sorts
     // WordBox objects through TimSort, whose comparator-contract check
@@ -451,13 +453,15 @@ object ExtractSpansExpr {
       k += 1
     }
     val splits = mids.sorted.toArray
-    // per row: SplitRowBoxesEdge (pointer advances at most one per word)
+    // per row: SplitRowBoxesEdge / SplitRowBoxesMidpoint (pointer
+    // advances at most one per word, extract.go:109-115)
     rows.map { rowIdx =>
       val sortedRow = rowIdx.sortBy(x0(_))
       val buckets = Array.fill(splits.length + 1)(null: ArrayBuffer[UTF8String])
       var bi = 0
       for (w <- sortedRow) {
-        if (bi < splits.length && x0(w) > splits(bi)) bi += 1
+        val key = if (useMid) x0(w) + (x1(w) - x0(w)) / 2 else x0(w)
+        if (bi < splits.length && key > splits(bi)) bi += 1
         if (buckets(bi) == null) buckets(bi) = new ArrayBuffer[UTF8String](2)
         buckets(bi) += txt(w)
       }

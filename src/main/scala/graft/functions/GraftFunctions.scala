@@ -13,7 +13,9 @@ object GraftFunctions {
 
   val Builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "extract_spans" -> (exprs => ExtractSpansExpr(exprs.head, useSplitHeuristic = false)),
-    "extract_spans_split" -> (exprs => ExtractSpansExpr(exprs.head, useSplitHeuristic = true)))
+    "extract_spans_split" -> (exprs => ExtractSpansExpr(exprs.head, useSplitHeuristic = true)),
+    "extract_spans_split_mid" -> (exprs =>
+      ExtractSpansExpr(exprs.head, useSplitHeuristic = true, useMidpoint = true)))
 
   /** Session-scoped registration (tests, local jobs). */
   def register(spark: SparkSession): Unit =
@@ -25,9 +27,13 @@ object GraftFunctions {
   /** The full extraction as one Project over the span table:
     * (doc_id, spans) -> (doc_id, spans, n_tables, n_cells, status).
     */
-  def extractDF(spark: SparkSession, df: DataFrame, split: Boolean = false): DataFrame = {
+  def extractDF(spark: SparkSession, df: DataFrame, split: Boolean = false,
+      midpoint: Boolean = false): DataFrame = {
     register(spark)
-    val fn = if (split) "extract_spans_split" else "extract_spans"
+    val fn =
+      if (split && midpoint) "extract_spans_split_mid"
+      else if (split) "extract_spans_split"
+      else "extract_spans"
     df.select(col("doc_id"), expr(s"$fn(spans)").as("ex"))
       .select(col("doc_id"), col("ex.spans").as("spans"),
         col("ex.n_tables").as("n_tables"), col("ex.n_cells").as("n_cells"),

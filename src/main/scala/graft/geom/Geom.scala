@@ -212,12 +212,26 @@ object Geom {
     * words bucketed by left edge, cell text = trimmed space-join.
     * Every row has findSplits(words).length + 1 cells.
     */
-  def toTableSplitHeuristic(words: collection.Seq[WordBox]): Vector[Vector[String]] = {
+  def toTableSplitHeuristic(words: collection.Seq[WordBox]): Vector[Vector[String]] =
+    toTableSplitWith(words, splitRowBoxesEdge)
+
+  /** E2 with midpoint bucketing (SplitRowBoxesMidpoint,
+    * extract.go:90-94 — an exposed reference API the live path never
+    * calls) — identical to the edge variant except each word buckets by
+    * its x midpoint.
+    */
+  def toTableSplitHeuristicMidpoint(words: collection.Seq[WordBox]): Vector[Vector[String]] =
+    toTableSplitWith(words, splitRowBoxesMidpoint)
+
+  private def toTableSplitWith(
+      words: collection.Seq[WordBox],
+      split: (collection.Seq[WordBox], IndexedSeq[Double]) => Vector[Vector[WordBox]])
+      : Vector[Vector[String]] = {
     if (words.isEmpty) return Vector.empty
     val rows = partitionIntoRows(words)
     val splitAt = findSplits(words)
     rows.map { rowWords =>
-      splitRowBoxesEdge(rowWords, splitAt)
+      split(rowWords, splitAt)
         .map(cell => cell.map(_.text).mkString(" ").trim)
     }
   }

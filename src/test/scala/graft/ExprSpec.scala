@@ -53,6 +53,27 @@ class ExprSpec extends AnyFunSuite {
     for ((k, v) <- typed) assert(exprd(k) == v, s"doc $k")
   }
 
+  test("expression path == typed path with the E2 midpoint variant") {
+    import spark.implicits._
+    val ds = spark.createDataset(SpanGen.genDocs(60, seed = 41L).map(_._1))
+    val typed = collectPath(Extract.run(ds, Extract.Strategy.SplitMidpoint).toDF())
+    val exprd = collectPath(GraftFunctions.extractDF(spark, ds.toDF(), split = true, midpoint = true))
+    for ((k, v) <- typed) assert(exprd(k) == v, s"doc $k")
+    // With FindSplits-derived splits, edge and midpoint bucketing are
+    // provably identical (any box with x0 < split ends before the gap
+    // that produced the split, so its midpoint is < split too); the
+    // variants only diverge under externally supplied split positions —
+    // asserted at the Geom level with a custom xs:
+    val words = Seq(
+      WordBox("narrow", 0.10, 0.20, 0.1, 0.2),
+      WordBox("straddler", 0.28, 0.60, 0.1, 0.2)) // mid 0.44 crosses 0.30
+    val xs = IndexedSeq(0.30)
+    val edge = graft.geom.Geom.splitRowBoxesEdge(words, xs).map(_.map(_.text))
+    val mid = graft.geom.Geom.splitRowBoxesMidpoint(words, xs).map(_.map(_.text))
+    assert(edge == Vector(Vector("narrow", "straddler"), Vector()))
+    assert(mid == Vector(Vector("narrow"), Vector("straddler")))
+  }
+
   test("expression path handles degenerate docs like the typed path") {
     import spark.implicits._
     val weird = Seq(
