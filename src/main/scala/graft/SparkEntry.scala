@@ -248,13 +248,15 @@ object SparkEntry {
         s.read.parquet(t(dir, "documents")).filter(col("doc_id") < 200),
         "doc_id", "text", n = 3, threshold = 0.05)),
 
-    // ---- dedup: MinHash+LSH near-dups (banded; Spark-hash-specific -> rows-only)
+    // ---- dedup: MinHash+LSH near-dups (banded; portable md5-derived
+    // hash family, so the DuckDB oracle replays it exactly)
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashNearDups(
         s.read.parquet(t(dir, "documents")), "doc_id", "text",
         n = 3, k = 64, bands = 16, threshold = 0.5)),
 
-    // ---- dedup: SimHash near-dups (rows-only)
+    // ---- dedup: SimHash near-dups (portable md5-derived fingerprint,
+    // DuckDB-oracled)
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashNearDups(s,
         s.read.parquet(t(dir, "documents")), "doc_id", "text", maxDist = 3)),
@@ -265,7 +267,8 @@ object SparkEntry {
         s.read.parquet(t(dir, "embeddings")), "vec_id", "embedding",
         queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
 
-    // ---- ANN: LSH-bucketed top-k (scale path; JVM RNG -> rows-only)
+    // ---- ANN: LSH-bucketed top-k (scale path; portable md5-derived
+    // hyperplanes, DuckDB-oracled)
     "q_ann_lsh" -> ((s, dir) =>
       Ann.lshTopK(s,
         s.read.parquet(t(dir, "embeddings")), "vec_id", "embedding",
@@ -522,6 +525,121 @@ object SparkEntry {
         |  CAST(list_sum(list_transform(regexp_split_to_array(text, '[^A-Za-z0-9]+'),
         |    w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpe
         |FROM documents""".stripMargin,
+    "q_dedup_simhash" -> {
+      // replay the portable 60-bit SimHash (per-token md5-derived hash,
+      // bit votes, 4x15-bit chunk banding with the bucket cap, exact
+      // Hamming verify) — pure integer arithmetic in both engines
+      val bits = Dedup.SimhashBits; val cw = Dedup.SimhashChunkBits
+      val mask = (1L << cw) - 1
+      s"""WITH t AS (
+         |  SELECT doc_id AS id, string_split(text, ' ') AS toks FROM documents
+         |), hs AS (
+         |  SELECT id, list_transform(toks, tk ->
+         |    CAST('0x' || substr(md5(tk), 1, 15) AS BIGINT)) AS hl FROM t
+         |), fp AS (
+         |  SELECT id, CAST(list_sum(list_transform(range(0, $bits), b ->
+         |    CASE WHEN list_sum(list_transform(hl, h ->
+         |        CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+         |      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+         |  FROM hs
+         |), chunked AS (
+         |  SELECT id, simhash, c AS chunk, (simhash >> (c * $cw)) & $mask AS chunk_val
+         |  FROM fp, (SELECT unnest(range(0, ${Dedup.SimhashChunks})) AS c)
+         |), capped AS (
+         |  SELECT * FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY chunk, chunk_val) AS bsz FROM chunked)
+         |  WHERE bsz <= 10000
+         |), pairs AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.simhash AS sh_a, b.simhash AS sh_b
+         |  FROM capped a JOIN capped b
+         |    ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val AND a.id < b.id
+         |)
+         |SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+         |FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 3""".stripMargin
+    },
+    "q_ann_lsh" -> {
+      // replay the portable hyperplane LSH: md5-derived plane weights in
+      // [-1,1], sign-bit signatures per (table, bit), candidate equi-join
+      // on (table, sig), exact cosine rerank — float dots evaluate
+      // left-to-right in both engines (same pattern as q_ann_topk)
+      val tables = 8; val bits = 8; val seed = 42L; val dim = 64
+      s"""WITH planes AS (
+         |  SELECT t, b, list_transform(range(1, ${dim + 1}), i ->
+         |    CAST(((CAST('0x' || substr(md5('$seed:' || CAST(t AS VARCHAR) || ':' ||
+         |      CAST(b AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT)
+         |      % 2001) - 1000) AS DOUBLE) / 1000.0) AS w
+         |  FROM (SELECT unnest(range(0, $tables)) AS t), (SELECT unnest(range(0, $bits)) AS b)
+         |), vecs AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+         |), dots AS (
+         |  SELECT v.vec_id, p.t, p.b,
+         |    list_sum(list_transform(range(1, ${dim + 1}), i -> p.w[i] * v.v[i])) AS d
+         |  FROM vecs v CROSS JOIN planes p
+         |), sigs AS (
+         |  SELECT vec_id, t,
+         |    CAST(sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS INTEGER) AS sig
+         |  FROM dots GROUP BY vec_id, t
+         |), qsigs AS (
+         |  SELECT vec_id AS query_id, t, sig FROM sigs WHERE vec_id IN (0, 1, 2, 3, 4)
+         |), cand AS (
+         |  SELECT DISTINCT s.vec_id AS item_id, q.query_id
+         |  FROM sigs s JOIN qsigs q ON s.t = q.t AND s.sig = q.sig
+         |  WHERE s.vec_id <> q.query_id
+         |), sims AS (
+         |  SELECT c.query_id, c.item_id,
+         |    list_sum(list_transform(range(1, ${dim + 1}), i -> qv.v[i] * iv.v[i])) /
+         |    (sqrt(list_sum(list_transform(range(1, ${dim + 1}), i -> qv.v[i] * qv.v[i]))) *
+         |     sqrt(list_sum(list_transform(range(1, ${dim + 1}), i -> iv.v[i] * iv.v[i])))) AS sim
+         |  FROM cand c
+         |  JOIN vecs qv ON qv.vec_id = c.query_id
+         |  JOIN vecs iv ON iv.vec_id = c.item_id
+         |), r AS (
+         |  SELECT query_id, item_id, sim,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, item_id) AS rank
+         |  FROM sims
+         |)
+         |SELECT query_id, item_id AS neighbor_id, CAST(rank AS BIGINT) AS rank, sim
+         |FROM r WHERE rank <= 10""".stripMargin
+    },
+    "q_dedup_minhash" -> {
+      // replay the portable MinHash construction (md5-derived 60-bit
+      // base mod P, affine per-seed transforms, band-slice bucket keys)
+      // verbatim; every step is exact integer arithmetic in both engines
+      val k = 64; val bands = 16; val r = k / bands; val p = Dedup.MinhashP
+      val minCols = (0 until k).map(i =>
+        s"min((${Dedup.minhashA(i)} * x + ${Dedup.minhashB(i)}) % $p) AS mh_$i")
+        .mkString(", ")
+      val bandSelects = (0 until bands).map { b =>
+        val key = (0 until r).map(j => s"CAST(mh_${b * r + j} AS VARCHAR)")
+          .mkString(" || ',' || ")
+        s"SELECT id, $b AS band, $key AS bkey FROM sig"
+      }.mkString(" UNION ALL ")
+      val eqSum = (0 until k)
+        .map(i => s"CASE WHEN sa.mh_$i = sb.mh_$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH t AS (
+         |  SELECT doc_id AS id, string_split(text, ' ') AS toks FROM documents
+         |), sh AS (
+         |  SELECT DISTINCT id, s AS shingle FROM (
+         |    SELECT id, unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+         |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+         |    FROM t)
+         |), hx AS (
+         |  SELECT id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % $p AS x FROM sh
+         |), sig AS (
+         |  SELECT id, $minCols FROM hx GROUP BY id
+         |), bands_t AS (
+         |  $bandSelects
+         |), cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM bands_t a JOIN bands_t b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+         |), est AS (
+         |  SELECT id_a, id_b, CAST($eqSum AS DOUBLE) / $k AS est_jaccard
+         |  FROM cand JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b
+         |)
+         |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5""".stripMargin
+    },
     "q_dedup_ngram" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 200

@@ -4,8 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import scala.util.Random
-
 /** Similarity search over an embedding column (`array<float>`).
   *
   *  - Brute-force cosine top-k: broadcast the (small) query set, one
@@ -56,11 +54,24 @@ object Ann {
         col("rank").cast("bigint").as("rank"), col("sim"))
   }
 
-  /** Seeded random hyperplanes: tables x bits x dim. */
-  def hyperplanes(tables: Int, bits: Int, dim: Int, seed: Long): Array[Array[Array[Double]]] = {
-    val rng = new Random(seed)
-    Array.fill(tables, bits, dim)(rng.nextGaussian())
+  /** One portable hyperplane weight: md5("seed:t:b:i") -> 60-bit int ->
+    * uniform in [-1, 1] via exact integer arithmetic + one IEEE divide.
+    * Engine-reproducible (the DuckDB oracle replays the same formula),
+    * unlike JVM-RNG Gaussians; for sign-LSH any symmetric coordinate
+    * distribution gives the published locality bound, Gaussianity is not
+    * required (Charikar '02 uses the sphere only for the angle lemma,
+    * which holds for any centrally symmetric draw).
+    */
+  def planeWeight(seed: Long, t: Int, b: Int, i1: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$seed:$t:$b:$i1".getBytes("UTF-8"))
+      .map(x => f"$x%02x").mkString.take(15)
+    ((java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L) / 1000.0
   }
+
+  /** Seeded deterministic hyperplanes: tables x bits x dim. */
+  def hyperplanes(tables: Int, bits: Int, dim: Int, seed: Long): Array[Array[Array[Double]]] =
+    Array.tabulate(tables, bits, dim)((t, b, i) => planeWeight(seed, t, b, i + 1))
 
   /** Sign-bit signature of one vector under one table's hyperplanes. */
   def signature(vec: Array[Double], planes: Array[Array[Double]]): Int = {

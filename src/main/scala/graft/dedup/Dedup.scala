@@ -18,10 +18,10 @@ import org.apache.spark.sql.functions._
   *    mins), banded into b buckets, candidate pairs only within equal
   *    (band, bandHash) buckets — the published banding construction, so
   *    the cross-join never materializes;
-  *  - SimHash: 64-bit sign-vector fingerprint per doc (record-local typed
-  *    map), candidates from 16-bit chunk equality (pigeonhole: hamming
-  *    <= 3 guarantees one of 4 chunks equal), verified by exact Hamming
-  *    distance.
+  *  - SimHash: 60-bit portable sign-vector fingerprint per doc (one
+  *    codegen'd column expression), candidates from 15-bit chunk
+  *    equality (pigeonhole: hamming <= 3 guarantees one of 4 chunks
+  *    equal), verified by exact Hamming distance.
   *
   * All stages are DataFrame transforms; nothing collects to the driver.
   */
@@ -79,24 +79,47 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("n_common"), col("jaccard"))
   }
 
-  /** k MinHash components per doc: min over shingles of hash(shingle, i).
+  /** MinHash universe prime (2^31 - 1) and the affine family
+    * h_i(x) = (a_i * x + b_i) mod P over a 60-bit md5-derived base value:
+    * every operation is exact 64-bit integer arithmetic reproducible in
+    * any engine (the DuckDB oracle replays it verbatim), unlike Spark's
+    * murmur `hash()` which is engine-private.
+    */
+  val MinhashP: Long = 2147483647L
+  def minhashA(i: Int): Long = (1664525L * i + 1013904223L) % MinhashP
+  def minhashB(i: Int): Long = (22695477L * i + 1L) % MinhashP
+
+  /** Portable base value: first 15 hex chars of md5 (60 bits) mod P.
+    * Computed once per (doc, shingle) row; the k per-seed hashes are
+    * cheap affine transforms of it.
+    */
+  def minhashBase(shingle: Column): Column =
+    conv(substring(md5(shingle), 1, 15), 16, 10).cast("long") % MinhashP
+
+  /** k MinHash components per doc: min over shingles of h_i(base).
     * One groupBy with k partial-aggregating mins — no per-seed shuffle.
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int): DataFrame = {
     val sh = shingles(docs, idCol, textCol, n)
-    val mins = (0 until k).map(i => min(hash(col("shingle"), lit(i))).as(s"mh_$i"))
+      .select(col("id"), minhashBase(col("shingle")).as("hx"))
+    val mins = (0 until k).map(i =>
+      min((lit(minhashA(i)) * col("hx") + lit(minhashB(i))) % MinhashP).as(s"mh_$i"))
     sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until k).map(i => col(s"mh_$i")): _*).as("sig"))
   }
 
-  /** LSH banding: b bands of r rows; bucket key = hash of the band slice.
-    * Candidate pairs are generated within buckets only.
+  /** LSH banding: b bands of r rows; bucket key = the band slice itself
+    * (serialized "v,v,v,v" — exact equality, no hash-collision false
+    * candidates, and byte-reproducible by the DuckDB oracle). Candidate
+    * pairs are generated within buckets only.
     */
   def minhashCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        bIdx => hash(slice(col("sig"), bIdx * rowsPerBand + 1, lit(rowsPerBand)), bIdx))))
+        bIdx => concat_ws(",",
+          transform(slice(col("sig"), bIdx * rowsPerBand + 1, lit(rowsPerBand)),
+            _.cast("string"))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
     val a = banded.as("a")
@@ -129,22 +152,38 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
-  /** SimHash fingerprints (typed map — record-local, no shuffle). */
-  def simhashes(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(textCol))
-      .as[(Long, String)]
-      .map { case (id, text) => (id, TextOps.simhash64(text)) }
-      .toDF("id", "simhash")
-  }
+  /** SimHash fingerprint width: 60 bits (15 hex chars of md5 per token —
+    * portable to any engine with md5), banded as 4 x 15-bit chunks.
+    */
+  val SimhashBits = 60
+  val SimhashChunks = 4
+  val SimhashChunkBits: Int = SimhashBits / SimhashChunks
+
+  /** SimHash fingerprints — record-local column expression, no shuffle,
+    * no UDF, no typed map: per token a 60-bit md5-derived hash votes
+    * +1/-1 on each bit, the sign vector is the fingerprint. Exact
+    * integer arithmetic end to end, so the DuckDB oracle reproduces it
+    * bit for bit. (TextOps.simhash64 remains as the FNV in-JVM utility;
+    * SQL-parser lambdas are used because shifting by a lambda-bound
+    * variable is not expressible through the Column HOF API.)
+    */
+  def simhashes(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("__t"))
+      .withColumn("hs", expr(
+        "transform(split(__t, ' ', -1), t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"))
+      .withColumn("simhash", expr(
+        s"""aggregate(sequence(0, ${SimhashBits - 1}), 0L, (acc, b) ->
+           |  acc + IF(aggregate(hs, 0L, (a2, h) ->
+           |    a2 + IF(((h >> b) & 1) = 1, 1L, -1L)) > 0, shiftleft(1L, b), 0L))""".stripMargin))
+      .select(col("id"), col("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance <= maxDist (<= 3 for
-    * the 4x16-bit pigeonhole banding to be lossless).
+    * the 4x15-bit pigeonhole banding to be lossless).
     *
     * maxBucketSize caps the per-(chunk, chunk_val) bucket fan-out — the
     * same skew guard as ngramJaccardPairs' maxShingleDf. Without it a
     * common fingerprint chunk (near-empty docs, boilerplate) makes the
-    * self-join quadratic in that bucket: at 10^9 docs a 16-bit chunk
+    * self-join quadratic in that bucket: at 10^9 docs a 15-bit chunk
     * bucket averages ~n/65k members, i.e. ~10^8 candidate pairs per hot
     * value. Over-cap buckets are dropped entirely: their members are
     * mass-duplicates that exact dedup already catches, and recall for
@@ -155,8 +194,9 @@ object Dedup {
       textCol: String, maxDist: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
     val fp = simhashes(spark, docs, idCol, textCol)
     val chunked = fp.select(col("id"), col("simhash"),
-      posexplode(array((0 until 4).map(i =>
-        shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xffffL))): _*)))
+      posexplode(array((0 until SimhashChunks).map(i =>
+        shiftrightunsigned(col("simhash"), i * SimhashChunkBits)
+          .bitwiseAND(lit((1L << SimhashChunkBits) - 1))): _*)))
       .withColumnRenamed("pos", "chunk")
       .withColumnRenamed("col", "chunk_val")
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy("chunk", "chunk_val")))
