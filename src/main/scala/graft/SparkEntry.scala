@@ -84,6 +84,9 @@ object SparkEntry {
       extractFlat(s, dir, Extract.Strategy.SplitMidpoint)),
     "extract_expr_spans" -> ((s, dir) => extractExprFlat(s, dir)),
     "extract_tables_csv" -> ((s, dir) => extractCsv(s, dir)),
+    // ---- K7: raw-boxes JSON debug dump (cmd/cli/main.go:75-81)
+    "extract_boxes_debug" -> ((s, dir) =>
+      graft.sinks.DebugBoxes.boxesJson(s, SpanGen.fromDocuments(s, dir).toDF())),
 
     // ---- S1/P8: scan + projection arithmetic (pushdown-friendly)
     "q_scan_project" -> ((s, dir) =>
@@ -404,6 +407,27 @@ object SparkEntry {
         |FROM csvs""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "extract_boxes_debug" ->
+      """WITH sp AS (
+        |  SELECT doc_id, "offset", kind, text, media_ref
+        |  FROM '{OUT}/spans_input/*.parquet'
+        |), b AS (
+        |  SELECT doc_id, "offset", text AS Content,
+        |    TRY_CAST(string_split(media_ref, ',')[1] AS DOUBLE) AS XLeft,
+        |    TRY_CAST(string_split(media_ref, ',')[2] AS DOUBLE) AS XRight,
+        |    TRY_CAST(string_split(media_ref, ',')[4] AS DOUBLE) AS YBottom,
+        |    TRY_CAST(string_split(media_ref, ',')[3] AS DOUBLE) AS YTop
+        |  FROM sp WHERE kind = 'word_box' AND len(string_split(media_ref, ',')) = 4
+        |), v AS (
+        |  SELECT * FROM b
+        |  WHERE XLeft IS NOT NULL AND XRight IS NOT NULL
+        |    AND YTop IS NOT NULL AND YBottom IS NOT NULL
+        |    AND XLeft <= XRight AND YTop <= YBottom
+        |)
+        |SELECT doc_id, to_json(list(struct_pack(
+        |    XLeft := XLeft, XRight := XRight, YBottom := YBottom,
+        |    YTop := YTop, Content := Content) ORDER BY "offset")) AS boxes_json
+        |FROM v GROUP BY doc_id""".stripMargin,
     "extract_e1_spans" -> extractSpansOracle,
     "extract_e2_spans" -> extractSpansOracle,
     "extract_e2mid_spans" -> extractSpansOracle,

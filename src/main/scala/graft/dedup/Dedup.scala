@@ -159,23 +159,20 @@ object Dedup {
   val SimhashChunks = 4
   val SimhashChunkBits: Int = SimhashBits / SimhashChunks
 
-  /** SimHash fingerprints — record-local column expression, no shuffle,
-    * no UDF, no typed map: per token a 60-bit md5-derived hash votes
-    * +1/-1 on each bit, the sign vector is the fingerprint. Exact
-    * integer arithmetic end to end, so the DuckDB oracle reproduces it
-    * bit for bit. (TextOps.simhash64 remains as the FNV in-JVM utility;
-    * SQL-parser lambdas are used because shifting by a lambda-bound
-    * variable is not expressible through the Column HOF API.)
+  /** SimHash fingerprints — record-local, no shuffle, no UDF: the
+    * native `simhash60` Catalyst expression (graft.functions.Simhash60Expr,
+    * real doGenCode). Per token a 60-bit md5-derived hash votes +1/-1 on
+    * each bit; the sign vector is the fingerprint. Exact integer
+    * arithmetic end to end, so the DuckDB oracle reproduces it bit for
+    * bit. The equivalent SQL higher-order formulation is interpreted by
+    * Spark and measured ~16x slower — see Simhash60Expr's scaladoc.
+    * (TextOps.simhash64 remains as the FNV in-JVM utility.)
     */
-  def simhashes(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def simhashes(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     docs.select(col(idCol).cast("long").as("id"), col(textCol).as("__t"))
-      .withColumn("hs", expr(
-        "transform(split(__t, ' ', -1), t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"))
-      .withColumn("simhash", expr(
-        s"""aggregate(sequence(0, ${SimhashBits - 1}), 0L, (acc, b) ->
-           |  acc + IF(aggregate(hs, 0L, (a2, h) ->
-           |    a2 + IF(((h >> b) & 1) = 1, 1L, -1L)) > 0, shiftleft(1L, b), 0L))""".stripMargin))
-      .select(col("id"), col("simhash"))
+      .select(col("id"), expr("simhash60(__t)").as("simhash"))
+  }
 
   /** SimHash near-dup pairs with Hamming distance <= maxDist (<= 3 for
     * the 4x15-bit pigeonhole banding to be lossless).

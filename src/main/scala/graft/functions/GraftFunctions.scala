@@ -15,7 +15,8 @@ object GraftFunctions {
     "extract_spans" -> (exprs => ExtractSpansExpr(exprs.head, useSplitHeuristic = false)),
     "extract_spans_split" -> (exprs => ExtractSpansExpr(exprs.head, useSplitHeuristic = true)),
     "extract_spans_split_mid" -> (exprs =>
-      ExtractSpansExpr(exprs.head, useSplitHeuristic = true, useMidpoint = true)))
+      ExtractSpansExpr(exprs.head, useSplitHeuristic = true, useMidpoint = true)),
+    "simhash60" -> (exprs => Simhash60Expr(exprs.head)))
 
   /** Session-scoped registration (tests, local jobs). */
   def register(spark: SparkSession): Unit =

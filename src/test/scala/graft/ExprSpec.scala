@@ -136,6 +136,10 @@ class ExprSpec extends AnyFunSuite {
     val typed2 = collectPath(Extract.run(ds, Extract.Strategy.SplitHeuristic).toDF())
     val exprd2 = collectPath(GraftFunctions.extractDF(spark, ds.toDF(), split = true))
     for ((k, v) <- typed2) assert(exprd2(k) == v, s"E2 doc $k")
+    // and the midpoint variant
+    val typed3 = collectPath(Extract.run(ds, Extract.Strategy.SplitMidpoint).toDF())
+    val exprd3 = collectPath(GraftFunctions.extractDF(spark, ds.toDF(), split = true, midpoint = true))
+    for ((k, v) <- typed3) assert(exprd3(k) == v, s"E2mid doc $k")
   }
 
   test("mixed-sign offsets sort identically on both paths (signed key order)") {

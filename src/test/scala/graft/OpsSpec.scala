@@ -78,6 +78,28 @@ class OpsSpec extends AnyFunSuite {
     assert(!got.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
   }
 
+  test("simhash60 expression == independent md5 reference (incl. unicode, empties)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def ref(text: String): Long = {
+      val votes = new Array[Int](60)
+      for (tok <- text.split(" ", -1)) {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(tok.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(15)
+        val h = java.lang.Long.parseLong(hex, 16)
+        for (b <- 0 until 60) if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+      }
+      (0 until 60).foldLeft(0L)((acc, b) => if (votes(b) > 0) acc | (1L << b) else acc)
+    }
+    val samples = Seq("", " ", "a", "a b", "  double  spaces ", "的 是 了 mixed unicode",
+      "the quick brown fox", "x " * 40)
+    for (s <- samples)
+      assert(graft.functions.Simhash60Expr.evalStatic(UTF8String.fromString(s)) == ref(s), s"'$s'")
+    // and through the DataFrame surface
+    val got = Dedup.simhashes(spark, docsDf((7L, "the quick brown fox")), "doc_id", "text")
+      .collect()
+    assert(got(0).getLong(0) == 7L && got(0).getLong(1) == ref("the quick brown fox"))
+  }
+
   test("shingles: a doc with fewer than n tokens yields zero shingles") {
     val got = Dedup.shingles(
       docsDf((1L, "just two"), (2L, "exactly three tokens"), (3L, "one")),

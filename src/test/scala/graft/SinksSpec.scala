@@ -7,6 +7,29 @@ import javax.imageio.ImageIO
 
 class SinksSpec extends AnyFunSuite {
 
+  test("DebugBoxes: offset-ordered JSON, malformed refs skipped (ANSI-safe)") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").appName("graft-sinks-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    val docs = Seq(Doc("d1", Vector(
+      Span("word_box", "b", "0.5,0.6,0.1,0.2", 1),
+      Span("word_box", "a", "0.1,0.2,0.1,0.2", 0),
+      Span("word_box", "bad3", "not,a,box", 2),      // try_cast -> null
+      Span("word_box", "bad2", "0.1,0.2,0.3", 3),    // 3 parts
+      Span("word_box", "inv", "0.9,0.1,0.1,0.2", 4), // x1 < x0
+      Span("text", "skip", "0.1,0.2,0.1,0.2", 5))))
+    val got = graft.sinks.DebugBoxes.boxesJson(spark, spark.createDataset(docs).toDF())
+      .collect()
+    assert(got.length == 1)
+    val js = got(0).getAs[String]("boxes_json")
+    assert(js ==
+      """[{"XLeft":0.1,"XRight":0.2,"YBottom":0.2,"YTop":0.1,"Content":"a"},""" +
+      """{"XLeft":0.5,"XRight":0.6,"YBottom":0.2,"YTop":0.1,"Content":"b"}]""")
+  }
+
   test("HTML image-variant renders the reference template shape") {
     val got = Html.fromTableImage(
       Seq(Seq("name", "qty"), Seq("apple", "3")),
