@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful streaming operators over the continuously-arriving span /
+  * event tables — the watermark + custom-state half of the streaming
+  * surface (StreamingExtract covers the stateless extraction Project).
+  *
+  * Scale posture: both operators keep per-key state that the watermark
+  * provably expires — at 10^12 documents unbounded streaming state is
+  * the failure mode, so every state entry here has an eviction rule
+  * (dedup: watermark horizon; sessions: event-time timeout).
+  */
+object StreamingState {
+
+  /** Streaming exact dedup: keep the first arrival per checksum, drop
+    * later duplicates until the watermark passes — the streaming
+    * counterpart of Dedup.exactGroups. State is bounded by the
+    * watermark horizon (dropDuplicatesWithinWatermark evicts expired
+    * keys), so it survives an unbounded stream.
+    */
+  def dedupByChecksum(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("checksum")
+
+  final case class UserEvent(user_id: Long, ts: java.sql.Timestamp)
+  final case class SessionState(start: Long, end: Long, n: Long)
+  final case class Session(user_id: Long, s_start: Long, s_end: Long, n_events: Long)
+
+  /** Streaming sessionization with explicit custom state
+    * (flatMapGroupsWithState + event-time timeout): the streaming
+    * counterpart of the q_sessionize batch window. Sessions close
+    * either inside a batch (a gap between sorted event times) or via
+    * watermark timeout (gap spans batches); closed sessions are emitted
+    * in Append mode and their state removed.
+    */
+  def sessionize(
+      spark: SparkSession,
+      events: Dataset[UserEvent],
+      gapSec: Long,
+      watermarkDelay: String = "10 seconds"): Dataset[Session] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[UserEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(uid, s.start, s.end, s.n))
+          } else {
+            val times = it.map(_.ts.getTime / 1000).toArray.sorted
+            var closed = List.empty[Session]
+            var cur = state.getOption.getOrElse(SessionState(times.head, times.head, 0))
+            for (t <- times) {
+              if (cur.n > 0 && t - cur.end > gapSec) {
+                closed ::= Session(uid, cur.start, cur.end, cur.n)
+                cur = SessionState(t, t, 1)
+              } else {
+                cur = SessionState(math.min(cur.start, t), math.max(cur.end, t), cur.n + 1)
+              }
+            }
+            state.update(cur)
+            state.setTimeoutTimestamp((cur.end + gapSec) * 1000)
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -73,6 +73,22 @@ class PlanSpec extends AnyFunSuite {
       s"extraction Project fell out of codegen:\n$p")
   }
 
+  test("simhash self-join reuses the fingerprint exchange beyond the broadcast regime") {
+    // At bench scale AQE broadcasts one side, so the simhash60 subtree
+    // appears twice in the plan; at 100 TB neither side broadcasts and
+    // both sides are canonically identical shuffle exchanges — Spark
+    // must then compute fingerprints ONCE (ReusedExchange), or the
+    // operator costs two full scans. Pin that property.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val p = graft.dedup.Dedup.simhashNearDups(s2,
+      s2.read.parquet(s"$sf/documents.parquet"), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"), p.take(2000))
+    assert("Scan parquet".r.findAllIn(p).length == 1, "fingerprints must be computed once")
+  }
+
   test("resume anti-join plans as a join, not a driver-side collect (S9)") {
     val p = plan("q_antijoin_resume")
     assert(p.contains("LeftAnti"), p)

@@ -22,6 +22,53 @@ class StreamingSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("watermarked streaming dedup drops later duplicates, state bounded") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val df = in.toDF().toDF("doc_id", "checksum", "ts")
+    val q = graft.streaming.StreamingState.dedupByChecksum(df, "1 hour")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    def ts(s: Long) = new java.sql.Timestamp((100000 + s) * 1000) // above the initial watermark (0 = late)
+    in.addData((1L, "A", ts(0)), (2L, "B", ts(5)))
+    q.processAllAvailable()
+    in.addData((3L, "A", ts(10)), (4L, "C", ts(20))) // A is a duplicate
+    q.processAllAvailable()
+    val got = spark.table("dedup_out").select("doc_id", "checksum")
+      .as[(Long, String)].collect().toSet
+    q.stop()
+    assert(got == Set((1L, "A"), (2L, "B"), (4L, "C")))
+  }
+
+  test("stateful streaming sessionization closes sessions by gap and by timeout") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingState.{Session, UserEvent}
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[UserEvent]
+    val q = graft.streaming.StreamingState
+      .sessionize(spark, in.toDS(), gapSec = 30, watermarkDelay = "10 seconds")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    val B = 100000L // base offset: ts 0 is at/below the initial watermark
+    def ev(u: Long, s: Long) = UserEvent(u, new java.sql.Timestamp((B + s) * 1000))
+
+    // in-batch gap: two sessions for user 1, first closes immediately
+    in.addData(ev(1, 0), ev(1, 10), ev(1, 100))
+    q.processAllAvailable()
+    // watermark advance (later event) lets the (100,100) session time out
+    in.addData(ev(2, 300))
+    q.processAllAvailable()
+    in.addData(ev(2, 600)) // watermark now far past user 1's timeout
+    q.processAllAvailable()
+    val got = spark.table("sess_out").as[Session].collect().toSet
+    q.stop()
+    assert(got.contains(Session(1, B + 0, B + 10, 2)), got.toString)   // gap-closed
+    assert(got.contains(Session(1, B + 100, B + 100, 1)), got.toString) // timeout-closed
+  }
+
   test("AvailableNow drain equals batch output; increments are incremental") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-stream").toString
