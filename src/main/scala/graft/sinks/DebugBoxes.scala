@@ -18,30 +18,39 @@ import org.apache.spark.sql.functions._
 object DebugBoxes {
 
   /** (doc_id, boxes_json): JSON array of the doc's decodable word boxes
-    * with the reference's field names, in offset order. try_cast, not
-    * cast: under ANSI mode (Spark 4 default) a malformed payload would
-    * otherwise kill the task instead of being skipped.
+    * with the reference's field names, in offset order. Docs with no
+    * decodable box are omitted (the reference dumps nothing for them).
+    *
+    * Shape: spans already arrive grouped per document row, so this is
+    * ONE shuffle-free Project over array HOFs — an explode + groupBy
+    * formulation would pay a full hash exchange to rebuild a grouping
+    * the input already has. try_cast, not cast: under ANSI mode (Spark 4
+    * default) a malformed payload would otherwise kill the task instead
+    * of being skipped. The payload is x0,x1,y0,y1 top-down; the
+    * reference's YBottom/YTop map to our bottomY/topY (box.go:12-16).
     */
   def boxesJson(spark: SparkSession, spans: DataFrame): DataFrame =
     spans
-      .select(col("doc_id"), explode(col("spans")).as("s"))
-      .select(col("doc_id"), col("s.offset").as("o"), col("s.kind").as("kind"),
-        col("s.text").as("Content"), split(col("s.media_ref"), ",", -1).as("p"))
-      .filter(col("kind") === "word_box" && size(col("p")) === 4)
-      // graft's payload is x0,x1,y0,y1 top-down; the reference's
-      // YBottom/YTop naming maps to our bottomY/topY (box.go:12-16)
-      .withColumn("XLeft", expr("try_cast(p[0] AS DOUBLE)"))
-      .withColumn("XRight", expr("try_cast(p[1] AS DOUBLE)"))
-      .withColumn("YBottom", expr("try_cast(p[3] AS DOUBLE)"))
-      .withColumn("YTop", expr("try_cast(p[2] AS DOUBLE)"))
-      .filter(col("XLeft").isNotNull && col("XRight").isNotNull &&
-        col("YTop").isNotNull && col("YBottom").isNotNull &&
-        col("XLeft") <= col("XRight") && col("YTop") <= col("YBottom"))
-      .groupBy(col("doc_id"))
-      .agg(to_json(
-        transform(
-          array_sort(collect_list(struct(col("o"),
-            struct(col("XLeft"), col("XRight"), col("YBottom"), col("YTop"),
-              col("Content")).as("b")))),
-          x => x.getField("b"))).as("boxes_json"))
+      .select(col("doc_id"), expr(
+        """to_json(
+          |  transform(
+          |    filter(
+          |      transform(
+          |        array_sort(spans, (a, b) ->
+          |          CASE WHEN a.offset < b.offset THEN -1
+          |               WHEN a.offset > b.offset THEN 1 ELSE 0 END),
+          |        s -> named_struct(
+          |          'XLeft',   try_cast(try_element_at(split(s.media_ref, ',', -1), 1) AS DOUBLE),
+          |          'XRight',  try_cast(try_element_at(split(s.media_ref, ',', -1), 2) AS DOUBLE),
+          |          'YBottom', try_cast(try_element_at(split(s.media_ref, ',', -1), 4) AS DOUBLE),
+          |          'YTop',    try_cast(try_element_at(split(s.media_ref, ',', -1), 3) AS DOUBLE),
+          |          'Content', s.text,
+          |          'ok', s.kind = 'word_box' AND size(split(s.media_ref, ',', -1)) = 4)),
+          |      b -> b.ok AND b.XLeft IS NOT NULL AND b.XRight IS NOT NULL
+          |        AND b.YTop IS NOT NULL AND b.YBottom IS NOT NULL
+          |        AND b.XLeft <= b.XRight AND b.YTop <= b.YBottom),
+          |    b -> named_struct(
+          |      'XLeft', b.XLeft, 'XRight', b.XRight, 'YBottom', b.YBottom,
+          |      'YTop', b.YTop, 'Content', b.Content)))""".stripMargin).as("boxes_json"))
+      .filter(col("boxes_json") =!= "[]")
 }
