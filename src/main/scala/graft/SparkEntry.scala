@@ -277,7 +277,8 @@ object SparkEntry {
         s.read.parquet(t(dir, "embeddings")), "vec_id", "embedding",
         queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
 
-    // ---- ANN: IVF coarse-quantizer top-k (scale path; k-means -> rows-only)
+    // ---- ANN: IVF coarse-quantizer top-k (scale path; deterministic
+    // fixed-point k-means, DuckDB-oracled)
     "q_ann_ivf" -> ((s, dir) =>
       graft.ann.Ivf.topK(s,
         s.read.parquet(t(dir, "embeddings")), "vec_id", "embedding",
@@ -624,6 +625,75 @@ object SparkEntry {
          |)
          |SELECT query_id, item_id AS neighbor_id, CAST(rank AS BIGINT) AS rank, sim
          |FROM r WHERE rank <= 10""".stripMargin
+    },
+    "q_ann_ivf" -> {
+      // replay the deterministic IVF end to end: lowest-id init, 3
+      // unrolled Lloyd's iterations with fixed-point centroid sums
+      // (order-independent integer accumulation -> identical doubles),
+      // lowest-c tie-breaks, nProbe probing, exact rerank. Ivf.scala
+      // documents why each step is engine-reproducible.
+      val nList = 16; val nProbe = 4; val iters = 3; val k = 10; val dim = 64
+      val S = graft.ann.Ivf.FixedPointScale
+      val rng = s"range(1, ${dim + 1})"
+      def dot(a: String, b: String) =
+        s"list_sum(list_transform($rng, i -> $a.v[i] * $b.v[i]))"
+      def nrm(a: String) =
+        s"sqrt(list_sum(list_transform($rng, i -> $a.v[i] * $a.v[i])))"
+      // assignment sim: both norms guarded (Ivf.assign); probe sim:
+      // centroid norm unguarded (Model.nearest) — replicated verbatim
+      def assignCte(name: String, prev: String) =
+        s"""$name AS (
+           |  SELECT vec_id, c FROM (
+           |    SELECT v.vec_id, k.c, row_number() OVER (PARTITION BY v.vec_id ORDER BY
+           |      (${dot("k", "v")} / (greatest(${nrm("k")}, 1e-12) * greatest(${nrm("v")}, 1e-12))) DESC,
+           |      k.c ASC) AS rn
+           |    FROM vecs v CROSS JOIN $prev k) WHERE rn = 1
+           |)""".stripMargin
+      def updateCtes(x: Int, prev: String) =
+        s"""m$x AS (
+           |  SELECT a.c, d.i,
+           |    CAST(sum(CAST(floor(vv.v[d.i] * $S + 0.5) AS BIGINT)) AS DOUBLE)
+           |      / ($S.0 * CAST(count(*) AS DOUBLE)) AS mean
+           |  FROM a$x a JOIN vecs vv ON vv.vec_id = a.vec_id CROSS JOIN dims d
+           |  GROUP BY a.c, d.i
+           |), c$x AS (
+           |  SELECT o.c, coalesce(n.v, o.v) AS v
+           |  FROM $prev o LEFT JOIN
+           |    (SELECT c, list(mean ORDER BY i) AS v FROM m$x GROUP BY c) n ON n.c = o.c
+           |)""".stripMargin
+      val iterations = (1 to iters).map { x =>
+        assignCte(s"a$x", s"c${x - 1}") + ", " + updateCtes(x, s"c${x - 1}")
+      }.mkString(", ")
+      s"""WITH vecs AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+         |), dims AS (
+         |  SELECT unnest(range(1, ${dim + 1})) AS i
+         |), c0 AS (
+         |  SELECT rn - 1 AS c, v FROM (
+         |    SELECT row_number() OVER (ORDER BY vec_id) AS rn, v FROM vecs) WHERE rn <= $nList
+         |), $iterations, ${assignCte("af", s"c$iters")}, probes AS (
+         |  SELECT query_id, c FROM (
+         |    SELECT q.vec_id AS query_id, k.c, row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      (${dot("k", "q")} / (${nrm("k")} * greatest(${nrm("q")}, 1e-12))) DESC,
+         |      k.c ASC) AS rn
+         |    FROM vecs q CROSS JOIN c$iters k WHERE q.vec_id IN (0, 1, 2, 3, 4))
+         |  WHERE rn <= $nProbe
+         |), cand AS (
+         |  SELECT DISTINCT p.query_id, a.vec_id AS item_id
+         |  FROM af a JOIN probes p ON a.c = p.c WHERE a.vec_id <> p.query_id
+         |), sims AS (
+         |  SELECT c.query_id, c.item_id,
+         |    ${dot("qv", "iv")} / (${nrm("qv")} * ${nrm("iv")}) AS sim
+         |  FROM cand c
+         |  JOIN vecs qv ON qv.vec_id = c.query_id
+         |  JOIN vecs iv ON iv.vec_id = c.item_id
+         |), r AS (
+         |  SELECT query_id, item_id, sim,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, item_id) AS rank
+         |  FROM sims
+         |)
+         |SELECT query_id, item_id AS neighbor_id, CAST(rank AS BIGINT) AS rank, sim
+         |FROM r WHERE rank <= $k""".stripMargin
     },
     "q_dedup_minhash" -> {
       // replay the portable MinHash construction (md5-derived 60-bit

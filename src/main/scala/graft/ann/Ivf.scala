@@ -12,13 +12,21 @@ import org.apache.spark.sql.functions._
   *
   * Spark-first shape: training is Lloyd's algorithm with every step a
   * DataFrame aggregation (assignment via broadcast codebook in a typed
-  * map, centroid update via posexplode + groupBy(cluster, dim) avg);
-  * only the k x dim codebook ever reaches the driver. Deterministic
-  * given the seed: init picks the k lowest-id vectors, iteration count
-  * is fixed (FP summation order can differ at 1 ulp across runs, which
-  * never changes candidate sets by more than ties).
+  * map, centroid update via posexplode + groupBy(cluster, dim) sums);
+  * only the k x dim codebook ever reaches the driver.
+  *
+  * Fully deterministic — and therefore DuckDB-oracle-able: init picks
+  * the k lowest-id vectors, the iteration count is fixed, assignment
+  * ties break to the lowest cluster id, and centroid updates accumulate
+  * FIXED-POINT integers (floor(x * 2^20 + 0.5) as long) whose sum is
+  * order-independent, unlike float sums which drift 1 ulp with shuffle
+  * arrival order. The mean divides back in one IEEE operation both
+  * engines reproduce bit-for-bit.
   */
 object Ivf {
+
+  /** 2^20 — centroid sums accumulate floor(x * scale + 0.5) longs. */
+  val FixedPointScale: Long = 1L << 20
 
   final case class Model(centroids: Array[Array[Double]]) {
     def nearest(vec: Array[Double], n: Int): Seq[Int] =
@@ -76,12 +84,13 @@ object Ivf {
       val sums = assigned
         .select(col("cluster"), posexplode(col("vec")))
         .groupBy(col("cluster"), col("pos"))
-        .agg(avg(col("col")).as("mean"))
+        .agg(sum(floor(col("col") * FixedPointScale + 0.5)).as("s"),
+          count(lit(1)).as("n"))
         .collect()
-      val dim = model.centroids.head.length
       val next = Array.tabulate(model.centroids.length)(c => model.centroids(c).clone())
       for (r <- sums) {
-        next(r.getAs[Int]("cluster"))(r.getAs[Int]("pos")) = r.getAs[Double]("mean")
+        next(r.getAs[Int]("cluster"))(r.getAs[Int]("pos")) =
+          r.getAs[Long]("s").toDouble / (FixedPointScale.toDouble * r.getAs[Long]("n"))
       }
       model = Model(next)
     }
