@@ -264,6 +264,14 @@ object SparkEntry {
       Dedup.simhashNearDups(s,
         s.read.parquet(t(dir, "documents")), "doc_id", "text", maxDist = 3)),
 
+    // ---- dedup: near-dup clustering (MinHash pairs -> connected
+    // components via pointer-jumping min-label propagation; the grouping
+    // stage that picks one canonical doc per near-dup cluster)
+    "q_dedup_cluster" -> ((s, dir) =>
+      Dedup.nearDupClusters(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text",
+        n = 3, k = 64, bands = 16, threshold = 0.5)),
+
     // ---- ANN: brute-force cosine top-k (exact baseline)
     "q_ann_topk" -> ((s, dir) =>
       Ann.bruteForceTopK(
@@ -295,8 +303,53 @@ object SparkEntry {
     "q_media_meta" -> ((s, dir) =>
       Media.decodeStub(Media.synthesize(s, dir))
         .select(col("doc_id"), col("width"), col("height"),
-          col("n_frames"), col("format"), col("decode_ok")))
+          col("n_frames"), col("format"), col("decode_ok"))),
+
+    // ---- html: boilerplate strip as a user-facing scalar function
+    // (north_rule's density-heuristic main-content stage)
+    "q_html_strip" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), htmlDoc(col("doc_id"), col("text")).as("html"))
+        .select(col("doc_id"),
+          posexplode(expr("html_main_content(html)")).as(Seq("block_idx", "block")))
+    }),
+
+    // ---- html: the same fragments through the extraction pipeline's
+    // `html`-span dispatch (extract_spans emits one text span per kept
+    // block, renumbered)
+    "q_html_pipeline" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"),
+          array(struct(
+            lit("html").as("kind"),
+            htmlDoc(col("doc_id"), col("text")).as("text"),
+            lit("").as("media_ref"),
+            lit(0).as("offset"))).as("spans"))
+      graft.functions.GraftFunctions.extractDF(s, docs)
+        .select(col("doc_id"), explode(col("spans")).as("span"))
+        .select(col("doc_id"), col("span.offset").as("offset"),
+          col("span.kind").as("kind"), col("span.text").as("text"))
+    })
   )
+
+  /** Deterministic HTML fragment per document, exercising every branch
+    * of the strip heuristic: a <title> block (kept), a <script>
+    * (dropped wholesale), an all-link <nav> (link density 1 ->
+    * dropped), the doc text as a <p> (kept; dropped if whitespace-only),
+    * a comment (skipped), a mixed text+link block with an entity
+    * (density 1/6 <= 1/3 -> kept, &amp; decoded), and an all-link
+    * <footer> (dropped). The DuckDB oracle recomputes the three kept
+    * blocks directly.
+    */
+  private def htmlDoc(docId: Column, text: Column): Column = concat(
+    lit("<html><head><title>Doc "), docId.cast("string"),
+    lit("</title><script>var x = 1;</script></head><body>"),
+    lit("<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a></nav><p>"),
+    text,
+    lit("</p><!-- boilerplate comment --><p>Tags &amp; refs: <a href=\"#\">link</a> entry "),
+    docId.cast("string"),
+    lit("</p><footer><a href=\"#\">Privacy</a></footer></body></html>"))
 
   /** Shared CTE chain reconstructing the E1/E2 extraction in pure SQL
     * over the input span table `Verify` dumps to {OUT}/spans_input —
@@ -407,7 +460,68 @@ object SparkEntry {
         |  csv
         |FROM csvs""".stripMargin
 
+  /** Shared CTE chain (no WITH prefix) replaying the portable MinHash
+    * construction (md5-derived 60-bit base mod P, affine per-seed
+    * transforms, band-slice bucket keys) verbatim; every step is exact
+    * integer arithmetic in both engines. Ends at CTE `est`
+    * (id_a, id_b, est_jaccard).
+    */
+  private val minhashPairsCtes: String = {
+    val k = 64; val bands = 16; val r = k / bands; val p = Dedup.MinhashP
+    val minCols = (0 until k).map(i =>
+      s"min((${Dedup.minhashA(i)} * x + ${Dedup.minhashB(i)}) % $p) AS mh_$i")
+      .mkString(", ")
+    val bandSelects = (0 until bands).map { b =>
+      val key = (0 until r).map(j => s"CAST(mh_${b * r + j} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT id, $b AS band, $key AS bkey FROM sig"
+    }.mkString(" UNION ALL ")
+    val eqSum = (0 until k)
+      .map(i => s"CASE WHEN sa.mh_$i = sb.mh_$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""t AS (
+       |  SELECT doc_id AS id, string_split(text, ' ') AS toks FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT id, s AS shingle FROM (
+       |    SELECT id, unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+       |    FROM t)
+       |), hx AS (
+       |  SELECT id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % $p AS x FROM sh
+       |), sig AS (
+       |  SELECT id, $minCols FROM hx GROUP BY id
+       |), bands_t AS (
+       |  $bandSelects
+       |), cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM bands_t a JOIN bands_t b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+       |), est AS (
+       |  SELECT id_a, id_b, CAST($eqSum AS DOUBLE) / $k AS est_jaccard
+       |  FROM cand JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b
+       |)""".stripMargin
+  }
+
+  /** The three kept blocks of `htmlDoc` recomputed directly: title,
+    * whitespace-normalized doc text (dropped when empty), and the mixed
+    * entity+link block. Java's and RE2's \s agree on the ASCII set.
+    */
+  private val htmlBlocksCte: String =
+    """WITH d AS (
+      |  SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents
+      |), blocks AS (
+      |  SELECT doc_id, list_filter([
+      |    'Doc ' || CAST(doc_id AS VARCHAR),
+      |    t,
+      |    'Tags & refs: link entry ' || CAST(doc_id AS VARCHAR)], b -> b <> '') AS bl
+      |  FROM d
+      |)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q_html_strip" -> (htmlBlocksCte +
+      "\nSELECT doc_id, CAST(unnest(range(len(bl))) AS INTEGER) AS block_idx, unnest(bl) AS block FROM blocks"),
+    "q_html_pipeline" -> (htmlBlocksCte +
+      "\nSELECT doc_id, CAST(unnest(range(len(bl))) AS INTEGER) AS \"offset\", 'text' AS kind, unnest(bl) AS text FROM blocks"),
     "extract_boxes_debug" ->
       """WITH sp AS (
         |  SELECT doc_id, "offset", kind, text, media_ref
@@ -695,45 +809,24 @@ object SparkEntry {
          |SELECT query_id, item_id AS neighbor_id, CAST(rank AS BIGINT) AS rank, sim
          |FROM r WHERE rank <= $k""".stripMargin
     },
-    "q_dedup_minhash" -> {
-      // replay the portable MinHash construction (md5-derived 60-bit
-      // base mod P, affine per-seed transforms, band-slice bucket keys)
-      // verbatim; every step is exact integer arithmetic in both engines
-      val k = 64; val bands = 16; val r = k / bands; val p = Dedup.MinhashP
-      val minCols = (0 until k).map(i =>
-        s"min((${Dedup.minhashA(i)} * x + ${Dedup.minhashB(i)}) % $p) AS mh_$i")
-        .mkString(", ")
-      val bandSelects = (0 until bands).map { b =>
-        val key = (0 until r).map(j => s"CAST(mh_${b * r + j} AS VARCHAR)")
-          .mkString(" || ',' || ")
-        s"SELECT id, $b AS band, $key AS bkey FROM sig"
-      }.mkString(" UNION ALL ")
-      val eqSum = (0 until k)
-        .map(i => s"CASE WHEN sa.mh_$i = sb.mh_$i THEN 1 ELSE 0 END")
-        .mkString(" + ")
-      s"""WITH t AS (
-         |  SELECT doc_id AS id, string_split(text, ' ') AS toks FROM documents
-         |), sh AS (
-         |  SELECT DISTINCT id, s AS shingle FROM (
-         |    SELECT id, unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
-         |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
-         |    FROM t)
-         |), hx AS (
-         |  SELECT id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % $p AS x FROM sh
-         |), sig AS (
-         |  SELECT id, $minCols FROM hx GROUP BY id
-         |), bands_t AS (
-         |  $bandSelects
-         |), cand AS (
-         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-         |  FROM bands_t a JOIN bands_t b
-         |    ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
-         |), est AS (
-         |  SELECT id_a, id_b, CAST($eqSum AS DOUBLE) / $k AS est_jaccard
-         |  FROM cand JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b
+    "q_dedup_minhash" ->
+      s"WITH $minhashPairsCtes\nSELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5",
+    "q_dedup_cluster" ->
+      // connected components over the thresholded pair graph: DuckDB's
+      // recursive CTE computes min-reachable-id per node — an
+      // independent formulation of what the Spark side derives by
+      // pointer-jumping label propagation
+      s"""WITH RECURSIVE $minhashPairsCtes, pr AS (
+         |  SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5
+         |), e2 AS (
+         |  SELECT id_a AS u, id_b AS v FROM pr UNION SELECT id_b, id_a FROM pr
+         |), reach AS (
+         |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM e2)
+         |  UNION
+         |  SELECT e2.u, reach.r FROM e2 JOIN reach ON reach.u = e2.v
          |)
-         |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5""".stripMargin
-    },
+         |SELECT u AS doc_id, min(r) AS cluster_id, min(r) = u AS keep
+         |FROM reach GROUP BY u""".stripMargin,
     "q_dedup_ngram" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 200

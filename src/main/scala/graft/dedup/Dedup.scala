@@ -215,4 +215,82 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** Connected components over an undirected candidate-pair edge list —
+    * the clustering stage that turns near-dup PAIRS into dedup GROUPS.
+    * Returns (doc_id, cluster_id) for every node that appears in a pair,
+    * with cluster_id = the minimum doc id reachable from it.
+    *
+    * Algorithm: min-label propagation (each node takes the min label
+    * over itself and its neighbors) followed by pointer jumping
+    * (label := label(label)) each round, as hash joins + partial-agg
+    * groupBys keyed on node id. Pointer jumping halves the remaining
+    * label-tree height per round, so convergence is O(log diameter)
+    * shuffle rounds — the property that keeps this viable at 10^9 nodes
+    * (same doubling idea as Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC 2014), vs O(diameter) for plain
+    * propagation. Near-dup graphs are forests of shallow dense blobs,
+    * so in practice 3-5 rounds. Each round localCheckpoints the label
+    * frontier (keeps the lineage flat across iterations — swap for
+    * reliable checkpointing on a real cluster) and runs one action for
+    * convergence detection.
+    */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIters: Int = 25): DataFrame = {
+    val half = pairs.select(col(idA).cast("long").as("u"), col(idB).cast("long").as("v"))
+    val edges = half.union(half.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val nbrMin = edges.join(labels.withColumnRenamed("id", "v"), "v")
+        .groupBy(col("u").as("id")).agg(min("label").as("nb_label"))
+      val relaxed = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nb_label"), col("label"))).as("label"))
+      // pointer jumping: follow the label one hop (labels are node ids,
+      // so every label value has a row; left join guards the root case)
+      val next = relaxed.as("x")
+        .join(relaxed.select(col("id").as("label"), col("label").as("ll")).as("y"),
+          Seq("label"), "left")
+        .select(col("id"), coalesce(col("ll"), col("label")).as("label"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.select(col("id"), col("label").as("old_label")).as("o"), "id")
+        .filter(col("label") =!= col("old_label"))
+        .count()
+      labels = next
+      converged = changed == 0L
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIters rounds")
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** End-to-end near-dup grouping: MinHash+LSH candidate pairs ->
+    * connected components -> (doc_id, cluster_id, keep), keep = this doc
+    * is the cluster's canonical representative (minimum id). Docs with
+    * no near-dup are absent (they are trivially their own cluster); the
+    * dedup'd corpus is `docs` anti-joined with the keep=false rows.
+    */
+  def nearDupClusters(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 64, bands: Int = 16, threshold: Double = 0.7): DataFrame = {
+    val pairs = minhashNearDups(docs, idCol, textCol, n, k, bands, threshold)
+    connectedComponents(pairs)
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+  }
+
+  /** The deduplicated corpus: every doc except non-canonical members of
+    * near-dup clusters. Anti-join keyed on the (small) cluster-member
+    * set — broadcast-able; the full corpus is never shuffled.
+    */
+  def dedupSurvivors(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 64, bands: Int = 16, threshold: Double = 0.7): DataFrame = {
+    val drop = nearDupClusters(docs, idCol, textCol, n, k, bands, threshold)
+      .filter(!col("keep"))
+      .select(col("doc_id").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
 }

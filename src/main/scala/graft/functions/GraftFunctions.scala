@@ -16,7 +16,8 @@ object GraftFunctions {
     "extract_spans_split" -> (exprs => ExtractSpansExpr(exprs.head, useSplitHeuristic = true)),
     "extract_spans_split_mid" -> (exprs =>
       ExtractSpansExpr(exprs.head, useSplitHeuristic = true, useMidpoint = true)),
-    "simhash60" -> (exprs => Simhash60Expr(exprs.head)))
+    "simhash60" -> (exprs => Simhash60Expr(exprs.head)),
+    "html_main_content" -> (exprs => HtmlMainContentExpr(exprs.head)))
 
   /** Session-scoped registration (tests, local jobs). */
   def register(spark: SparkSession): Unit =

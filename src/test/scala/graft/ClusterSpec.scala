@@ -1,0 +1,129 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.html.HtmlStrip
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** Near-dup clustering (connected components) and the html_main_content
+  * expression surface.
+  */
+class ClusterSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-cluster-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def pairsDf(rows: (Long, Long)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("id_a", "id_b")
+  }
+
+  private def components(pairs: DataFrame): Map[Long, Long] =
+    Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** In-test union-find ground truth. */
+  private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    // min-id canonicalization: the root chosen above is already the min
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("two separate chains cluster to their min ids") {
+    val got = components(pairsDf((1L, 2L), (2L, 3L), (10L, 11L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("long path converges (pointer jumping beats O(diameter))") {
+    val path = (1L until 40L).map(i => (i, i + 1))
+    val got = components(pairsDf(path: _*))
+    assert(got.values.toSet == Set(1L))
+    assert(got.size == 40)
+  }
+
+  test("empty pair set yields empty clustering") {
+    assert(Dedup.connectedComponents(pairsDf()).count() == 0)
+  }
+
+  test("random graph matches union-find ground truth") {
+    val rng = new Random(7)
+    val pairs = Vector.fill(60)((rng.nextInt(30).toLong, rng.nextInt(30).toLong))
+      .filter(p => p._1 != p._2)
+    val got = components(pairsDf(pairs: _*))
+    assert(got == unionFind(pairs))
+  }
+
+  test("nearDupClusters marks exactly one keeper per cluster") {
+    import spark.implicits._
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val docs = Seq(
+      (1L, base), (2L, base), (3L, base + " kilo"),
+      (4L, "completely different words entirely unrelated content here now"),
+      (5L, "zulu yankee xray whiskey victor uniform tango sierra romeo"))
+      .toDF("doc_id", "text")
+    val out = Dedup.nearDupClusters(docs, "doc_id", "text", threshold = 0.5).collect()
+    val byCluster = out.groupBy(_.getLong(1))
+    assert(byCluster.nonEmpty)
+    byCluster.foreach { case (cid, members) =>
+      assert(members.count(_.getBoolean(2)) == 1)
+      assert(members.find(_.getBoolean(2)).get.getLong(0) == cid)
+      assert(members.map(_.getLong(0)).min == cid)
+    }
+    // doc 1 and its exact dup 2 must share a cluster
+    val m = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m.get(1L).isDefined && m(1L) == m(2L))
+  }
+
+  test("dedupSurvivors drops only non-canonical near-dups") {
+    import spark.implicits._
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val docs = Seq(
+      (1L, base), (2L, base),
+      (4L, "completely different words entirely unrelated content here now"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupSurvivors(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(1L, 4L)))
+  }
+
+  test("html_main_content expression equals HtmlStrip.mainContentBlocks") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val samples = Seq(
+      "<html><head><title>Doc 9</title><script>var x = 1;</script></head><body>" +
+        "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav><p>hello   world</p>" +
+        "<!-- c --><p>Tags &amp; refs: <a href=\"#\">link</a> entry 9</p>" +
+        "<footer><a href=\"#\">Privacy</a></footer></body></html>",
+      "plain text, no markup at all",
+      "",
+      "<p></p><p><a href=\"#\">only links here</a></p>",
+      "<div>unclosed <b>bold &#x41;&#66; &unknown; tail")
+    val df = samples.zipWithIndex.map { case (h, i) => (i, h) }.toDF("i", "html")
+    val got = df.selectExpr("i", "html_main_content(html) AS blocks")
+      .collect().map(r => r.getInt(0) -> r.getSeq[String](1).toVector).toMap
+    samples.zipWithIndex.foreach { case (h, i) =>
+      assert(got(i) == HtmlStrip.mainContentBlocks(h), s"sample $i")
+    }
+    // null html -> null result (nullSafeEval)
+    val n = spark.sql("SELECT html_main_content(CAST(NULL AS STRING)) AS b")
+      .collect().head
+    assert(n.isNullAt(0))
+  }
+}
