@@ -115,7 +115,11 @@ object Dedup {
     * pairs are generated within buckets only.
     */
   def minhashCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
-    val banded = sigs.select(col("id"), col("sig"),
+    // band join carries only (id, band, band_hash) — the k-element
+    // signature arrays never ride through the banded shuffle (k x the
+    // payload at 10^9 docs); they re-attach by id join after the pair
+    // set is deduped, when each signature is read exactly twice
+    val banded = sigs.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         bIdx => concat_ws(",",
           transform(slice(col("sig"), bIdx * rowsPerBand + 1, lit(rowsPerBand)),
@@ -124,17 +128,16 @@ object Dedup {
       .withColumnRenamed("col", "band_hash")
     val a = banded.as("a")
     val b = banded.as("b")
-    a.join(b,
+    val pairs = a.join(b,
         col("a.band") === col("b.band") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      // dedupe on the id pair only (a pair can match in several bands);
-      // first() keeps one signature copy out of the shuffle instead of
-      // hashing the full k-int arrays through a distinct()
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(first(col("sig_a")).as("sig_a"), first(col("sig_b")).as("sig_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
   }
 
   /** MinHash near-dup pairs with estimated Jaccard (matching signature
@@ -248,21 +251,19 @@ object Dedup {
       val nbrMin = edges.join(labels.withColumnRenamed("id", "v"), "v")
         .groupBy(col("u").as("id")).agg(min("label").as("nb_label"))
       val relaxed = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("prev"),
           least(col("label"), coalesce(col("nb_label"), col("label"))).as("label"))
       // pointer jumping: follow the label one hop (labels are node ids,
-      // so every label value has a row; left join guards the root case)
+      // so every label value has a row; left join guards the root case).
+      // The previous round's label rides along so convergence detection
+      // is a filter+count on the checkpointed frontier, not another join.
       val next = relaxed.as("x")
         .join(relaxed.select(col("id").as("label"), col("label").as("ll")).as("y"),
           Seq("label"), "left")
-        .select(col("id"), coalesce(col("ll"), col("label")).as("label"))
+        .select(col("id"), col("prev"), coalesce(col("ll"), col("label")).as("label"))
         .localCheckpoint()
-      val changed = next.as("n")
-        .join(labels.select(col("id"), col("label").as("old_label")).as("o"), "id")
-        .filter(col("label") =!= col("old_label"))
-        .count()
-      labels = next
-      converged = changed == 0L
+      converged = next.filter(col("label") =!= col("prev")).isEmpty
+      labels = next.select(col("id"), col("label"))
       iter += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIters rounds")
