@@ -93,4 +93,31 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q_antijoin_resume")
     assert(p.contains("LeftAnti"), p)
   }
+
+  test("html strip is a single codegen stage over the scan, zero exchanges") {
+    val p = plan("q_html_strip")
+    assert(p.contains("Scan parquet"), p)
+    assert(!p.toLowerCase.contains("exchange"), p)
+    assert(p.contains("WholeStageCodegen") || p.contains("*("), p)
+    // pruned read: only doc_id + text feed the template
+    assert(!p.contains("n_chars") && !p.contains("source"), s"unpruned scan:\n$p")
+  }
+
+  test("LSH band join shuffles bare keys; signatures re-attach after the pair distinct") {
+    // the banded exchange must not carry the 64-long sig arrays — at
+    // 10^9 docs that is k x the shuffle payload of the key-only design
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val sigs = graft.dedup.Dedup.minhashSignatures(
+      s2.read.parquet(s"$sf/documents.parquet"), "doc_id", "text", 3, 64)
+    val p = graft.dedup.Dedup.minhashCandidates(sigs, 16, 4)
+      .queryExecution.executedPlan.toString
+    val bandExchanges = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning(band"))
+      .toVector
+    assert(bandExchanges.nonEmpty, p.take(2000))
+    assert(bandExchanges.forall(!_.contains("sig")),
+      s"sig arrays ride the banded shuffle:\n${bandExchanges.mkString("\n")}")
+  }
 }
