@@ -305,6 +305,26 @@ object SparkEntry {
         .select(col("doc_id"), col("width"), col("height"),
           col("n_frames"), col("format"), col("decode_ok"))),
 
+    // ---- corpus: shuffle-free deterministic sample (portable
+    // md5-derived hash threshold; pure filter in the scan stage)
+    "q_sample_hash" -> ((s, dir) =>
+      graft.corpus.Sampling.hashSample(
+        s.read.parquet(t(dir, "documents")), "doc_id", rate = 0.2)
+        .select(col("doc_id"), col("lang"))),
+
+    // ---- corpus: exact stratified sample (ceil(frac*|stratum|) per
+    // lang, portable-hash order; one shuffle on the stratum key)
+    "q_sample_stratified" -> ((s, dir) =>
+      graft.corpus.Sampling.stratifiedExact(
+        s.read.parquet(t(dir, "documents")), "lang", "doc_id", frac = 0.1)
+        .select(col("doc_id"), col("lang"))),
+
+    // ---- ANN: int8 embedding quantization (4x memory at 10^9 vectors;
+    // explicit half-up arithmetic so the oracle replays it exactly)
+    "q_embed_quant" -> ((s, dir) =>
+      graft.ann.Quant.quantize(
+        s.read.parquet(t(dir, "embeddings")), "vec_id", "embedding")),
+
     // ---- html: boilerplate strip as a user-facing scalar function
     // (north_rule's density-heuristic main-content stage)
     "q_html_strip" -> ((s, dir) => {
@@ -518,6 +538,37 @@ object SparkEntry {
       |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_sample_hash" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST('0x' || substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |  % 1000000 < 200000""".stripMargin,
+    "q_sample_stratified" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    CAST('0x' || substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |      % 1000000 AS hv
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM h
+        |)
+        |SELECT doc_id, lang FROM r WHERE rn <= ceil(0.1 * n)""".stripMargin,
+    "q_embed_quant" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        |), m AS (
+        |  SELECT vec_id, e,
+        |    coalesce(list_aggregate(list_transform(e, x -> abs(x)), 'max'), 0.0) AS ma
+        |  FROM v
+        |)
+        |SELECT vec_id,
+        |  CASE WHEN ma = 0.0 THEN 0.0 ELSE ma / 127.0 END AS scale,
+        |  CASE WHEN ma = 0.0 THEN list_transform(e, x -> 0)
+        |       ELSE list_transform(e, x -> CAST(floor(x / (ma / 127.0) + 0.5) AS INTEGER))
+        |  END AS q
+        |FROM m""".stripMargin,
     "q_html_strip" -> (htmlBlocksCte +
       "\nSELECT doc_id, CAST(unnest(range(len(bl))) AS INTEGER) AS block_idx, unnest(bl) AS block FROM blocks"),
     "q_html_pipeline" -> (htmlBlocksCte +

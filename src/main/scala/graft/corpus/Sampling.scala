@@ -1,0 +1,57 @@
+package graft.corpus
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling for training-data pipelines.
+  *
+  * Two designs with different scale postures:
+  *
+  *  - hashSample: keep a row iff a portable md5-derived hash of its id
+  *    falls under the rate threshold. Shuffle-free (pure filter inside
+  *    the scan's codegen stage), reproducible across engines and runs,
+  *    and composable (a 1% sample of a 10% sample is the 0.1% sample of
+  *    neither — each uses an independent salt). The per-stratum rate is
+  *    only approximate (binomial), which is what you want at 10^9 rows.
+  *
+  *  - stratifiedExact: exactly ceil(frac * |stratum|) rows per stratum,
+  *    chosen by the same portable hash order. Needs one shuffle on the
+  *    stratum key and a within-stratum sort (window row_number) — the
+  *    price of exactness; use for bounded-cardinality strata (languages,
+  *    sources), not for high-cardinality keys.
+  *
+  * Portable hash: first 15 hex chars of md5(salt || id) as a 60-bit
+  * integer (same construction as Dedup.minhashBase), so a DuckDB oracle
+  * replays the exact sample.
+  */
+object Sampling {
+
+  val HashMod: Long = 1000000L
+
+  /** 60-bit md5-derived hash of the id, uniform over [0, HashMod). */
+  def portableHash(id: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 15), 16, 10)
+      .cast("long") % HashMod
+
+  /** Shuffle-free deterministic sample: rate in [0, 1]. */
+  def hashSample(df: DataFrame, idCol: String, rate: Double,
+      salt: String = "graft"): DataFrame = {
+    require(rate >= 0 && rate <= 1, s"rate must be in [0,1], got $rate")
+    df.filter(portableHash(col(idCol), salt) < (rate * HashMod).toLong)
+  }
+
+  /** Exact stratified sample: ceil(frac * |stratum|) rows per stratum,
+    * lowest portable-hash rows first (id breaks hash ties).
+    */
+  def stratifiedExact(df: DataFrame, stratumCol: String, idCol: String,
+      frac: Double, salt: String = "graft"): DataFrame = {
+    require(frac >= 0 && frac <= 1, s"frac must be in [0,1], got $frac")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(portableHash(col(idCol), salt), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(stratumCol))))
+      .filter(col("__rn") <= ceil(lit(frac) * col("__n")))
+      .drop("__rn", "__n")
+  }
+}

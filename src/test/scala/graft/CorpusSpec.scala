@@ -1,0 +1,76 @@
+package graft
+
+import graft.ann.Quant
+import graft.corpus.Sampling
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Deterministic sampling and int8 embedding quantization. */
+class CorpusSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-corpus-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def docs(n: Int): DataFrame = {
+    import spark.implicits._
+    (0 until n).map(i => (i.toLong, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr"))
+      .toDF("doc_id", "lang")
+  }
+
+  test("hashSample is deterministic and near the requested rate") {
+    val d = docs(2000)
+    val a = Sampling.hashSample(d, "doc_id", 0.2).collect().map(_.getLong(0)).sorted
+    val b = Sampling.hashSample(d, "doc_id", 0.2).collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b))
+    assert(a.length > 2000 * 0.2 * 0.7 && a.length < 2000 * 0.2 * 1.3,
+      s"rate off: ${a.length}/2000")
+    // a different salt draws a different sample
+    val c = Sampling.hashSample(d, "doc_id", 0.2, salt = "other")
+      .collect().map(_.getLong(0)).sorted
+    assert(!a.sameElements(c))
+    // rate monotonicity: the 0.2 sample contains the 0.1 sample
+    val small = Sampling.hashSample(d, "doc_id", 0.1).collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(a.toSet))
+  }
+
+  test("stratifiedExact keeps exactly ceil(frac*n) rows per stratum") {
+    val d = docs(999) // 333 per lang
+    val out = Sampling.stratifiedExact(d, "lang", "doc_id", 0.1)
+    val counts = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = math.ceil(0.1 * 333).toLong
+    assert(counts == Map("en" -> expected, "de" -> expected, "fr" -> expected))
+    // deterministic
+    val again = Sampling.stratifiedExact(d, "lang", "doc_id", 0.1)
+      .collect().map(_.getLong(0)).sorted
+    assert(again.sameElements(out.collect().map(_.getLong(0)).sorted))
+  }
+
+  test("quantize: max-abs element maps to ±127, roundtrip error <= scale/2") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(0.5f, -1.0f, 0.25f)),
+      (1L, Array(0.0f, 0.0f)),
+      (2L, Array(3.14f))).toDF("vec_id", "embedding")
+    val q = Quant.quantize(emb, "vec_id", "embedding")
+    val rows = q.collect().map(r =>
+      r.getLong(0) -> (r.getDouble(1), r.getSeq[Int](2).toVector)).toMap
+    assert(rows(0L)._2.map(math.abs).max == 127)
+    assert(rows(0L)._2(1) == -127)
+    assert(rows(1L) == ((0.0, Vector(0, 0))))
+    assert(rows(2L)._2 == Vector(127))
+    // reconstruction error bound
+    val deq = Quant.dequantize(q).select("vec_id", "vec_approx", "scale")
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[Double](1).toVector, r.getDouble(2)))).toMap
+    val orig = Map(0L -> Vector(0.5, -1.0, 0.25), 1L -> Vector(0.0, 0.0), 2L -> Vector(3.140000104904175))
+    for ((id, (approx, scale)) <- deq; (a, o) <- approx.zip(orig(id)))
+      assert(math.abs(a - o) <= scale / 2 + 1e-12, s"vec $id: $a vs $o (scale $scale)")
+  }
+}
