@@ -114,11 +114,21 @@ object Dedup {
     * candidates, and byte-reproducible by the DuckDB oracle). Candidate
     * pairs are generated within buckets only.
     */
-  def minhashCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+  def minhashCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int,
+      maxBucketSize: Int = 10000): DataFrame = {
     // band join carries only (id, band, band_hash) — the k-element
     // signature arrays never ride through the banded shuffle (k x the
     // payload at 10^9 docs); they re-attach by id join after the pair
-    // set is deduped, when each signature is read exactly twice
+    // set is deduped, when each signature is read exactly twice.
+    //
+    // maxBucketSize is the mass-duplicate guard (same rationale as
+    // simhashNearDups'): a corpus with 10^6 exact copies puts them all
+    // in the same bucket of EVERY band — n^2/2 candidate pairs — and
+    // exact dedup already catches them. Over-cap buckets are dropped
+    // whole; a genuinely near (not identical) pair still surfaces from
+    // any one of its other matching bands that stays under the cap.
+    // The DuckDB oracle replays the uncapped construction, valid while
+    // every test-corpus bucket is far below the default cap.
     val banded = sigs.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         bIdx => concat_ws(",",
@@ -126,6 +136,9 @@ object Dedup {
             _.cast("string"))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "band_hash")))
+      .filter(col("bsz") <= maxBucketSize)
+      .drop("bsz")
     val a = banded.as("a")
     val b = banded.as("b")
     val pairs = a.join(b,

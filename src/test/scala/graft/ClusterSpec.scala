@@ -103,6 +103,21 @@ class ClusterSpec extends AnyFunSuite {
     assert(kept.sameElements(Array(1L, 4L)))
   }
 
+  test("minhash bucket cap bounds mass-duplicate fan-out") {
+    import spark.implicits._
+    // 60 identical docs: every band bucket holds all 60 — over a cap of
+    // 50 the buckets drop whole and NO quadratic pair set materializes
+    // (exact dedup owns identical docs); under the default cap the
+    // clique appears in full
+    val dupes = (0L until 60L).map(i => (i, "alpha bravo charlie delta echo"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(dupes, "doc_id", "text", n = 3, k = 64)
+    val capped = Dedup.minhashCandidates(sigs, 16, 4, maxBucketSize = 50).count()
+    assert(capped == 0L, s"over-cap buckets must drop whole, got $capped pairs")
+    val uncapped = Dedup.minhashCandidates(sigs, 16, 4).count()
+    assert(uncapped == 60L * 59 / 2)
+  }
+
   test("html_main_content expression equals HtmlStrip.mainContentBlocks") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
