@@ -305,6 +305,18 @@ object SparkEntry {
         .select(col("doc_id"), col("width"), col("height"),
           col("n_frames"), col("format"), col("decode_ok"))),
 
+    // ---- multimodal: resize through the stub codec (header rewrite +
+    // payload-shape contract), verified by re-decoding
+    "q_media_resize" -> ((s, dir) =>
+      Media.decodeWithSize(Media.resizeStub(Media.synthesize(s, dir), 128, 96))
+        .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+          col("format"), col("n_bytes"))),
+
+    // ---- multimodal: frame sampling (every 3rd frame as its own blob)
+    "q_media_frames" -> ((s, dir) =>
+      Media.frameSample(Media.synthesize(s, dir), stride = 3)
+        .select(col("doc_id"), col("frame_idx"), length(col("content")).as("n_bytes"))),
+
     // ---- corpus: shuffle-free deterministic sample (portable
     // md5-derived hash threshold; pure filter in the scan stage)
     "q_sample_hash" -> ((s, dir) =>
@@ -538,6 +550,23 @@ object SparkEntry {
       |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // resize contract: metadata is the target dims, format/frames are
+    // functions of doc_id, payload size = 17-byte header + min(1024,
+    // w*h/64) stub payload (Media.encodeBytes)
+    "q_media_resize" ->
+      """SELECT doc_id, 128 AS width, 96 AS height,
+        |  CAST(1 + doc_id % 10 AS INTEGER) AS n_frames,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'mp4' END AS format,
+        |  CAST(17 + least(1024, (128 * 96) // 64) AS INTEGER) AS n_bytes
+        |FROM documents""".stripMargin,
+    "q_media_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id, unnest(range(0, 1 + doc_id % 10, 3)) AS frame_idx FROM documents
+        |)
+        |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  CAST(17 + least(1024,
+        |    ((64 + (doc_id % 7) * 32) * (48 + (doc_id % 5) * 32)) // 64) AS INTEGER) AS n_bytes
+        |FROM f""".stripMargin,
     "q_sample_hash" ->
       """SELECT doc_id, lang FROM documents
         |WHERE CAST('0x' || substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)

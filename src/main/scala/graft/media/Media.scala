@@ -89,6 +89,23 @@ object Media {
     }.toDF("doc_id", "width", "height", "n_frames", "format", "decode_ok")
   }
 
+  /** decodeStub plus the payload size — one pass, used to verify the
+    * resize contract (metadata AND payload shape track the target dims).
+    */
+  def decodeWithSize(blobs: Dataset[MediaBlob]): DataFrame = {
+    import blobs.sparkSession.implicits._
+    blobs.map { b =>
+      val ok = b.content.length >= 17 &&
+        java.util.Arrays.equals(b.content.slice(0, 4), Magic)
+      if (!ok) (b.doc_id, -1, -1, -1, "invalid", false, b.content.length)
+      else {
+        val buf = ByteBuffer.wrap(b.content, 4, 13)
+        val w = buf.getInt; val h = buf.getInt; val f = buf.getInt
+        (b.doc_id, w, h, f, formatName(buf.get()), true, b.content.length)
+      }
+    }.toDF("doc_id", "width", "height", "n_frames", "format", "decode_ok", "n_bytes")
+  }
+
   /** STUB resize: rewrite the header with scaled dims, keep the payload
     * shape contract (payload size tracks w*h).
     */
