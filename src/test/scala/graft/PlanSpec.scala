@@ -103,6 +103,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("n_chars") && !p.contains("source"), s"unpruned scan:\n$p")
   }
 
+  test("sampling and quantization are single-stage, zero-exchange scans") {
+    for (q <- Seq("q_sample_hash", "q_embed_quant")) {
+      val p = plan(q)
+      assert(p.contains("Scan parquet"), s"$q:\n$p")
+      assert(!p.toLowerCase.contains("exchange"), s"$q grew a shuffle:\n$p")
+      assert(p.contains("WholeStageCodegen") || p.contains("*("), s"$q:\n$p")
+    }
+  }
+
   test("LSH band join shuffles bare keys; signatures re-attach after the pair distinct") {
     // the banded exchange must not carry the 64-long sig arrays — at
     // 10^9 docs that is k x the shuffle payload of the key-only design
