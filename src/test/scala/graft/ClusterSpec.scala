@@ -70,6 +70,22 @@ class ClusterSpec extends AnyFunSuite {
     assert(got == unionFind(pairs))
   }
 
+  test("property: components equal union-find across graph shapes") {
+    // sweep density and size, including self-loops and duplicate edges
+    // (both legal in a candidate-pair list after threshold filtering)
+    for (seed <- 1 to 12) {
+      val rng = new Random(seed * 7919L)
+      val n = 5 + rng.nextInt(60)
+      val m = rng.nextInt(3 * n)
+      val pairs = Vector.fill(m)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+      if (pairs.nonEmpty) {
+        val got = components(pairsDf(pairs: _*))
+        val want = unionFind(pairs.map { case (a, b) => (math.min(a, b), math.max(a, b)) })
+        assert(got == want, s"seed $seed (n=$n, m=$m)")
+      }
+    }
+  }
+
   test("nearDupClusters marks exactly one keeper per cluster") {
     import spark.implicits._
     val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
