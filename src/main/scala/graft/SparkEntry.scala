@@ -305,6 +305,25 @@ object SparkEntry {
         .select(col("doc_id"), col("width"), col("height"),
           col("n_frames"), col("format"), col("decode_ok"))),
 
+    // ---- composite: the full corpus-cleaning pipeline in one query —
+    // language ID + quality gates, exact-dedup canonical keep, then a
+    // deterministic 50% sample. Demonstrates the operators compose into
+    // the training-data-cleaning job a user actually runs.
+    "q_corpus_clean" -> ((s, dir) => {
+      val scored = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), col("text"),
+          TextOps.langId(col("text")).as("pred_lang"),
+          TextOps.qualityScore(col("text")).as("quality"),
+          TextOps.tokenCount(col("text")).as("n_tokens"))
+        .filter(col("quality") >= 0.5 && col("pred_lang") =!= "und")
+      val keepIds = Dedup.exactGroups(scored, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      graft.corpus.Sampling.hashSample(
+          scored.join(keepIds, Seq("doc_id"), "left_semi"),
+          "doc_id", rate = 0.5, salt = "clean")
+        .select(col("doc_id"), col("pred_lang"), col("quality"), col("n_tokens"))
+    }),
+
     // ---- multimodal: resize through the stub codec (header rewrite +
     // payload-shape contract), verified by re-decoding
     "q_media_resize" -> ((s, dir) =>
@@ -550,6 +569,49 @@ object SparkEntry {
       |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_corpus_clean" -> {
+      val allMarkers = TextOps.LangMarkers.flatMap(_._2)
+        .map(m => s"'$m'").mkString("(", ", ", ")")
+      val sets = TextOps.LangMarkers.map { case (l, ms) =>
+        l -> ms.map(m => s"'$m'").mkString("(", ", ", ")")
+      }.toMap
+      s"""WITH sc AS (
+         |  SELECT doc_id, text,
+         |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+         |    CAST(length(text) AS DOUBLE) AS n_ch,
+         |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN $allMarkers)) AS DOUBLE) AS hits,
+         |    len(list_filter(string_split(lower(text), ' '), x -> x IN ${sets("en")})) AS s_en,
+         |    len(list_filter(string_split(lower(text), ' '), x -> x IN ${sets("de")})) AS s_de,
+         |    len(list_filter(string_split(lower(text), ' '), x -> x IN ${sets("es")})) AS s_es,
+         |    len(list_filter(string_split(lower(text), ' '), x -> x IN ${sets("fr")})) AS s_fr,
+         |    len(list_filter(string_split(lower(text), ' '), x -> x IN ${sets("zh")})) AS s_zh
+         |  FROM documents
+         |), scored AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN s_en + s_de + s_es + s_fr + s_zh = 0 THEN 'und'
+         |         WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+         |         WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+         |         WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+         |         WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+         |         ELSE 'zh' END AS pred_lang,
+         |    least(n_tok / 64.0, 1.0) * 0.4
+         |      + (CASE WHEN n_ch / greatest(n_tok, 1.0) >= 3 AND n_ch / greatest(n_tok, 1.0) <= 10 THEN 1.0
+         |              ELSE greatest(0.0, 1.0 - abs(n_ch / greatest(n_tok, 1.0) - 6.5) / 10.0) END) * 0.3
+         |      + least(hits / greatest(n_tok * 0.05, 1.0), 1.0) * 0.3 AS quality,
+         |    CAST(n_tok AS BIGINT) AS n_tokens
+         |  FROM sc
+         |), filt AS (
+         |  SELECT * FROM scored WHERE quality >= 0.5 AND pred_lang <> 'und'
+         |), keep AS (
+         |  SELECT min(doc_id) AS doc_id
+         |  FROM (SELECT doc_id, sha256(lower(trim(text))) AS cks FROM filt)
+         |  GROUP BY cks
+         |)
+         |SELECT f.doc_id, f.pred_lang, f.quality, f.n_tokens
+         |FROM filt f JOIN keep k ON f.doc_id = k.doc_id
+         |WHERE CAST('0x' || substr(md5('clean' || CAST(f.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+         |  % 1000000 < 500000""".stripMargin
+    },
     // resize contract: metadata is the target dims, format/frames are
     // functions of doc_id, payload size = 17-byte header + min(1024,
     // w*h/64) stub payload (Media.encodeBytes)
