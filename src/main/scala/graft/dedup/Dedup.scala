@@ -129,6 +129,12 @@ object Dedup {
     // any one of its other matching bands that stays under the cap.
     // The DuckDB oracle replays the uncapped construction, valid while
     // every test-corpus bucket is far below the default cap.
+    //
+    // Plan shape (verified with broadcasts off): the banded self-join
+    // reuses ONE exchange (the window's), and the two sig-attach joins
+    // share a second — signatures are computed twice total (banding +
+    // rerank attach). Persist `sigs` upstream to trade memory for the
+    // recompute when the corpus scan dominates.
     val banded = sigs.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         bIdx => concat_ws(",",
