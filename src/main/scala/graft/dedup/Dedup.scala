@@ -262,8 +262,12 @@ object Dedup {
     val half = pairs.select(col(idA).cast("long").as("u"), col(idB).cast("long").as("v"))
     val edges = half.union(half.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint()
-    var labels = edges.select(col("u").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+    // seed labels with round 1's relax fused in: label(u) = min(u, N(u))
+    // comes free from the same groupBy that enumerates the nodes
+    var labels = edges.groupBy(col("u"))
+      .agg(least(min(col("v")), col("u")).as("label"))
+      .select(col("u").as("id"), col("label"))
+      .localCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
