@@ -53,6 +53,26 @@ class CorpusSpec extends AnyFunSuite {
     assert(again.sameElements(out.collect().map(_.getLong(0)).sorted))
   }
 
+  test("property: quantize roundtrip error bound holds for random vectors") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val emb = (0L until 50L).map { i =>
+      val dim = 1 + rng.nextInt(32)
+      (i, Array.fill(dim)((rng.nextGaussian() * math.pow(10, rng.nextInt(5) - 2)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val deq = graft.ann.Quant.dequantize(graft.ann.Quant.quantize(emb, "vec_id", "embedding"))
+      .select("vec_id", "vec_approx", "scale", "q")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Double](1).toVector, r.getDouble(2), r.getSeq[Int](3).toVector))).toMap
+    val orig = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toVector).toMap
+    for ((id, (approx, scale, q)) <- deq) {
+      assert(q.forall(v => v >= -127 && v <= 127), s"vec $id out of int8 range")
+      for ((a, o) <- approx.zip(orig(id)))
+        assert(math.abs(a - o.toDouble) <= scale / 2 + math.ulp(o.toDouble.abs.max(1.0)),
+          s"vec $id: $a vs $o (scale $scale)")
+    }
+  }
+
   test("quantize: max-abs element maps to ±127, roundtrip error <= scale/2") {
     import spark.implicits._
     val emb = Seq(
