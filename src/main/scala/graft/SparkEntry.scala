@@ -305,6 +305,27 @@ object SparkEntry {
         .select(col("doc_id"), col("width"), col("height"),
           col("n_frames"), col("format"), col("decode_ok"))),
 
+    // ---- J1+: multi-way dimension join + grouped aggregation over the
+    // remaining driver tables (customer ⋈ nation ⋈ region, supplier and
+    // part counted per nation) — both dims broadcast, one shuffle for
+    // the final groupBy; sums are exact DECIMAL so the oracle hashes
+    // identically regardless of aggregation order
+    "q_multi_join" -> ((s, dir) => {
+      val cust = s.read.parquet(t(dir, "customer"))
+      val nat = s.read.parquet(t(dir, "nation"))
+      val reg = s.read.parquet(t(dir, "region"))
+      val sup = s.read.parquet(t(dir, "supplier"))
+        .groupBy(col("s_nationkey").as("n_nationkey"))
+        .agg(count(lit(1)).as("n_supp"))
+      cust.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(sup), Seq("n_nationkey"), "left")
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).as("acctbal_sum"),
+          coalesce(first(col("n_supp")), lit(0L)).as("n_supp"))
+    }),
+
     // ---- composite: the full corpus-cleaning pipeline in one query —
     // language ID + quality gates, exact-dedup canonical keep, then a
     // deterministic 50% sample. Demonstrates the operators compose into
@@ -569,6 +590,18 @@ object SparkEntry {
       |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_multi_join" ->
+      """WITH sup AS (
+        |  SELECT s_nationkey AS n_nationkey, count(*) AS n_supp FROM supplier GROUP BY 1
+        |)
+        |SELECT r_name, n_name, count(*) AS n_cust,
+        |  sum(CAST(c_acctbal AS DECIMAL(18,2))) AS acctbal_sum,
+        |  coalesce(any_value(n_supp), 0) AS n_supp
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |LEFT JOIN sup USING (n_nationkey)
+        |GROUP BY r_name, n_name""".stripMargin,
     "q_corpus_clean" -> {
       val allMarkers = TextOps.LangMarkers.flatMap(_._2)
         .map(m => s"'$m'").mkString("(", ", ", ")")

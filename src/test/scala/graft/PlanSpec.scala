@@ -44,6 +44,17 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q_containment_join").contains("BroadcastNestedLoopJoin"))
   }
 
+  test("multi-way dim join: every dim side broadcasts, fact side never shuffles pre-agg") {
+    val p = plan("q_multi_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 3, p.take(3000))
+    // the only (non-broadcast) exchange is the final groupBy's
+    val nonBroadcast = p.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
+      .toVector
+    assert(nonBroadcast.size <= 2, // supplier pre-agg + final agg
+      s"fact side shuffled more than the aggregations need:\n${nonBroadcast.mkString("\n")}")
+  }
+
   test("relational hot paths stay inside whole-stage codegen") {
     // WholeStageCodegenExec prints as "*(n) Op" in the plan tree
     for (q <- Seq("q_scan_project", "q_filter_word", "q_sha2", "q_text_tokens")) {
