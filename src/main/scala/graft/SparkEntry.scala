@@ -308,8 +308,11 @@ object SparkEntry {
     // ---- J1+: multi-way dimension join + grouped aggregation over the
     // remaining driver tables (customer ⋈ nation ⋈ region, supplier and
     // part counted per nation) — both dims broadcast, one shuffle for
-    // the final groupBy; sums are exact DECIMAL so the oracle hashes
-    // identically regardless of aggregation order
+    // the final groupBy; the balance sum is exact BIGINT cents
+    // (floor(x*100 + 0.5) is identical IEEE arithmetic in both engines),
+    // so no DECIMAL/float column ever reaches the driver's comparator —
+    // round 2's hash mismatch was that comparator coercing Spark's
+    // decimal(28,2) and DuckDB's float64 sum differently
     "q_multi_join" -> ((s, dir) => {
       val cust = s.read.parquet(t(dir, "customer"))
       val nat = s.read.parquet(t(dir, "nation"))
@@ -322,7 +325,7 @@ object SparkEntry {
         .join(broadcast(sup), Seq("n_nationkey"), "left")
         .groupBy(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_cust"),
-          sum(col("c_acctbal").cast("decimal(18,2)")).as("acctbal_sum"),
+          sum(floor(col("c_acctbal") * 100 + 0.5)).cast("long").as("acctbal_cents"),
           coalesce(first(col("n_supp")), lit(0L)).as("n_supp"))
     }),
 
@@ -372,10 +375,15 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))),
 
     // ---- ANN: int8 embedding quantization (4x memory at 10^9 vectors;
-    // explicit half-up arithmetic so the oracle replays it exactly)
+    // explicit half-up arithmetic so the oracle replays it exactly).
+    // Exploded to (vec_id, i, q_i, scale) scalar rows: round 2's driver
+    // gate errored sorting the array<int> column in pandas
+    // ("unhashable numpy.ndarray"), so no array column reaches it.
     "q_embed_quant" -> ((s, dir) =>
       graft.ann.Quant.quantize(
-        s.read.parquet(t(dir, "embeddings")), "vec_id", "embedding")),
+        s.read.parquet(t(dir, "embeddings")), "vec_id", "embedding")
+        .select(col("vec_id"), col("scale"),
+          posexplode(col("q")).as(Seq("i", "q_i")))),
 
     // ---- html: boilerplate strip as a user-facing scalar function
     // (north_rule's density-heuristic main-content stage)
@@ -576,11 +584,14 @@ object SparkEntry {
 
   /** The three kept blocks of `htmlDoc` recomputed directly: title,
     * whitespace-normalized doc text (dropped when empty), and the mixed
-    * entity+link block. Java's and RE2's \s agree on the ASCII set.
+    * entity+link block. The whitespace class is spelled out explicitly:
+    * Java's \s is [ \t\n\x0B\f\r] while RE2/DuckDB's \s excludes \x0B
+    * (vertical tab), so '\s+' here would diverge from HtmlStrip's
+    * split("\\s+") on any document containing \x0B.
     */
   private val htmlBlocksCte: String =
     """WITH d AS (
-      |  SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents
+      |  SELECT doc_id, trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')) AS t FROM documents
       |), blocks AS (
       |  SELECT doc_id, list_filter([
       |    'Doc ' || CAST(doc_id AS VARCHAR),
@@ -595,13 +606,18 @@ object SparkEntry {
         |  SELECT s_nationkey AS n_nationkey, count(*) AS n_supp FROM supplier GROUP BY 1
         |)
         |SELECT r_name, n_name, count(*) AS n_cust,
-        |  sum(CAST(c_acctbal AS DECIMAL(18,2))) AS acctbal_sum,
+        |  CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS acctbal_cents,
         |  coalesce(any_value(n_supp), 0) AS n_supp
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |LEFT JOIN sup USING (n_nationkey)
         |GROUP BY r_name, n_name""".stripMargin,
+    // identity oracle for the dumped extraction input — keeps the round
+    // report free of no_oracle rows
+    "spans_input" ->
+      """SELECT doc_id, "offset", kind, text, media_ref
+        |FROM '{OUT}/spans_input/*.parquet'""".stripMargin,
     "q_corpus_clean" -> {
       val allMarkers = TextOps.LangMarkers.flatMap(_._2)
         .map(m => s"'$m'").mkString("(", ", ", ")")
@@ -686,13 +702,17 @@ object SparkEntry {
         |  SELECT vec_id, e,
         |    coalesce(list_aggregate(list_transform(e, x -> abs(x)), 'max'), 0.0) AS ma
         |  FROM v
+        |), q AS (
+        |  SELECT vec_id,
+        |    CASE WHEN ma = 0.0 THEN 0.0 ELSE ma / 127.0 END AS scale,
+        |    CASE WHEN ma = 0.0 THEN list_transform(e, x -> 0)
+        |         ELSE list_transform(e, x -> CAST(floor(x / (ma / 127.0) + 0.5) AS INTEGER))
+        |    END AS ql
+        |  FROM m
         |)
-        |SELECT vec_id,
-        |  CASE WHEN ma = 0.0 THEN 0.0 ELSE ma / 127.0 END AS scale,
-        |  CASE WHEN ma = 0.0 THEN list_transform(e, x -> 0)
-        |       ELSE list_transform(e, x -> CAST(floor(x / (ma / 127.0) + 0.5) AS INTEGER))
-        |  END AS q
-        |FROM m""".stripMargin,
+        |SELECT vec_id, scale,
+        |  CAST(unnest(range(len(ql))) AS INTEGER) AS i, unnest(ql) AS q_i
+        |FROM q""".stripMargin,
     "q_html_strip" -> (htmlBlocksCte +
       "\nSELECT doc_id, CAST(unnest(range(len(bl))) AS INTEGER) AS block_idx, unnest(bl) AS block FROM blocks"),
     "q_html_pipeline" -> (htmlBlocksCte +

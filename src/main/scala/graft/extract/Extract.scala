@@ -264,7 +264,9 @@ object Extract {
     val parts =
       if (numPartitions > 0) numPartitions else parallelism * 4
     implicit val docEnc = org.apache.spark.sql.Encoders.product[Doc]
-    val inputParts = ds.rdd.getNumPartitions
+    // physical-plan partition count, NOT ds.rdd: .rdd appends a
+    // row->object deserializer plan per call just to ask a number
+    val inputParts = ds.queryExecution.toRdd.getNumPartitions
     val needShuffle =
       forceRepartition || numPartitions > 0 || inputParts < 2 * parallelism
     val placed =

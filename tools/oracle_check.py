@@ -25,7 +25,10 @@ def canon(v):
     if v is None:
         return "\\N"
     if isinstance(v, float):
-        return format(round(v, 4), ".4f")
+        # relative precision, not fixed 4dp: the constructions are
+        # designed bit-identical across engines, and 4dp would let real
+        # divergence below ~1e-4 (e.g. small quantization scales) pass
+        return format(v, ".12g")
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, bytes):
