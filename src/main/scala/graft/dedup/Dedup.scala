@@ -259,8 +259,19 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIters: Int = 25): DataFrame = {
+    // one materialization of the (potentially expensive) upstream pair
+    // pipeline — the symmetrizing union below reads `half` twice, and
+    // without this checkpoint each branch would re-execute the whole
+    // candidate-generation lineage (measured: the single largest cost
+    // of the round-2 driver bench's q_dedup_cluster)
     val half = pairs.select(col(idA).cast("long").as("u"), col(idB).cast("long").as("v"))
+      .localCheckpoint()
+    // edges hash-partitioned on the probe key v once, BEFORE the
+    // checkpoint (localCheckpoint preserves outputPartitioning): every
+    // round's neighbor join then reuses this layout and only the label
+    // frontier — never the edge set — shuffles per round
     val edges = half.union(half.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("v"))
       .localCheckpoint()
     // seed labels with round 1's relax fused in: label(u) = min(u, N(u))
     // comes free from the same groupBy that enumerates the nodes
@@ -273,9 +284,13 @@ object Dedup {
     while (!converged && iter < maxIters) {
       val nbrMin = edges.join(labels.withColumnRenamed("id", "v"), "v")
         .groupBy(col("u").as("id")).agg(min("label").as("nb_label"))
+      // materialized once per round: both sides of the pointer-jump
+      // self-join read it, which would otherwise recompute the relax
+      // join (and the neighbor join underneath it) twice
       val relaxed = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("label").as("prev"),
           least(col("label"), coalesce(col("nb_label"), col("label"))).as("label"))
+        .localCheckpoint()
       // pointer jumping: follow the label one hop (labels are node ids,
       // so every label value has a row; left join guards the root case).
       // The previous round's label rides along so convergence detection
