@@ -50,14 +50,24 @@ object Bench {
   def timeExtractExpr(spark: SparkSession, inputDir: String): (Double, Long) = {
     val noop = sys.env.get("SPARK_GRAFT_SINK").contains("noop")
     val out = freshOutDir()
-    val t0 = System.nanoTime()
     val df = GraftFunctions.extractDF(spark, spark.read.parquet(inputDir))
-    if (noop) df.write.format("noop").mode(SaveMode.Overwrite).save()
-    else df.write.mode(SaveMode.Overwrite).parquet(out)
-    val sec = (System.nanoTime() - t0) / 1e9
-    val n =
-      if (noop) spark.read.parquet(inputDir).count()
-      else spark.read.parquet(out).count()
+    val (sec, n) = if (noop) {
+      // count the PIPELINE OUTPUT via an observed metric on the noop
+      // write itself — re-counting the input would silently measure a
+      // different quantity if extraction ever filters or explodes rows
+      val obs = new org.apache.spark.sql.Observation()
+      val observed = df.observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("rows_out"))
+      val t0 = System.nanoTime()
+      observed.write.format("noop").mode(SaveMode.Overwrite).save()
+      val s = (System.nanoTime() - t0) / 1e9
+      (s, obs.get("rows_out").asInstanceOf[Long])
+    } else {
+      val t0 = System.nanoTime()
+      df.write.mode(SaveMode.Overwrite).parquet(out)
+      val s = (System.nanoTime() - t0) / 1e9
+      (s, spark.read.parquet(out).count())
+    }
     deleteRecursively(new java.io.File(out).getParentFile)
     (sec, n)
   }
@@ -113,6 +123,19 @@ object Bench {
     val results = scala.collection.mutable.LinkedHashMap[String, Double](
       "extract_pipeline" -> exprSec,
       "extract_pipeline_typed" -> typedSec)
+    // Warmup pass at the smallest SF before the timed loop, mirroring the
+    // headline's own warmup run: the timed numbers measure steady-state
+    // throughput — what a long-running job sees for 99.99% of its life —
+    // not first-call JIT + interpreted-expression warmup. Round 2's
+    // q_dedup_cluster (64.8s measured, 7.7s steady-state) and
+    // extract_boxes_debug (14.9s vs 1.2s) were dominated by exactly that
+    // first-call cost landing on whichever query ran first.
+    val warmDir = {
+      val sib = new java.io.File(new java.io.File(sfDir).getParent, "sf0.001")
+      if (sib.isDirectory) sib.getPath else sfDir
+    }
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1))
+      try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }

@@ -86,7 +86,26 @@ object ScalingBench {
     val dpsN = okN / secN
     val dps4N = ok4N / sec4N
     val eff = dps4N / (4.0 * dpsN)
-    val cpuInfl = if (cpuN > 0) cpu4N.toDouble / cpuN else Double.NaN
+    val cpuInfl = if (cpuN > 0 && cpu4N > 0) cpu4N.toDouble / cpuN else Double.NaN
+
+    // Interpretation is gated on the measured value — the raw number is
+    // always printed, but the memory-bandwidth reading only attaches when
+    // on-CPU time genuinely inflated (>1.2x). On-CPU inflation can also
+    // come from frequency down-clocking at high core counts; the
+    // single-host-vs-cluster caveat lives as prose in BENCH.md, not as a
+    // generated causal claim.
+    val inflLine =
+      if (cpuInfl.isNaN)
+        "Task-CPU inflation at 4N: unavailable (child emitted no METRICS line)."
+      else if (cpuInfl > 1.2)
+        f"""Task-CPU inflation at 4N (same work, ThreadMXBean on-CPU time):
+           |**$cpuInfl%.2fx** — significant; consistent with contention for a
+           |shared per-socket resource (memory bandwidth or clock headroom) that
+           |a multi-node 4N-executor cluster would not share.""".stripMargin
+      else
+        f"""Task-CPU inflation at 4N (same work, ThreadMXBean on-CPU time):
+           |**$cpuInfl%.2fx** — not significant; the two runs executed the same
+           |cycles, so this pair sits below any shared-resource wall.""".stripMargin
 
     val report =
       f"""
@@ -98,11 +117,7 @@ object ScalingBench {
          || local[${4 * n}], shuffle.partitions=${4 * n} | $nDocs | $sec4N%.2f | $dps4N%.0f | ${cpu4N / 1000.0}%.1f |
          |
          |Scaling efficiency N=$n -> 4N=${4 * n}: **$eff%.3f** (target >= 0.8).
-         |Task-CPU inflation at 4N (same work, ThreadMXBean on-CPU time):
-         |**$cpuInfl%.2fx** — cycles lost to shared memory bandwidth on this
-         |single-socket host, an artifact a multi-node 4N-executor cluster
-         |(4x the bandwidth) does not pay; measured efficiency here is a
-         |lower bound on cluster scaling.
+         |$inflLine
          |Input: $inputDir (sf=$sfDir, replicate=$replicate); sink=${
            sys.env.getOrElse("SPARK_GRAFT_SINK", "parquet")}; best of $trials
          |trials per level, each trial a fresh JVM (warmup run + measured run).

@@ -114,6 +114,36 @@ object Dedup {
     * candidates, and byte-reproducible by the DuckDB oracle). Candidate
     * pairs are generated within buckets only.
     */
+  /** (id, band, band_hash, bsz): the banded bucket rows with their
+    * bucket sizes — shared by candidate generation and the cap audit.
+    */
+  private def bandedBuckets(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sigs.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        bIdx => concat_ws(",",
+          transform(slice(col("sig"), bIdx * rowsPerBand + 1, lit(rowsPerBand)),
+            _.cast("string"))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "band_hash")))
+
+  /** No-silent-caps audit for minhashCandidates: the (band, band_hash,
+    * bsz) buckets the cap drops whole. A separate query by design: the
+    * candidate self-join reads the banded frame twice, and Spark rejects
+    * a self-joined observe() plan (duplicate observed-metric nodes), so
+    * the drop count cannot ride the production query itself. Run this
+    * alongside capped dedup jobs — a non-empty result is recall loss the
+    * pair output cannot show (a >cap near-dup clique that saturates
+    * every band loses all its pairs; exact dedup only covers the
+    * byte-identical case).
+    */
+  def minhashDroppedBuckets(sigs: DataFrame, bands: Int, rowsPerBand: Int,
+      maxBucketSize: Int = 10000): DataFrame =
+    bandedBuckets(sigs, bands, rowsPerBand)
+      .filter(col("bsz") > maxBucketSize)
+      .groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("bsz"))
+
   def minhashCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int,
       maxBucketSize: Int = 10000): DataFrame = {
     // band join carries only (id, band, band_hash) — the k-element
@@ -127,6 +157,8 @@ object Dedup {
     // exact dedup already catches them. Over-cap buckets are dropped
     // whole; a genuinely near (not identical) pair still surfaces from
     // any one of its other matching bands that stays under the cap.
+    // Capped runs are auditable via minhashDroppedBuckets (see its
+    // scaladoc for why the metric is a separate query).
     // The DuckDB oracle replays the uncapped construction, valid while
     // every test-corpus bucket is far below the default cap.
     //
@@ -135,14 +167,7 @@ object Dedup {
     // share a second — signatures are computed twice total (banding +
     // rerank attach). Persist `sigs` upstream to trade memory for the
     // recompute when the corpus scan dominates.
-    val banded = sigs.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        bIdx => concat_ws(",",
-          transform(slice(col("sig"), bIdx * rowsPerBand + 1, lit(rowsPerBand)),
-            _.cast("string"))))))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_hash")
-      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "band_hash")))
+    val banded = bandedBuckets(sigs, bands, rowsPerBand)
       .filter(col("bsz") <= maxBucketSize)
       .drop("bsz")
     val a = banded.as("a")

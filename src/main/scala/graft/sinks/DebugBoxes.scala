@@ -28,6 +28,15 @@ object DebugBoxes {
     * default) a malformed payload would otherwise kill the task instead
     * of being skipped. The payload is x0,x1,y0,y1 top-down; the
     * reference's YBottom/YTop map to our bottomY/topY (box.go:12-16).
+    *
+    * Cost notes (to_json is CodegenFallback, so this tree evaluates
+    * interpreted — every subexpression repeat is paid per span):
+    * split(media_ref) runs ONCE per span (the first transform hoists it
+    * into a struct field; the naive form re-split 6x), and the offset
+    * sort is sort_array on an offset-first struct — a direct ordering
+    * comparison — instead of array_sort's interpreted per-comparison
+    * lambda. Offsets are unique within a doc (they are the span-sequence
+    * positions), so the struct tie-break fields never fire.
     */
   def boxesJson(spark: SparkSession, spans: DataFrame): DataFrame =
     spans
@@ -36,16 +45,18 @@ object DebugBoxes {
           |  transform(
           |    filter(
           |      transform(
-          |        array_sort(spans, (a, b) ->
-          |          CASE WHEN a.offset < b.offset THEN -1
-          |               WHEN a.offset > b.offset THEN 1 ELSE 0 END),
+          |        sort_array(transform(spans, s -> named_struct(
+          |          'o', s.offset,
+          |          'p', split(s.media_ref, ',', -1),
+          |          't', s.text,
+          |          'k', s.kind))),
           |        s -> named_struct(
-          |          'XLeft',   try_cast(try_element_at(split(s.media_ref, ',', -1), 1) AS DOUBLE),
-          |          'XRight',  try_cast(try_element_at(split(s.media_ref, ',', -1), 2) AS DOUBLE),
-          |          'YBottom', try_cast(try_element_at(split(s.media_ref, ',', -1), 4) AS DOUBLE),
-          |          'YTop',    try_cast(try_element_at(split(s.media_ref, ',', -1), 3) AS DOUBLE),
-          |          'Content', s.text,
-          |          'ok', s.kind = 'word_box' AND size(split(s.media_ref, ',', -1)) = 4)),
+          |          'XLeft',   try_cast(try_element_at(s.p, 1) AS DOUBLE),
+          |          'XRight',  try_cast(try_element_at(s.p, 2) AS DOUBLE),
+          |          'YBottom', try_cast(try_element_at(s.p, 4) AS DOUBLE),
+          |          'YTop',    try_cast(try_element_at(s.p, 3) AS DOUBLE),
+          |          'Content', s.t,
+          |          'ok', s.k = 'word_box' AND size(s.p) = 4)),
           |      b -> b.ok AND b.XLeft IS NOT NULL AND b.XRight IS NOT NULL
           |        AND b.YTop IS NOT NULL AND b.YBottom IS NOT NULL
           |        AND b.XLeft <= b.XRight AND b.YTop <= b.YBottom),

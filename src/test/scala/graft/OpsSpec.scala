@@ -68,6 +68,21 @@ class OpsSpec extends AnyFunSuite {
     assert(!got.contains((1L, 3L)) && !got.contains((2L, 3L)))
   }
 
+  test("minhash bucket cap: dropped buckets are auditable, not silent") {
+    // 5 identical docs saturate every band's bucket; with cap=4 all
+    // their pairs vanish from the candidate set — the audit must say so
+    val txt = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " * 3
+    val df = docsDf((1L to 5L).map(i => (i, txt)): _*)
+    val sigs = Dedup.minhashSignatures(df, "doc_id", "text", n = 3, k = 64)
+    val dropped = Dedup.minhashDroppedBuckets(sigs, 16, 4, maxBucketSize = 4).collect()
+    assert(dropped.length == 16, s"every band's bucket is over-cap: $dropped")
+    assert(dropped.forall(_.getAs[Long]("bsz") == 5L))
+    assert(Dedup.minhashCandidates(sigs, 16, 4, maxBucketSize = 4).count() == 0)
+    // under-cap: no drops, all 10 pairs
+    assert(Dedup.minhashDroppedBuckets(sigs, 16, 4, maxBucketSize = 10).isEmpty)
+    assert(Dedup.minhashCandidates(sigs, 16, 4, maxBucketSize = 10).count() == 10)
+  }
+
   test("simhash near-dups via chunk banding + hamming verify") {
     val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
     val got = Dedup.simhashNearDups(spark,
