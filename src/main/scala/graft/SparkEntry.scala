@@ -299,9 +299,11 @@ object SparkEntry {
         s.read.parquet(t(dir, "embeddings")), "vec_id", "embedding",
         threshold = 0.3, maxId = 300)),
 
-    // ---- multimodal: binary round-trip through the stub codec
+    // ---- multimodal: binary round-trip — REAL ImageIO decode for
+    // png/jpg payloads (dims from the decoder, format from the magic),
+    // stub-container parse for mp4
     "q_media_meta" -> ((s, dir) =>
-      Media.decodeStub(Media.synthesize(s, dir))
+      Media.decode(Media.synthesize(s, dir))
         .select(col("doc_id"), col("width"), col("height"),
           col("n_frames"), col("format"), col("decode_ok"))),
 
@@ -348,16 +350,21 @@ object SparkEntry {
         .select(col("doc_id"), col("pred_lang"), col("quality"), col("n_tokens"))
     }),
 
-    // ---- multimodal: resize through the stub codec (header rewrite +
-    // payload-shape contract), verified by re-decoding
+    // ---- multimodal: resize — real ImageIO scaled re-encode for
+    // images, header rewrite for the stub video container — verified by
+    // re-decoding the resized BYTES (dims must come from the payload)
     "q_media_resize" -> ((s, dir) =>
-      Media.decodeWithSize(Media.resizeStub(Media.synthesize(s, dir), 128, 96))
+      Media.decode(Media.resize(Media.synthesize(s, dir), 128, 96))
         .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
-          col("format"), col("n_bytes"))),
+          col("format"), col("decode_ok"))),
 
-    // ---- multimodal: frame sampling (every 3rd frame as its own blob)
+    // ---- multimodal: frame sampling (every 3rd frame as its own blob).
+    // Video only: a still image is its single frame, and real image
+    // payload sizes are codec-dependent — only the stub container's
+    // byte-size contract is SQL-expressible for the oracle
     "q_media_frames" -> ((s, dir) =>
-      Media.frameSample(Media.synthesize(s, dir), stride = 3)
+      Media.frameSample(
+          Media.synthesize(s, dir).filter(col("format") === "mp4"), stride = 3)
         .select(col("doc_id"), col("frame_idx"), length(col("content")).as("n_bytes"))),
 
     // ---- corpus: shuffle-free deterministic sample (portable
@@ -661,18 +668,21 @@ object SparkEntry {
          |WHERE CAST('0x' || substr(md5('clean' || CAST(f.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
          |  % 1000000 < 500000""".stripMargin
     },
-    // resize contract: metadata is the target dims, format/frames are
-    // functions of doc_id, payload size = 17-byte header + min(1024,
-    // w*h/64) stub payload (Media.encodeBytes)
+    // resize contract: the re-decoded RESIZED BYTES must report the
+    // target dims (real ImageIO round-trip for images, stub container
+    // for mp4); frames/format are functions of doc_id
     "q_media_resize" ->
       """SELECT doc_id, 128 AS width, 96 AS height,
-        |  CAST(1 + doc_id % 10 AS INTEGER) AS n_frames,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 10 ELSE 1 END AS INTEGER) AS n_frames,
         |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'mp4' END AS format,
-        |  CAST(17 + least(1024, (128 * 96) // 64) AS INTEGER) AS n_bytes
+        |  true AS decode_ok
         |FROM documents""".stripMargin,
+    // video docs only (doc_id % 3 = 2): stub-container frames with the
+    // deterministic byte-size contract
     "q_media_frames" ->
       """WITH f AS (
-        |  SELECT doc_id, unnest(range(0, 1 + doc_id % 10, 3)) AS frame_idx FROM documents
+        |  SELECT doc_id, unnest(range(0, 1 + doc_id % 10, 3)) AS frame_idx
+        |  FROM documents WHERE doc_id % 3 = 2
         |)
         |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
         |  CAST(17 + least(1024,
@@ -1073,7 +1083,7 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(64 + (doc_id % 7) * 32 AS INTEGER) AS width,
         |  CAST(48 + (doc_id % 5) * 32 AS INTEGER) AS height,
-        |  CAST(1 + (doc_id % 10) AS INTEGER) AS n_frames,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 10 ELSE 1 END AS INTEGER) AS n_frames,
         |  CASE WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 THEN 'jpg' ELSE 'mp4' END AS format,
         |  true AS decode_ok
         |FROM documents""".stripMargin

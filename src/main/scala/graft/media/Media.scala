@@ -3,16 +3,27 @@ package graft.media
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import java.nio.ByteBuffer
 import java.security.MessageDigest
+import javax.imageio.ImageIO
 
 /** Multimodal columns: image/audio/video as opaque `binary` with typed
-  * metadata. The Spark-side plumbing (schema, binary payloads, typed
-  * mapPartitions over byte arrays, batch shape) is real and tested; the
-  * codec itself is a clearly-marked deterministic STUB because no
-  * image/audio libraries exist in this container — `decodeStub` parses
-  * our own 17-byte header instead of running a real decoder. Swapping in
-  * a real codec changes only the body of `decodeFrame`/`resizeBytes`.
+  * metadata.
+  *
+  * PNG/JPG payloads are REAL images, encoded and decoded with the JDK's
+  * ImageIO — the same codec the debug-image sink uses for the
+  * reference's visual output (sinks/DebugImage.scala; reference analog
+  * image/image.go:15-62) — so the decode stage reads dimensions from
+  * actual image bytes and the format is sniffed from the payload's
+  * magic, never trusted from metadata.
+  *
+  * Video (mp4) stays a clearly-marked deterministic STUB container (no
+  * video codec exists in this container): a 17-byte GIMG header + a
+  * sha256-derived payload whose size tracks w*h. Swapping in a real
+  * demuxer changes only the GIMG branch of `decodeBytes` and the video
+  * branches of `resize`/`frameSample`.
   */
 object Media {
 
@@ -29,8 +40,8 @@ object Media {
 
   val Magic: Array[Byte] = "GIMG".getBytes("US-ASCII")
 
-  /** Deterministic fake payload: 17-byte header (magic, w, h, frames,
-    * format byte) + sha256(doc_id)-derived bytes.
+  /** STUB video container: 17-byte header (magic, w, h, frames, format
+    * byte) + sha256(doc_id)-derived bytes, size = min(1024, w*h/64).
     */
   def encodeBytes(docId: Long, w: Int, h: Int, frames: Int, fmt: Byte): Array[Byte] = {
     val payloadLen = math.min(1024, (w * h) / 64)
@@ -41,6 +52,27 @@ object Media {
     var i = 0
     while (i < payloadLen) { buf.put(digest(i % digest.length)); i += 1 }
     buf.array()
+  }
+
+  /** Deterministic REAL image: every pixel is a pure function of
+    * (doc_id, x, y), encoded via ImageIO as actual PNG or JPEG bytes.
+    * TYPE_INT_RGB (no alpha) so the JDK JPEG writer accepts it.
+    */
+  def encodeImage(docId: Long, w: Int, h: Int, fmt: String): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = docId * 1315423911L + x * 2654435761L + y * 97531L
+        img.setRGB(x, y, (v & 0xFFFFFFL).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new ByteArrayOutputStream()
+    ImageIO.write(img, if (fmt == "jpg") "jpg" else "png", baos)
+    baos.toByteArray
   }
 
   /** Metadata is a pure function of doc_id (so a SQL oracle can verify
@@ -59,73 +91,105 @@ object Media {
     case 0 => "png"; case 1 => "jpg"; case _ => "mp4"
   }
 
-  /** One synthetic media blob per documents row. */
+  /** Payload format from the bytes themselves: PNG/JPEG magic numbers. */
+  def sniffFormat(b: Array[Byte]): String =
+    if (b.length >= 8 && (b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') "png"
+    else if (b.length >= 3 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8 && (b(2) & 0xFF) == 0xFF) "jpg"
+    else "unknown"
+
+  private def isStubContainer(b: Array[Byte]): Boolean =
+    b.length >= 17 && b(0) == Magic(0) && b(1) == Magic(1) &&
+      b(2) == Magic(2) && b(3) == Magic(3)
+
+  /** One synthetic media blob per documents row: real PNG/JPEG bytes for
+    * image docs (one frame — a still image IS its single frame), the
+    * stub container for video docs.
+    */
   def synthesize(spark: SparkSession, sfDir: String): Dataset[MediaBlob] = {
     import spark.implicits._
     spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id").cast("long"))
       .as[Long]
       .map { id =>
-        val (w, h, f, fmt) = (widthOf(id), heightOf(id), framesOf(id), formatOf(id))
-        MediaBlob(id, s"media://$id/0", fmt, w, h, f,
-          encodeBytes(id, w, h, f, formatByte(fmt)))
+        val (w, h, fmt) = (widthOf(id), heightOf(id), formatOf(id))
+        if (fmt == "mp4") {
+          val f = framesOf(id)
+          MediaBlob(id, s"media://$id/0", fmt, w, h, f,
+            encodeBytes(id, w, h, f, formatByte(fmt)))
+        } else
+          MediaBlob(id, s"media://$id/0", fmt, w, h, 1, encodeImage(id, w, h, fmt))
       }
   }
 
-  /** STUB decode: parse the header back out of the binary column. A real
-    * implementation would hand `content` to an image/video library here.
+  /** (width, height, n_frames, format, decode_ok) from the payload
+    * BYTES alone: a real ImageIO decode for image payloads (dimensions
+    * from the decoder, format from the magic), a header parse for the
+    * stub video container.
     */
-  def decodeStub(blobs: Dataset[MediaBlob]): DataFrame = {
-    import blobs.sparkSession.implicits._
-    blobs.map { b =>
-      val ok = b.content.length >= 17 &&
-        java.util.Arrays.equals(b.content.slice(0, 4), Magic)
-      if (!ok) (b.doc_id, -1, -1, -1, "invalid", false)
-      else {
-        val buf = ByteBuffer.wrap(b.content, 4, 13)
-        val w = buf.getInt; val h = buf.getInt; val f = buf.getInt
-        (b.doc_id, w, h, f, formatName(buf.get()), true)
-      }
-    }.toDF("doc_id", "width", "height", "n_frames", "format", "decode_ok")
-  }
-
-  /** decodeStub plus the payload size — one pass, used to verify the
-    * resize contract (metadata AND payload shape track the target dims).
-    */
-  def decodeWithSize(blobs: Dataset[MediaBlob]): DataFrame = {
-    import blobs.sparkSession.implicits._
-    blobs.map { b =>
-      val ok = b.content.length >= 17 &&
-        java.util.Arrays.equals(b.content.slice(0, 4), Magic)
-      if (!ok) (b.doc_id, -1, -1, -1, "invalid", false, b.content.length)
-      else {
-        val buf = ByteBuffer.wrap(b.content, 4, 13)
-        val w = buf.getInt; val h = buf.getInt; val f = buf.getInt
-        (b.doc_id, w, h, f, formatName(buf.get()), true, b.content.length)
-      }
-    }.toDF("doc_id", "width", "height", "n_frames", "format", "decode_ok", "n_bytes")
-  }
-
-  /** STUB resize: rewrite the header with scaled dims, keep the payload
-    * shape contract (payload size tracks w*h).
-    */
-  def resizeStub(blobs: Dataset[MediaBlob], targetW: Int, targetH: Int): Dataset[MediaBlob] = {
-    import blobs.sparkSession.implicits._
-    blobs.map { b =>
-      MediaBlob(b.doc_id, b.media_ref, b.format, targetW, targetH, b.n_frames,
-        encodeBytes(b.doc_id, targetW, targetH, b.n_frames, formatByte(b.format)))
+  def decodeBytes(content: Array[Byte]): (Int, Int, Int, String, Boolean) = {
+    if (content == null || content.length < 8) (-1, -1, -1, "invalid", false)
+    else if (isStubContainer(content)) {
+      val buf = ByteBuffer.wrap(content, 4, 13)
+      val w = buf.getInt; val h = buf.getInt; val f = buf.getInt
+      (w, h, f, formatName(buf.get()), true)
+    } else {
+      // fail closed on malformed payloads: ImageIO returns null for
+      // unrecognized bytes but THROWS on truncated/corrupt headers, and
+      // one bad blob must not kill a 1000-executor job
+      val img =
+        try ImageIO.read(new ByteArrayInputStream(content))
+        catch { case _: Exception => null }
+      if (img == null) (-1, -1, -1, "invalid", false)
+      else (img.getWidth, img.getHeight, 1, sniffFormat(content), true)
     }
   }
 
-  /** STUB frame sampling: every `stride`-th frame as its own blob (real
-    * per-frame decode would replace the payload synthesis).
+  /** Typed decode stage over the binary column. */
+  def decode(blobs: Dataset[MediaBlob]): DataFrame = {
+    import blobs.sparkSession.implicits._
+    blobs.map { b =>
+      val (w, h, f, fmt, ok) = decodeBytes(b.content)
+      (b.doc_id, w, h, f, fmt, ok)
+    }.toDF("doc_id", "width", "height", "n_frames", "format", "decode_ok")
+  }
+
+  /** Resize: a REAL scaled re-encode for images (ImageIO decode ->
+    * Graphics2D scale -> re-encode in the same format); a header rewrite
+    * that keeps the payload-size contract for the stub video container.
+    */
+  def resize(blobs: Dataset[MediaBlob], targetW: Int, targetH: Int): Dataset[MediaBlob] = {
+    import blobs.sparkSession.implicits._
+    blobs.map { b =>
+      val bytes =
+        if (b.format == "mp4")
+          encodeBytes(b.doc_id, targetW, targetH, b.n_frames, formatByte(b.format))
+        else {
+          val src = ImageIO.read(new ByteArrayInputStream(b.content))
+          val dst = new BufferedImage(targetW, targetH, BufferedImage.TYPE_INT_RGB)
+          val g = dst.createGraphics()
+          g.drawImage(src, 0, 0, targetW, targetH, null)
+          g.dispose()
+          val baos = new ByteArrayOutputStream()
+          ImageIO.write(dst, if (b.format == "jpg") "jpg" else "png", baos)
+          baos.toByteArray
+        }
+      MediaBlob(b.doc_id, b.media_ref, b.format, targetW, targetH, b.n_frames, bytes)
+    }
+  }
+
+  /** Every `stride`-th frame as its own blob. A still image is its own
+    * single frame (the original payload passes through); video frames
+    * come from the stub synthesis — a real demuxer would replace only
+    * that branch.
     */
   def frameSample(blobs: Dataset[MediaBlob], stride: Int): Dataset[FrameSample] = {
     import blobs.sparkSession.implicits._
     blobs.flatMap { b =>
       (0 until b.n_frames by stride).map { fi =>
-        FrameSample(b.doc_id, fi,
-          encodeBytes(b.doc_id * 131L + fi, b.width, b.height, 1, formatByte(b.format)))
+        if (b.format == "mp4")
+          FrameSample(b.doc_id, fi,
+            encodeBytes(b.doc_id * 131L + fi, b.width, b.height, 1, formatByte(b.format)))
+        else FrameSample(b.doc_id, fi, b.content)
       }
     }
   }

@@ -200,25 +200,45 @@ class OpsSpec extends AnyFunSuite {
     assert(df.select(TextOps.bpeTokenEstimate(col("text"))).head().getLong(0) == 4L)
   }
 
-  test("media: binary round-trip through the stub codec at sf0.001") {
+  test("media: binary round-trip decodes REAL image bytes at sf0.001") {
     val blobs = Media.synthesize(spark, "/root/testdata/sf0.001")
-    val decoded = Media.decodeStub(blobs).collect()
+    val decoded = Media.decode(blobs).collect()
     assert(decoded.length == 500)
     assert(decoded.forall(_.getAs[Boolean]("decode_ok")))
+    // doc 7: jpg still image — dims from the actual ImageIO decode,
+    // exactly one frame
     val r7 = decoded.find(_.getAs[Long]("doc_id") == 7L).get
     assert(r7.getAs[Int]("width") == 64 && r7.getAs[Int]("height") == 112)
-    assert(r7.getAs[Int]("n_frames") == 8 && r7.getAs[String]("format") == "jpg")
+    assert(r7.getAs[Int]("n_frames") == 1 && r7.getAs[String]("format") == "jpg")
+    // doc 5: mp4 stub container keeps its frame count
+    val r5 = decoded.find(_.getAs[Long]("doc_id") == 5L).get
+    assert(r5.getAs[Int]("n_frames") == 6 && r5.getAs[String]("format") == "mp4")
   }
 
-  test("media: resize + frame sampling stubs keep the binary contract") {
+  test("media: image payloads are genuine PNG/JPEG, format sniffed from magic") {
+    // local (non-Spark) codec checks: real bytes in, decoder-read dims out
+    val png = Media.encodeImage(3L, 40, 30, "png")
+    val jpg = Media.encodeImage(4L, 50, 20, "jpg")
+    assert(Media.sniffFormat(png) == "png" && Media.sniffFormat(jpg) == "jpg")
+    assert(Media.decodeBytes(png) == ((40, 30, 1, "png", true)))
+    assert(Media.decodeBytes(jpg) == ((50, 20, 1, "jpg", true)))
+    // corrupt payload: decode fails closed, does not throw
+    assert(Media.decodeBytes(png.take(10)) == ((-1, -1, -1, "invalid", false)))
+    assert(Media.decodeBytes(Array.fill[Byte](64)(0x5a)) == ((-1, -1, -1, "invalid", false)))
+  }
+
+  test("media: resize re-encodes real images; frame sampling passes stills through") {
     val blobs = Media.synthesize(spark, "/root/testdata/sf0.001")
-    val resized = Media.resizeStub(blobs, 32, 32)
-    val dec = Media.decodeStub(resized).collect()
+    val dec = Media.decode(Media.resize(blobs, 32, 32)).collect()
     assert(dec.forall(r => r.getAs[Int]("width") == 32 && r.getAs[Int]("height") == 32))
+    assert(dec.forall(_.getAs[Boolean]("decode_ok")))
     val frames = Media.frameSample(blobs, stride = 2).collect()
-    // doc 7 has 8 frames -> indices 0,2,4,6
-    assert(frames.count(_.doc_id == 7L) == 4)
-    assert(frames.filter(_.doc_id == 7L).map(_.frame_idx).sorted.toSeq == Seq(0, 2, 4, 6))
+    // doc 5 (mp4) has 6 frames -> indices 0,2,4
+    assert(frames.filter(_.doc_id == 5L).map(_.frame_idx).sorted.toSeq == Seq(0, 2, 4))
+    // doc 7 (jpg still) is its own single frame: original payload intact
+    val f7 = frames.filter(_.doc_id == 7L)
+    assert(f7.map(_.frame_idx).toSeq == Seq(0))
+    assert(Media.decodeBytes(f7.head.content) == ((64, 112, 1, "jpg", true)))
   }
 
   test("IVF top-k: probes a fraction of lists, exact ranks within candidates") {
