@@ -44,8 +44,13 @@ object SparkEntry {
         col("n_tables"), col("n_cells"), col("status"))
   }
 
-  private def extractFlat(spark: SparkSession, dir: String, strategy: Extract.Strategy): DataFrame = {
-    val docs = SpanGen.fromDocuments(spark, dir)
+  private def extractFlat(spark: SparkSession, dir: String, strategy: Extract.Strategy): DataFrame =
+    extractFlatOf(spark, SpanGen.fromDocuments(spark, dir), strategy)
+
+  private def extractFlatOf(
+      spark: SparkSession,
+      docs: org.apache.spark.sql.Dataset[Doc],
+      strategy: Extract.Strategy): DataFrame = {
     val extracted = Extract.distributed(spark, docs, strategy)
     extracted
       .select(col("doc_id"), col("n_tables"), col("n_cells"), col("status"),
@@ -83,6 +88,14 @@ object SparkEntry {
     "extract_e2mid_spans" -> ((s, dir) =>
       extractFlat(s, dir, Extract.Strategy.SplitMidpoint)),
     "extract_expr_spans" -> ((s, dir) => extractExprFlat(s, dir)),
+    // ---- adversarial verification corpus: strategy divergence is
+    // driver-oracled (E1 vs E2 row structure, incl. the prevX=0 quirk)
+    "extract_e1_adv" -> ((s, _) =>
+      extractFlatOf(s, SpanGen.adversarialDocs(s), Extract.Strategy.RegionClustering)),
+    "extract_e2_adv" -> ((s, _) =>
+      extractFlatOf(s, SpanGen.adversarialDocs(s), Extract.Strategy.SplitHeuristic)),
+    "extract_e2mid_adv" -> ((s, _) =>
+      extractFlatOf(s, SpanGen.adversarialDocs(s), Extract.Strategy.SplitMidpoint)),
     "extract_tables_csv" -> ((s, dir) => extractCsv(s, dir)),
     // ---- K7: raw-boxes JSON debug dump (cmd/cli/main.go:75-81)
     "extract_boxes_debug" -> ((s, dir) =>
@@ -438,23 +451,38 @@ object SparkEntry {
     docId.cast("string"),
     lit("</p><footer><a href=\"#\">Privacy</a></footer></body></html>"))
 
-  /** Shared CTE chain reconstructing the E1/E2 extraction in pure SQL
-    * over the input span table `Verify` dumps to {OUT}/spans_input —
-    * the independent oracle for the extraction core (box/box.go:250-280
-    * semantics): run segmentation by kind streaks, per-run closed-interval
-    * union per axis (gaps-and-islands; touching intervals merge, so the
-    * break is start > prev_max), cell assignment = (y-island, x-island),
-    * cell text = ordered string_agg (== the reference's per-append trim
-    * fold for clean words), dense grid via per-run row x col expansion.
-    * On this corpus (dense seeded grids, FIXTURES.md §2) E1 == E2 ==
-    * E2-midpoint, so all four extract_* span queries share it; the
-    * degenerate/adversarial corners where they differ are gated by the
-    * in-repo golden + fuzz suites instead.
+  /** Shared CTE chain reconstructing the extraction in pure SQL over an
+    * input span table `Verify` dumps under {OUT}/<src> — the independent
+    * oracle for the extraction core: run segmentation by kind streaks,
+    * then per-run closed-interval union per axis (gaps-and-islands;
+    * touching intervals merge, so the break is start > prev_max) giving
+    * x-islands (columns) and y-islands (row bands). Two cell chains
+    * build on it:
+    *  - E1 (box/box.go:250-280): cell = (y-island, x-island), cell text
+    *    = ordered string_agg (== the reference's per-append trim fold
+    *    for clean words), dense y-islands x x-islands grid;
+    *  - E2 (textract/textract.go:214-265): rows from leftX-decrease
+    *    segmentation over the (row-band, leftX) word order — with the
+    *    verbatim prevX=0 seeding quirk: the second word overall
+    *    compares against 0.0 and can never open a row — and bucket =
+    *    x-island index, valid under the corpus constraint that words
+    *    step through islands by <=1 per row (then the reference's
+    *    one-step pointer, extract.go:109-115, equals count-of-splits);
+    *    dense rows x (splits+1) grid.
+    * On the MAIN corpus (dense seeded grids, FIXTURES.md §2) E1 == E2,
+    * so the four extract_* span queries share the E1 chain; the
+    * adversarial corpus (SpanGen.adversarialDocs) makes them diverge
+    * and each extract_*_adv row replays its own strategy. E2-midpoint
+    * shares E2's oracle because through the composed pipeline the two
+    * bucketings are PROVABLY identical: a FindSplits gap is an x-region
+    * no word's extent touches, so a word's left edge and midpoint fall
+    * on the same side of every split (property-gated in
+    * GeomPropertySpec).
     */
-  private val extractCtes: String =
-    """WITH sp AS (
+  private def extractCommonCtes(src: String): String =
+    s"""WITH sp AS (
       |  SELECT doc_id, "offset", kind, text, media_ref
-      |  FROM '{OUT}/spans_input/*.parquet'
+      |  FROM '{OUT}/$src/*.parquet'
       |), runs AS (
       |  SELECT *, CAST(sum(brk) OVER (PARTITION BY doc_id ORDER BY "offset"
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rid
@@ -489,11 +517,17 @@ object SparkEntry {
       |      max(y1) OVER (PARTITION BY doc_id, rid ORDER BY y0, y1, "offset"
       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
       |    FROM wb)
-      |), boxes AS (
-      |  SELECT w.doc_id, w.rid, w."offset", w.text, w.x0, yi.ri, xi.ci
+      |), joined AS (
+      |  SELECT w.doc_id, w.rid, w."offset", w.text, w.x0, yi.ri AS band, xi.ci
       |  FROM wb w
       |  JOIN xi ON xi.doc_id = w.doc_id AND xi.rid = w.rid AND xi."offset" = w."offset"
       |  JOIN yi ON yi.doc_id = w.doc_id AND yi.rid = w.rid AND yi."offset" = w."offset"
+      |)""".stripMargin
+
+  /** E1 cell chain: cell = (y-island, x-island), dense grid. */
+  private val e1CellCtes: String =
+    """, boxes AS (
+      |  SELECT doc_id, rid, "offset", text, x0, band AS ri, ci FROM joined
       |), celltxt AS (
       |  SELECT doc_id, rid, ri, ci, string_agg(text, ' ' ORDER BY x0, "offset") AS txt
       |  FROM boxes GROUP BY 1, 2, 3, 4
@@ -509,32 +543,76 @@ object SparkEntry {
       |    ON t.doc_id = g.doc_id AND t.rid = g.rid AND t.ri = g.ri AND t.ci = g.ci
       |)""".stripMargin
 
-  private val extractSpansOracle: String =
-    extractCtes +
-      """, outsp AS (
-        |  SELECT doc_id, rid, CAST("offset" AS BIGINT) AS s1, CAST(0 AS BIGINT) AS s2,
-        |    kind, text, media_ref
-        |  FROM runs WHERE kind <> 'word_box'
-        |  UNION ALL
-        |  SELECT doc_id, rid, ri AS s1, ci AS s2, 'cell' AS kind, txt AS text,
-        |    CAST(ri AS VARCHAR) || ',' || CAST(ci AS VARCHAR) AS media_ref
-        |  FROM cells
-        |), numbered AS (
-        |  SELECT doc_id, kind, text, media_ref,
-        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY rid, s1, s2) - 1 AS INTEGER) AS "offset"
-        |  FROM outsp
-        |), stats AS (
-        |  SELECT doc_id, CAST(count(DISTINCT rid) AS INTEGER) AS n_tables,
-        |    CAST(count(*) AS INTEGER) AS n_cells
-        |  FROM cells GROUP BY doc_id
-        |)
-        |SELECT n.doc_id, n."offset", n.kind, n.text, n.media_ref,
-        |  coalesce(s.n_tables, 0) AS n_tables, coalesce(s.n_cells, 0) AS n_cells,
-        |  'ok' AS status
-        |FROM numbered n LEFT JOIN stats s USING (doc_id)""".stripMargin
+  /** E2 cell chain: leftX-decrease row segmentation in (row-band, leftX)
+    * word order — seq=2 compares against a literal 0.0 (the reference's
+    * prevX=0 seeding quirk, extract.go:126-140, replicated verbatim) —
+    * and bucket = x-island index (== the one-step pointer under the
+    * corpus's step-by-<=1 constraint); dense rows x islands grid.
+    */
+  private val e2CellCtes: String =
+    """, ws AS (
+      |  SELECT doc_id, rid, "offset", text, x0, ci,
+      |    row_number() OVER (PARTITION BY doc_id, rid ORDER BY band, x0, "offset") AS seq
+      |  FROM joined
+      |), rb AS (
+      |  SELECT *, CASE WHEN seq = 1 THEN 0
+      |    WHEN x0 < (CASE WHEN seq = 2 THEN 0.0
+      |      ELSE lag(x0) OVER (PARTITION BY doc_id, rid ORDER BY seq) END) THEN 1
+      |    ELSE 0 END AS brk
+      |  FROM ws
+      |), rowsq AS (
+      |  SELECT *, CAST(sum(brk) OVER (PARTITION BY doc_id, rid ORDER BY seq
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1 AS BIGINT) AS e2r
+      |  FROM rb
+      |), e2celltxt AS (
+      |  SELECT doc_id, rid, e2r AS ri, ci, string_agg(text, ' ' ORDER BY x0, "offset") AS txt
+      |  FROM rowsq GROUP BY 1, 2, 3, 4
+      |), e2dims AS (
+      |  SELECT doc_id, rid, max(e2r) AS nr, max(ci) AS nc FROM rowsq GROUP BY 1, 2
+      |), e2rows_g AS (
+      |  SELECT doc_id, rid, nc, unnest(range(1, nr + 1)) AS ri FROM e2dims
+      |), e2cells_g AS (
+      |  SELECT doc_id, rid, ri, unnest(range(1, nc + 1)) AS ci FROM e2rows_g
+      |), cells AS (
+      |  SELECT g.doc_id, g.rid, g.ri, g.ci, coalesce(t.txt, '') AS txt
+      |  FROM e2cells_g g LEFT JOIN e2celltxt t
+      |    ON t.doc_id = g.doc_id AND t.rid = g.rid AND t.ri = g.ri AND t.ci = g.ci
+      |)""".stripMargin
+
+  /** Flat-span tail shared by every strategy (runs pass-through + cell
+    * emission + renumbering + per-doc stats).
+    */
+  private val spansOracleTail: String =
+    """, outsp AS (
+      |  SELECT doc_id, rid, CAST("offset" AS BIGINT) AS s1, CAST(0 AS BIGINT) AS s2,
+      |    kind, text, media_ref
+      |  FROM runs WHERE kind <> 'word_box'
+      |  UNION ALL
+      |  SELECT doc_id, rid, ri AS s1, ci AS s2, 'cell' AS kind, txt AS text,
+      |    CAST(ri AS VARCHAR) || ',' || CAST(ci AS VARCHAR) AS media_ref
+      |  FROM cells
+      |), numbered AS (
+      |  SELECT doc_id, kind, text, media_ref,
+      |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY rid, s1, s2) - 1 AS INTEGER) AS "offset"
+      |  FROM outsp
+      |), stats AS (
+      |  SELECT doc_id, CAST(count(DISTINCT rid) AS INTEGER) AS n_tables,
+      |    CAST(count(*) AS INTEGER) AS n_cells
+      |  FROM cells GROUP BY doc_id
+      |)
+      |SELECT n.doc_id, n."offset", n.kind, n.text, n.media_ref,
+      |  coalesce(s.n_tables, 0) AS n_tables, coalesce(s.n_cells, 0) AS n_cells,
+      |  'ok' AS status
+      |FROM numbered n LEFT JOIN stats s USING (doc_id)""".stripMargin
+
+  private def extractSpansOracle(src: String = "spans_input"): String =
+    extractCommonCtes(src) + e1CellCtes + spansOracleTail
+
+  private def extractE2SpansOracle(src: String): String =
+    extractCommonCtes(src) + e2CellCtes + spansOracleTail
 
   private val extractCsvOracle: String =
-    extractCtes +
+    extractCommonCtes("spans_input") + e1CellCtes +
       """, rowstr AS (
         |  SELECT doc_id, rid, ri, string_agg(txt, ',' ORDER BY ci) AS line
         |  FROM cells GROUP BY 1, 2, 3
@@ -748,10 +826,18 @@ object SparkEntry {
         |    XLeft := XLeft, XRight := XRight, YBottom := YBottom,
         |    YTop := YTop, Content := Content) ORDER BY "offset")) AS boxes_json
         |FROM v GROUP BY doc_id""".stripMargin,
-    "extract_e1_spans" -> extractSpansOracle,
-    "extract_e2_spans" -> extractSpansOracle,
-    "extract_e2mid_spans" -> extractSpansOracle,
-    "extract_expr_spans" -> extractSpansOracle,
+    "extract_e1_spans" -> extractSpansOracle(),
+    "extract_e2_spans" -> extractSpansOracle(),
+    "extract_e2mid_spans" -> extractSpansOracle(),
+    "extract_expr_spans" -> extractSpansOracle(),
+    // adversarial corpus: per-strategy reconstructions (E1 and E2
+    // genuinely diverge here; E2mid == E2 by the FindSplits-gap proof)
+    "extract_e1_adv" -> extractSpansOracle("spans_adv_input"),
+    "extract_e2_adv" -> extractE2SpansOracle("spans_adv_input"),
+    "extract_e2mid_adv" -> extractE2SpansOracle("spans_adv_input"),
+    "spans_adv_input" ->
+      """SELECT doc_id, "offset", kind, text, media_ref
+        |FROM '{OUT}/spans_adv_input/*.parquet'""".stripMargin,
     "extract_tables_csv" -> extractCsvOracle,
     "q_scan_project" ->
       "SELECT l_orderkey, l_linenumber, l_extendedprice * (1 - l_discount) AS net FROM lineitem",

@@ -22,12 +22,16 @@ object Verify {
     // reference it via the {OUT} placeholder substituted below.
     locally {
       import org.apache.spark.sql.functions.{col, explode}
-      graft.fixtures.SpanGen.fromDocuments(spark, sfDir).toDF()
-        .select(col("doc_id"), explode(col("spans")).as("s"))
-        .select(col("doc_id"), col("s.offset").as("offset"),
-          col("s.kind").as("kind"), col("s.text").as("text"),
-          col("s.media_ref").as("media_ref"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/spans_input")
+      def dump(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+        df.select(col("doc_id"), explode(col("spans")).as("s"))
+          .select(col("doc_id"), col("s.offset").as("offset"),
+            col("s.kind").as("kind"), col("s.text").as("text"),
+            col("s.media_ref").as("media_ref"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      dump(graft.fixtures.SpanGen.fromDocuments(spark, sfDir).toDF(), "spans_input")
+      // the adversarial corpus (strategy-divergent layouts) for the
+      // extract_*_adv per-strategy oracles
+      dump(graft.fixtures.SpanGen.adversarialDocs(spark).toDF(), "spans_adv_input")
     }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

