@@ -97,6 +97,24 @@ object SparkEntry {
     "extract_e2mid_adv" -> ((s, _) =>
       extractFlatOf(s, SpanGen.adversarialDocs(s), Extract.Strategy.SplitMidpoint)),
     "extract_tables_csv" -> ((s, dir) => extractCsv(s, dir)),
+    // ---- streaming surface: the same extraction as an incremental
+    // Structured Streaming job — AvailableNow drain over a file source,
+    // checkpointed exactly-once parquet sink — read back and flattened.
+    // The core is one stateless Project, so streaming == batch and the
+    // batch oracle verifies the streaming path externally.
+    "extract_stream_spans" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
+      val in = s"$tmp/in"
+      SpanGen.fromDocuments(s, dir).toDF().coalesce(8).write.parquet(in)
+      graft.streaming.StreamingExtract.runOnce(s, in, s"$tmp/out", s"$tmp/cp")
+      s.read.parquet(s"$tmp/out")
+        .select(col("doc_id"), col("n_tables"), col("n_cells"), col("status"),
+          explode(col("spans")).as("span"))
+        .select(col("doc_id"), col("span.offset").as("offset"),
+          col("span.kind").as("kind"), col("span.text").as("text"),
+          col("span.media_ref").as("media_ref"),
+          col("n_tables"), col("n_cells"), col("status"))
+    }),
     // ---- K7: raw-boxes JSON debug dump (cmd/cli/main.go:75-81)
     "extract_boxes_debug" -> ((s, dir) =>
       graft.sinks.DebugBoxes.boxesJson(s, SpanGen.fromDocuments(s, dir).toDF())),
@@ -830,6 +848,9 @@ object SparkEntry {
     "extract_e2_spans" -> extractSpansOracle(),
     "extract_e2mid_spans" -> extractSpansOracle(),
     "extract_expr_spans" -> extractSpansOracle(),
+    // streaming == batch for the stateless core, so the batch
+    // reconstruction oracles the streaming run too
+    "extract_stream_spans" -> extractSpansOracle(),
     // adversarial corpus: per-strategy reconstructions (E1 and E2
     // genuinely diverge here; E2mid == E2 by the FindSplits-gap proof)
     "extract_e1_adv" -> extractSpansOracle("spans_adv_input"),
