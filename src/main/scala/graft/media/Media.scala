@@ -60,12 +60,17 @@ object Media {
     */
   def encodeImage(docId: Long, w: Int, h: Int, fmt: String): Array[Byte] = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    // fill the raster's backing int[] directly — per-pixel setRGB pays
+    // color-model conversion per call, ~10x the cost at bench scale
+    val data = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferInt].getData
+    var i = 0
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val v = docId * 1315423911L + x * 2654435761L + y * 97531L
-        img.setRGB(x, y, (v & 0xFFFFFFL).toInt)
+        data(i) = ((docId * 1315423911L + x * 2654435761L + y * 97531L) & 0xFFFFFFL).toInt
+        i += 1
         x += 1
       }
       y += 1
@@ -107,10 +112,18 @@ object Media {
     */
   def synthesize(spark: SparkSession, sfDir: String): Dataset[MediaBlob] = {
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet")
+    val ids = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id").cast("long"))
       .as[Long]
-      .map { id =>
+    // the codec map is CPU-bound (real PNG/JPEG encode); a small single
+    // -file scan would otherwise pin it to one core. The shuffle moves
+    // bare longs and is elided when the scan already has enough splits.
+    val parallelism = math.max(1, spark.sparkContext.defaultParallelism)
+    val placed =
+      if (ids.queryExecution.toRdd.getNumPartitions < parallelism)
+        ids.repartition(parallelism)
+      else ids
+    placed.map { id =>
         val (w, h, fmt) = (widthOf(id), heightOf(id), formatOf(id))
         if (fmt == "mp4") {
           val f = framesOf(id)
