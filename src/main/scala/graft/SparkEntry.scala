@@ -295,6 +295,15 @@ object SparkEntry {
       Dedup.simhashNearDups(s,
         s.read.parquet(t(dir, "documents")), "doc_id", "text", maxDist = 3)),
 
+    // ---- dedup: the no-silent-caps audit itself, driver-verified —
+    // buckets the LSH cap would drop, with sizes (cap=1 here so every
+    // banded collision surfaces at test scale)
+    "q_dedup_cap_audit" -> ((s, dir) =>
+      Dedup.minhashDroppedBuckets(
+        Dedup.minhashSignatures(
+          s.read.parquet(t(dir, "documents")), "doc_id", "text", n = 3, k = 64),
+        bands = 16, rowsPerBand = 4, maxBucketSize = 1)),
+
     // ---- dedup: near-dup clustering (MinHash pairs -> connected
     // components via pointer-jumping min-label propagation; the grouping
     // stage that picks one canonical doc per near-dup cluster)
@@ -1123,6 +1132,9 @@ object SparkEntry {
     },
     "q_dedup_minhash" ->
       s"WITH $minhashPairsCtes\nSELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5",
+    "q_dedup_cap_audit" ->
+      (s"WITH $minhashPairsCtes\n" +
+        "SELECT band, bkey AS band_hash, count(*) AS bsz FROM bands_t GROUP BY 1, 2 HAVING count(*) > 1"),
     "q_dedup_cluster" ->
       // connected components over the thresholded pair graph: DuckDB's
       // recursive CTE computes min-reachable-id per node — an
