@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Elision-aware input spreading for CPU-heavy record-local stages.
+  *
+  * A small table arrives as one parquet split, which pins everything
+  * upstream of the first exchange — per-row hashing, codecs, HOF
+  * pipelines — to a single core. At production scale the scan has
+  * plenty of splits (`spark.sql.files.maxPartitionBytes` splits large
+  * files for free) and this is a no-op; only under-split inputs pay the
+  * one narrow shuffle, which moves the projected input columns only.
+  * Same posture as `Extract.distributed`'s shuffle elision.
+  */
+object Parallelize {
+
+  /** Hash-repartition `df` on `key` to session parallelism iff the
+    * current plan yields fewer partitions than cores.
+    */
+  def bySplits(df: DataFrame, key: String): DataFrame = {
+    val spark = df.sparkSession
+    val parallelism = math.max(1, spark.sparkContext.defaultParallelism)
+    if (df.queryExecution.toRdd.getNumPartitions < parallelism)
+      df.repartition(parallelism, col(key))
+    else df
+  }
+}

@@ -38,12 +38,17 @@ object Dedup {
     * from the relational oracle's range(1, len-n+1) construction).
     */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val toks = TextOps.tokens(col(textCol))
+    val toks = TextOps.tokens(col("__t"))
     val idx = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
       .otherwise(array().cast("array<int>"))
     val sh = transform(idx,
       i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))
-    docs.select(col(idCol).as("id"), explode(array_distinct(sh)).as("shingle"))
+    // spread an under-split scan across cores BEFORE the shuffle-free
+    // heavy part (tokenize + shingle + per-shingle md5 downstream) —
+    // a single-file corpus sample otherwise runs it all on one core
+    graft.Parallelize.bySplits(
+        docs.select(col(idCol).as("id"), col(textCol).as("__t")), "id")
+      .select(col("id"), explode(array_distinct(sh)).as("shingle"))
   }
 
   /** Near-duplicate pairs by exact n-gram Jaccard >= threshold.
@@ -217,7 +222,8 @@ object Dedup {
     */
   def simhashes(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("__t"))
+    graft.Parallelize.bySplits(
+        docs.select(col(idCol).cast("long").as("id"), col(textCol).as("__t")), "id")
       .select(col("id"), expr("simhash60(__t)").as("simhash"))
   }
 
