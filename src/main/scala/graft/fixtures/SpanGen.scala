@@ -178,8 +178,11 @@ object SpanGen {
       seed: Long = 42L,
       replicate: Int = 1): Dataset[Doc] = {
     import spark.implicits._
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select("doc_id", "text")
+    // per-row synthesis is CPU-heavy and deterministic in (doc_id, text)
+    // alone, so spreading an under-split scan is placement-only
+    val docs = graft.Parallelize.bySplits(
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .select("doc_id", "text"), "doc_id")
       .as[(Long, String)]
     if (replicate <= 1) docs.map { case (id, text) => synthDoc(id, text, seed) }
     else docs.flatMap { case (id, text) =>
