@@ -132,10 +132,11 @@ object Bench {
     // first-call cost landing on whichever query ran first.
     val warmDir = {
       val sib = new java.io.File(new java.io.File(sfDir).getParent, "sf0.001")
-      if (sib.isDirectory) sib.getPath else sfDir
+      if (sib.isDirectory) Some(sib.getPath)
+      else { System.err.println(s"[bench] no sf0.001 sibling of $sfDir — skipping warmup pass"); None }
     }
-    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1))
-      try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+    for (wd <- warmDir; (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1))
+      try { fn(spark, wd).count() } catch { case _: Throwable => () }
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }

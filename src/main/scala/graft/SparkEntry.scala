@@ -101,9 +101,20 @@ object SparkEntry {
     // Structured Streaming job — AvailableNow drain over a file source,
     // checkpointed exactly-once parquet sink — read back and flattened.
     // The core is one stateless Project, so streaming == batch and the
-    // batch oracle verifies the streaming path externally.
+    // batch oracle verifies the streaming path externally. The timed
+    // cost deliberately includes materializing the corpus as the
+    // stream's landing zone (the query is self-contained); the temp
+    // tree is reclaimed on JVM exit — the result DataFrame still reads
+    // from it lazily, so it cannot be deleted earlier.
     "extract_stream_spans" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
+      val tmpPath = java.nio.file.Files.createTempDirectory("graft_stream")
+      val tmp = tmpPath.toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          val fs = f.listFiles(); if (fs != null) fs.foreach(rm); f.delete(); ()
+        }
+        rm(tmpPath.toFile)
+      }))
       val in = s"$tmp/in"
       SpanGen.fromDocuments(s, dir).toDF().coalesce(8).write.parquet(in)
       graft.streaming.StreamingExtract.runOnce(s, in, s"$tmp/out", s"$tmp/cp")

@@ -119,10 +119,10 @@ object Dedup {
     * candidates, and byte-reproducible by the DuckDB oracle). Candidate
     * pairs are generated within buckets only.
     */
-  /** (id, band, band_hash, bsz): the banded bucket rows with their
-    * bucket sizes — shared by candidate generation and the cap audit.
+  /** (id, band, band_hash): the banded bucket keys per signature —
+    * shared by candidate generation and the cap audit.
     */
-  private def bandedBuckets(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+  private def bandedKeys(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
     sigs.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         bIdx => concat_ws(",",
@@ -130,6 +130,12 @@ object Dedup {
             _.cast("string"))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
+
+  /** Banded keys with per-row bucket sizes attached (window count) —
+    * the candidate path needs bsz on every row for the cap filter.
+    */
+  private def bandedBuckets(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    bandedKeys(sigs, bands, rowsPerBand)
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "band_hash")))
 
   /** No-silent-caps audit for minhashCandidates: the (band, band_hash,
@@ -140,14 +146,15 @@ object Dedup {
     * alongside capped dedup jobs — a non-empty result is recall loss the
     * pair output cannot show (a >cap near-dup clique that saturates
     * every band loses all its pairs; exact dedup only covers the
-    * byte-identical case).
+    * byte-identical case). One plain aggregation — no per-row window,
+    * since only the per-bucket total matters here.
     */
   def minhashDroppedBuckets(sigs: DataFrame, bands: Int, rowsPerBand: Int,
       maxBucketSize: Int = 10000): DataFrame =
-    bandedBuckets(sigs, bands, rowsPerBand)
-      .filter(col("bsz") > maxBucketSize)
+    bandedKeys(sigs, bands, rowsPerBand)
       .groupBy(col("band"), col("band_hash"))
       .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > maxBucketSize)
 
   def minhashCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int,
       maxBucketSize: Int = 10000): DataFrame = {

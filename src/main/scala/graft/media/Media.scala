@@ -112,17 +112,13 @@ object Media {
     */
   def synthesize(spark: SparkSession, sfDir: String): Dataset[MediaBlob] = {
     import spark.implicits._
-    val ids = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id").cast("long"))
-      .as[Long]
     // the codec map is CPU-bound (real PNG/JPEG encode); a small single
     // -file scan would otherwise pin it to one core. The shuffle moves
     // bare longs and is elided when the scan already has enough splits.
-    val parallelism = math.max(1, spark.sparkContext.defaultParallelism)
-    val placed =
-      if (ids.queryExecution.toRdd.getNumPartitions < parallelism)
-        ids.repartition(parallelism)
-      else ids
+    val placed = graft.Parallelize.bySplits(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id")), "doc_id")
+      .as[Long]
     placed.map { id =>
         val (w, h, fmt) = (widthOf(id), heightOf(id), formatOf(id))
         if (fmt == "mp4") {
@@ -173,20 +169,29 @@ object Media {
   def resize(blobs: Dataset[MediaBlob], targetW: Int, targetH: Int): Dataset[MediaBlob] = {
     import blobs.sparkSession.implicits._
     blobs.map { b =>
-      val bytes =
-        if (b.format == "mp4")
-          encodeBytes(b.doc_id, targetW, targetH, b.n_frames, formatByte(b.format))
+      if (b.format == "mp4")
+        MediaBlob(b.doc_id, b.media_ref, b.format, targetW, targetH, b.n_frames,
+          encodeBytes(b.doc_id, targetW, targetH, b.n_frames, formatByte(b.format)))
+      else {
+        // same fail-closed posture as decodeBytes: a corrupt payload
+        // passes through unchanged (its re-decode then reports the
+        // corruption) instead of killing the task or silently emitting
+        // a blank-but-"valid" image from a null decode
+        val src =
+          try ImageIO.read(new ByteArrayInputStream(b.content))
+          catch { case _: Exception => null }
+        if (src == null) b
         else {
-          val src = ImageIO.read(new ByteArrayInputStream(b.content))
           val dst = new BufferedImage(targetW, targetH, BufferedImage.TYPE_INT_RGB)
           val g = dst.createGraphics()
           g.drawImage(src, 0, 0, targetW, targetH, null)
           g.dispose()
           val baos = new ByteArrayOutputStream()
           ImageIO.write(dst, if (b.format == "jpg") "jpg" else "png", baos)
-          baos.toByteArray
+          MediaBlob(b.doc_id, b.media_ref, b.format, targetW, targetH, b.n_frames,
+            baos.toByteArray)
         }
-      MediaBlob(b.doc_id, b.media_ref, b.format, targetW, targetH, b.n_frames, bytes)
+      }
     }
   }
 

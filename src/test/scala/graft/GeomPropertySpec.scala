@@ -112,10 +112,13 @@ class GeomPropertySpec extends AnyFunSuite {
       t <- Gen.oneOf(SpanGen.Vocab)
     } yield WordBox(t, x0, x0 + w, y0, y0 + h))
     checkProp(Prop.forAll(boxGen) { boxes =>
-      // partitionIntoRows needs a total row order; restrict to inputs
-      // whose sort doesn't throw (overlap chains can trip TimSort).
-      try Geom.toTableSplitHeuristic(boxes) == Geom.toTableSplitHeuristicMidpoint(boxes)
-      catch { case _: IllegalArgumentException => true }
+      // partitionIntoRows needs a total row order; overlap chains can
+      // trip TimSort. Catch each variant SEPARATELY: the property also
+      // asserts they fail identically — one variant throwing while the
+      // other succeeds would itself be a divergence.
+      def run(f: collection.Seq[WordBox] => Vector[Vector[String]]) =
+        try Right(f(boxes)) catch { case _: IllegalArgumentException => Left(()) }
+      run(Geom.toTableSplitHeuristic) == run(Geom.toTableSplitHeuristicMidpoint)
     })
   }
 

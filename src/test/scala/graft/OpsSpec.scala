@@ -227,6 +227,17 @@ class OpsSpec extends AnyFunSuite {
     assert(Media.decodeBytes(Array.fill[Byte](64)(0x5a)) == ((-1, -1, -1, "invalid", false)))
   }
 
+  test("media: resize passes corrupt image payloads through instead of failing the task") {
+    import spark.implicits._
+    val corrupt = Media.MediaBlob(9L, "media://9/0", "png", 40, 30, 1,
+      Media.encodeImage(9L, 40, 30, "png").take(10))
+    val out = Media.resize(spark.createDataset(Seq(corrupt)), 32, 32).collect()
+    assert(out.length == 1)
+    // unchanged blob, and the re-decode surfaces the corruption
+    assert(out.head.content.sameElements(corrupt.content))
+    assert(Media.decodeBytes(out.head.content)._5 == false)
+  }
+
   test("media: resize re-encodes real images; frame sampling passes stills through") {
     val blobs = Media.synthesize(spark, "/root/testdata/sf0.001")
     val dec = Media.decode(Media.resize(blobs, 32, 32)).collect()
