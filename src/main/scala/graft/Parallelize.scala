@@ -15,14 +15,17 @@ import org.apache.spark.sql.functions.col
   */
 object Parallelize {
 
-  /** Hash-repartition `df` on `key` to session parallelism iff the
-    * current plan yields fewer partitions than cores.
+  /** Hash-repartition `df` on `key` to `factor` x session parallelism
+    * iff the current plan yields fewer partitions than cores. Use
+    * `factor > 1` when a downstream consumer oversubscribes partitions
+    * (e.g. `Extract.distributed`'s 4x skew posture) so it can elide its
+    * own exchange instead of re-shuffling the spread output.
     */
-  def bySplits(df: DataFrame, key: String): DataFrame = {
+  def bySplits(df: DataFrame, key: String, factor: Int = 1): DataFrame = {
     val spark = df.sparkSession
     val parallelism = math.max(1, spark.sparkContext.defaultParallelism)
     if (df.queryExecution.toRdd.getNumPartitions < parallelism)
-      df.repartition(parallelism, col(key))
+      df.repartition(parallelism * factor, col(key))
     else df
   }
 }

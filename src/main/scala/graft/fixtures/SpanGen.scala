@@ -179,10 +179,12 @@ object SpanGen {
       replicate: Int = 1): Dataset[Doc] = {
     import spark.implicits._
     // per-row synthesis is CPU-heavy and deterministic in (doc_id, text)
-    // alone, so spreading an under-split scan is placement-only
+    // alone, so spreading an under-split scan is placement-only; factor
+    // 4 matches Extract.distributed's oversubscription so the extractor
+    // elides its own exchange instead of re-shuffling this one
     val docs = graft.Parallelize.bySplits(
         spark.read.parquet(s"$sfDir/documents.parquet")
-          .select("doc_id", "text"), "doc_id")
+          .select("doc_id", "text"), "doc_id", factor = 4)
       .as[(Long, String)]
     if (replicate <= 1) docs.map { case (id, text) => synthDoc(id, text, seed) }
     else docs.flatMap { case (id, text) =>
