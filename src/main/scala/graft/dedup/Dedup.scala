@@ -51,10 +51,21 @@ object Dedup {
       .select(col("id"), explode(array_distinct(sh)).as("shingle"))
   }
 
+  /** No-silent-caps audit for ngramJaccardPairs: the shingles its
+    * document-frequency cap drops, with their df. Run alongside capped
+    * jobs — a non-empty result quantifies the (deliberate) recall trade.
+    */
+  def ngramDroppedShingles(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, maxShingleDf: Int = 1000): DataFrame =
+    shingles(docs, idCol, textCol, n)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf)
+
   /** Near-duplicate pairs by exact n-gram Jaccard >= threshold.
     * maxShingleDf drops shingles appearing in more docs than the cap —
     * the standard stop-shingle guard that bounds join fan-out (skew) at
     * scale; dropped shingles are noise for near-dup detection anyway.
+    * Capped runs are auditable via ngramDroppedShingles.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
@@ -247,15 +258,33 @@ object Dedup {
     * genuinely near (Hamming<=3) pairs only needs ONE of the four chunk
     * buckets to survive.
     */
-  def simhashNearDups(spark: SparkSession, docs: DataFrame, idCol: String,
-      textCol: String, maxDist: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
-    val fp = simhashes(spark, docs, idCol, textCol)
-    val chunked = fp.select(col("id"), col("simhash"),
-      posexplode(array((0 until SimhashChunks).map(i =>
-        shiftrightunsigned(col("simhash"), i * SimhashChunkBits)
-          .bitwiseAND(lit((1L << SimhashChunkBits) - 1))): _*)))
+  /** (id, chunk, chunk_val): 15-bit pigeonhole chunk keys per
+    * fingerprint — shared by candidate generation and the cap audit.
+    */
+  private def simhashChunks(spark: SparkSession, docs: DataFrame,
+      idCol: String, textCol: String): DataFrame =
+    simhashes(spark, docs, idCol, textCol)
+      .select(col("id"), col("simhash"),
+        posexplode(array((0 until SimhashChunks).map(i =>
+          shiftrightunsigned(col("simhash"), i * SimhashChunkBits)
+            .bitwiseAND(lit((1L << SimhashChunkBits) - 1))): _*)))
       .withColumnRenamed("pos", "chunk")
       .withColumnRenamed("col", "chunk_val")
+
+  /** No-silent-caps audit for simhashNearDups: the (chunk, chunk_val,
+    * bsz) buckets its cap drops whole (same separate-query rationale as
+    * minhashDroppedBuckets).
+    */
+  def simhashDroppedBuckets(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String, maxBucketSize: Int = 10000): DataFrame =
+    simhashChunks(spark, docs, idCol, textCol)
+      .groupBy(col("chunk"), col("chunk_val"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > maxBucketSize)
+
+  def simhashNearDups(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String, maxDist: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
+    val chunked = simhashChunks(spark, docs, idCol, textCol)
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy("chunk", "chunk_val")))
       .filter(col("bsz") <= maxBucketSize)
       .drop("bsz")

@@ -83,6 +83,33 @@ class OpsSpec extends AnyFunSuite {
     assert(Dedup.minhashCandidates(sigs, 16, 4, maxBucketSize = 10).count() == 10)
   }
 
+  test("ngram/simhash caps are auditable, not silent") {
+    val txt = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val df = docsDf((1L to 4L).map(i => (i, txt)): _*)
+    // every shingle appears in 4 docs -> all dropped at cap 3, none at 5
+    val dropped = Dedup.ngramDroppedShingles(df, "doc_id", "text", n = 3, maxShingleDf = 3)
+    assert(dropped.collect().forall(_.getAs[Long]("df") == 4L) && dropped.count() == 8)
+    assert(Dedup.ngramDroppedShingles(df, "doc_id", "text", n = 3, maxShingleDf = 5).isEmpty)
+    // identical fingerprints: all 4 chunk buckets hold 4 members
+    val sDropped = Dedup.simhashDroppedBuckets(spark, df, "doc_id", "text", maxBucketSize = 3)
+    assert(sDropped.count() == Dedup.SimhashChunks)
+    assert(sDropped.collect().forall(_.getAs[Long]("bsz") == 4L))
+    assert(Dedup.simhashDroppedBuckets(spark, df, "doc_id", "text", maxBucketSize = 4).isEmpty)
+  }
+
+  test("Parallelize.bySplits spreads under-split plans and elides well-split ones") {
+    import spark.implicits._
+    val single = (1L to 100L).toDF("id").coalesce(1)
+    val spread = graft.Parallelize.bySplits(single, "id")
+    assert(spread.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
+    assert(spread.as[Long].collect().sorted.toSeq == (1L to 100L))
+    val wide = (1L to 100L).toDF("id").repartition(spark.sparkContext.defaultParallelism * 2)
+    assert(graft.Parallelize.bySplits(wide, "id").rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism * 2)
+    assert(graft.Parallelize.bySplits(single, "id", factor = 3).rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism * 3)
+  }
+
   test("simhash near-dups via chunk banding + hamming verify") {
     val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
     val got = Dedup.simhashNearDups(spark,
