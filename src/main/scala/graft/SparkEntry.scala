@@ -432,6 +432,14 @@ object SparkEntry {
         s.read.parquet(t(dir, "documents")), "lang", "doc_id", frac = 0.1)
         .select(col("doc_id"), col("lang"))),
 
+    // ---- corpus: context-window sequence packing (training-batch
+    // layout; portable-hash streams + windowed cumsum, one bounded
+    // shuffle — the greedy streaming approximation of bin packing)
+    "q_pack_sequences" -> ((s, dir) =>
+      graft.corpus.Packing.packSequences(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text",
+        budget = 4096, groups = 8)),
+
     // ---- ANN: int8 embedding quantization (4x memory at 10^9 vectors;
     // explicit half-up arithmetic so the oracle replays it exactly).
     // Exploded to (vec_id, i, q_i, scale) scalar rows: round 2's driver
@@ -821,6 +829,22 @@ object SparkEntry {
         |  FROM h
         |)
         |SELECT doc_id, lang FROM r WHERE rn <= ceil(0.1 * n)""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST('0x' || substr(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |      % 1000000 AS hv
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, CAST(hv % 8 AS INTEGER) AS grp, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_off
+        |  FROM h
+        |)
+        |SELECT doc_id, grp, CAST(floor(start_off / 4096.0) AS BIGINT) AS pack_id,
+        |  n_tokens, CAST(start_off AS BIGINT) AS start_off
+        |FROM c""".stripMargin,
     "q_embed_quant" ->
       """WITH v AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings

@@ -73,6 +73,45 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("packSequences matches a local greedy simulation and is parallelism-invariant") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    val rows = (0L until 400L).map(i => (i, Seq.fill(1 + rng.nextInt(50))("w").mkString(" ")))
+    val df = rows.toDF("doc_id", "text")
+    val budget = 64
+    val groups = 4
+    val got = graft.corpus.Packing.packSequences(df, "doc_id", "text", budget, groups)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("grp"), r.getAs[Long]("pack_id"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("start_off"))))
+      .toMap
+    // ground truth: sequential greedy cumsum per hash stream, local Scala
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def hv(id: Long): Long = java.lang.Long.parseLong(md5hex("pack" + id).take(15), 16) % 1000000L
+    val expected = rows
+      .map { case (id, text) => (id, text.split(" ", -1).length.toLong, hv(id)) }
+      .groupBy { case (_, _, h) => (h % groups).toInt }
+      .flatMap { case (grp, ds) =>
+        var cum = 0L
+        ds.sortBy { case (id, _, h) => (h, id) }.map { case (id, n, _) =>
+          val start = cum
+          cum += n
+          id -> ((grp, start / budget, n, start))
+        }
+      }
+    assert(got == expected)
+    // identical layout regardless of input partitioning
+    val got2 = graft.corpus.Packing.packSequences(df.repartition(7), "doc_id", "text", budget, groups)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("grp"), r.getAs[Long]("pack_id"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("start_off"))))
+      .toMap
+    assert(got2 == got)
+  }
+
   test("quantize: max-abs element maps to ±127, roundtrip error <= scale/2") {
     import spark.implicits._
     val emb = Seq(
