@@ -432,6 +432,18 @@ object SparkEntry {
         s.read.parquet(t(dir, "documents")), "lang", "doc_id", frac = 0.1)
         .select(col("doc_id"), col("lang"))),
 
+    // ---- text analysis: PII/URL scrub. The corpus has no PII, so a
+    // deterministic contact line (email + URL per doc) is appended
+    // in-query before scrubbing — the oracle replays both the append
+    // and the scrub, so the replacement semantics are actually exercised
+    "q_text_scrub" -> ((s, dir) =>
+      s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"),
+          TextOps.scrubPii(concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com via https://site.example/"),
+            col("doc_id").cast("string"), lit("/page x"))).as("scrubbed"))),
+
     // ---- corpus: context-window sequence packing (training-batch
     // layout; portable-hash streams + windowed cumsum, one bounded
     // shuffle — the greedy streaming approximation of bin packing)
@@ -829,6 +841,19 @@ object SparkEntry {
         |  FROM h
         |)
         |SELECT doc_id, lang FROM r WHERE rn <= ceil(0.1 * n)""".stripMargin,
+    "q_text_scrub" ->
+      ("""WITH d AS (
+        |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |    || '@example.com via https://site.example/' || CAST(doc_id AS VARCHAR)
+        |    || '/page x' AS t
+        |  FROM documents
+        |)
+        |SELECT doc_id, regexp_replace(regexp_replace(t,
+        |  'URLPAT', '<URL>', 'g'),
+        |  'EMAILPAT', '<EMAIL>', 'g') AS scrubbed
+        |FROM d""".stripMargin
+        .replace("URLPAT", TextOps.UrlPattern)
+        .replace("EMAILPAT", TextOps.EmailPattern)),
     "q_pack_sequences" ->
       """WITH h AS (
         |  SELECT doc_id,

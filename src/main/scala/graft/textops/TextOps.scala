@@ -76,6 +76,21 @@ object TextOps {
     lenScore * 0.4 + wordScore * 0.3 + stopScore * 0.3
   }
 
+  /** PII/URL scrub (C4-style pre-training hygiene): URLs then email
+    * addresses replaced with placeholder tokens. URLs first — an email
+    * embedded in a URL's userinfo must scrub as part of the URL. The
+    * patterns use only constructs Java regex and RE2/DuckDB interpret
+    * identically (literal classes, `[^ ]`, bounded repetition), so a
+    * SQL oracle replays the scrub byte-for-byte. Codegen'd
+    * regexp_replace — no UDF.
+    */
+  val UrlPattern = "https?://[^ ]+"
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, UrlPattern, "<URL>"),
+      EmailPattern, "<EMAIL>")
+
   /** Positional rolling-hash fingerprint: sum_i i*len(tok_i) mod p —
     * order-sensitive, engine-portable (pure integer arithmetic).
     */

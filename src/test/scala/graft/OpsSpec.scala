@@ -220,6 +220,19 @@ class OpsSpec extends AnyFunSuite {
     assert(got(3L) == "und")
   }
 
+  test("scrubPii replaces URLs then emails, leaves clean text alone") {
+    val df = docsDf(
+      (1L, "mail me at a.b+c@ex-ample.org or see https://x.y/z?q=1#f now"),
+      (2L, "ftp://not.scrubbed and no at signs"),
+      (3L, "user@sub.domain.co embedded https://u:p@host/p"))
+    val got = df.select(col("doc_id"), TextOps.scrubPii(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "mail me at <EMAIL> or see <URL> now")
+    assert(got(2L) == "ftp://not.scrubbed and no at signs")
+    // the URL pass consumes the credentialed URL before the email pass
+    assert(got(3L) == "<EMAIL> embedded <URL>")
+  }
+
   test("token counts and bpe estimate") {
     val df = docsDf((1L, "one two three"))
     assert(df.select(TextOps.tokenCount(col("text"))).head().getLong(0) == 3L)
