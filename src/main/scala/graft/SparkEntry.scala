@@ -432,6 +432,12 @@ object SparkEntry {
         s.read.parquet(t(dir, "documents")), "lang", "doc_id", frac = 0.1)
         .select(col("doc_id"), col("lang"))),
 
+    // ---- text analysis: repetition gate (duplicate-shingle fraction)
+    "q_text_repetition" -> ((s, dir) =>
+      s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"),
+          TextOps.repetitionScore(col("text")).as("rep_frac"))),
+
     // ---- text analysis: PII/URL scrub. The corpus has no PII, so a
     // deterministic contact line (email + URL per doc) is appended
     // in-query before scrubbing — the oracle replays both the append
@@ -841,6 +847,19 @@ object SparkEntry {
         |  FROM h
         |)
         |SELECT doc_id, lang FROM r WHERE rn <= ceil(0.1 * n)""".stripMargin,
+    "q_text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN len(sh) = 0 THEN 0.0
+        |       ELSE 1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh)
+        |  END AS rep_frac
+        |FROM sh""".stripMargin,
     "q_text_scrub" ->
       ("""WITH d AS (
         |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)

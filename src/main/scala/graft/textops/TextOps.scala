@@ -76,6 +76,23 @@ object TextOps {
     lenScore * 0.4 + wordScore * 0.3 + stopScore * 0.3
   }
 
+  /** Repetition score (Gopher-style quality gate): the fraction of
+    * duplicated n-gram shingles within the document, 1 -
+    * distinct/total, 0.0 when the doc has no shingles. High values
+    * signal boilerplate/spam loops that perplexity-free pipelines
+    * filter on. Record-local HOF columns, no UDF, exact IEEE doubles —
+    * oracle-replayable.
+    */
+  def repetitionScore(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    val idx = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
+      .otherwise(array().cast("array<int>"))
+    val sh = transform(idx,
+      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))
+    when(size(sh) === 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh))
+  }
+
   /** PII/URL scrub (C4-style pre-training hygiene): URLs then email
     * addresses replaced with placeholder tokens. URLs first — an email
     * embedded in a URL's userinfo must scrub as part of the URL. The

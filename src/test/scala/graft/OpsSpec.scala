@@ -220,6 +220,18 @@ class OpsSpec extends AnyFunSuite {
     assert(got(3L) == "und")
   }
 
+  test("repetitionScore: 0 for unique text, high for loops, 0 for tiny docs") {
+    val df = docsDf(
+      (1L, "a b c d e f g h"),      // 6 shingles, all distinct -> 0.0
+      (2L, "x y z x y z x y z"),    // 7 shingles, 3 distinct -> 4/7
+      (3L, "one two"))              // < n tokens -> no shingles -> 0.0
+    val got = df.select(col("doc_id"), TextOps.repetitionScore(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == 0.0)
+    assert(math.abs(got(2L) - 4.0 / 7.0) < 1e-12)
+    assert(got(3L) == 0.0)
+  }
+
   test("scrubPii replaces URLs then emails, leaves clean text alone") {
     val df = docsDf(
       (1L, "mail me at a.b+c@ex-ample.org or see https://x.y/z?q=1#f now"),
