@@ -210,6 +210,22 @@ object SparkEntry {
           max(col("sec")).as("s_end"))
     }),
 
+    // ---- as-of join (composition: tag-union + one keyed window pass;
+    // one shuffle, no range cross-product): each click matched to the
+    // user's latest view at or before it
+    "q_asof_join" -> ((s, dir) => {
+      val ev = s.read.parquet(t(dir, "events"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("sec"))
+      val clicks = ev.filter(col("event_type") === "click").drop("event_type")
+      val views = ev.filter(col("event_type") === "view").drop("event_type")
+      graft.operators.AsOf.asofJoin(clicks, views,
+          key = "user_id", time = "sec",
+          rightTiebreak = "event_id", rightPayload = "event_id",
+          outCol = "matched_view")
+        .select(col("event_id"), col("user_id"), col("sec"), col("matched_view"))
+    }),
+
     // ---- W1: running-max sweep (gap-detection analog: record highs)
     "q_running_max" -> ((s, dir) => {
       val ev = s.read.parquet(t(dir, "events"))
@@ -984,6 +1000,24 @@ object SparkEntry {
         |)
         |SELECT user_id, session, count(*) AS n_events, min(sec) AS s_start, max(sec) AS s_end
         |FROM g GROUP BY user_id, session""".stripMargin,
+    // as-of semantics replayed as a correlated lookup: greatest
+    // (sec, event_id) view at or before each click — identical to the
+    // window construction's right-before-left, max-tiebreak pick
+    "q_asof_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events
+        |), c AS (
+        |  SELECT event_id, user_id, sec FROM ev WHERE event_type = 'click'
+        |), v AS (
+        |  SELECT event_id, user_id, sec FROM ev WHERE event_type = 'view'
+        |)
+        |SELECT c.event_id, c.user_id, c.sec,
+        |  (SELECT v.event_id FROM v
+        |   WHERE v.user_id = c.user_id AND v.sec <= c.sec
+        |   ORDER BY v.sec DESC, v.event_id DESC LIMIT 1) AS matched_view
+        |FROM c""".stripMargin,
     "q_running_max" ->
       """WITH m AS (
         |  SELECT user_id, event_id, value, max(value) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_max FROM events

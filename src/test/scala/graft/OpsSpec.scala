@@ -220,6 +220,22 @@ class OpsSpec extends AnyFunSuite {
     assert(got(3L) == "und")
   }
 
+  test("asofJoin: latest right at-or-before, right-at-tie matches, no-match is null") {
+    import spark.implicits._
+    val left = Seq((100L, 1L, 10L), (101L, 1L, 5L), (102L, 2L, 7L), (103L, 3L, 1L))
+      .toDF("event_id", "user_id", "sec")
+    val right = Seq((200L, 1L, 5L), (201L, 1L, 5L), (202L, 1L, 9L), (203L, 2L, 8L))
+      .toDF("event_id", "user_id", "sec")
+    val got = graft.operators.AsOf.asofJoin(left, right,
+        "user_id", "sec", "event_id", "event_id", "matched")
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(got(100L) == Some(202L)) // latest of {5,5,9} <= 10
+    assert(got(101L) == Some(201L)) // tie at sec=5: right matches at-or-before, max tiebreak
+    assert(got(102L) == None)       // user 2's only view is later (8 > 7)
+    assert(got(103L) == None)       // user 3 has no views at all
+  }
+
   test("repetitionScore: 0 for unique text, high for loops, 0 for tiny docs") {
     val df = docsDf(
       (1L, "a b c d e f g h"),      // 6 shingles, all distinct -> 0.0
