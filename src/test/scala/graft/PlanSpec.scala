@@ -100,6 +100,18 @@ class PlanSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(p).length == 1, "fingerprints must be computed once")
   }
 
+  test("as-of join: one keyed exchange + one window, no join operator at all") {
+    val p = plan("q_asof_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "as-of must be the union+window composition, not a range join")
+    val exchanges = p.linesIterator.filter(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange")).toVector
+    assert(exchanges.size == 1 && exchanges.head.contains("hashpartitioning(user_id"),
+      s"expected exactly one keyed exchange:\n${exchanges.mkString("\n")}")
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]"), p)
+  }
+
   test("resume anti-join plans as a join, not a driver-side collect (S9)") {
     val p = plan("q_antijoin_resume")
     assert(p.contains("LeftAnti"), p)
