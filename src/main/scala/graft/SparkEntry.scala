@@ -260,6 +260,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_cust"))
     }),
 
+    // ---- range join, scale path: the same acctbal-window containment
+    // as q_containment_join (which keeps the broadcast-NL baseline), but
+    // via bucketed equi-join — the plan that survives two un-broadcastable
+    // sides. Same oracle-checked output as the baseline.
+    "q_range_join" -> ((s, dir) => {
+      val sup = s.read.parquet(t(dir, "supplier"))
+        .select(col("s_suppkey"), col("s_acctbal"),
+          (col("s_acctbal") - 500).as("lo"), (col("s_acctbal") + 500).as("hi"))
+      val cust = s.read.parquet(t(dir, "customer"))
+        .select(col("c_custkey"), col("c_acctbal"))
+      graft.operators.RangeJoin.pointInInterval(
+          cust, "c_acctbal", sup, "lo", "hi", width = 500.0)
+        .groupBy(col("s_suppkey"))
+        .agg(count(lit(1)).as("n_cust"))
+    }),
+
     // ---- dedup (exact): normalize + hash + group
     "q_dedup_exact" -> ((s, dir) =>
       s.read.parquet(t(dir, "documents"))
@@ -1032,6 +1048,12 @@ object SparkEntry {
         |  count(*) FILTER (WHERE event_type = 'error') AS n_error
         |FROM events GROUP BY user_id""".stripMargin,
     "q_containment_join" ->
+      """SELECT s_suppkey, count(*) AS n_cust FROM supplier
+        |JOIN customer ON c_acctbal >= s_acctbal - 500 AND c_acctbal <= s_acctbal + 500
+        |GROUP BY s_suppkey""".stripMargin,
+    // the bucketed scale path must produce byte-identical results to
+    // the plain range join
+    "q_range_join" ->
       """SELECT s_suppkey, count(*) AS n_cust FROM supplier
         |JOIN customer ON c_acctbal >= s_acctbal - 500 AND c_acctbal <= s_acctbal + 500
         |GROUP BY s_suppkey""".stripMargin,

@@ -220,6 +220,29 @@ class OpsSpec extends AnyFunSuite {
     assert(got(3L) == "und")
   }
 
+  test("range join: bucketed equi-join == brute-force containment, incl. boundaries") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val points = (0 until 300).map(i => (i.toLong, rng.nextDouble() * 40 - 20))
+      .toDF("p_id", "x")
+    val intervals = (0 until 80).map { i =>
+      val lo = rng.nextDouble() * 40 - 22
+      (1000L + i, lo, lo + rng.nextDouble() * 6)
+    }.toDF("iv_id", "lo", "hi")
+    val got = graft.operators.RangeJoin.pointInInterval(points, "x", intervals, "lo", "hi", 2.5)
+      .select("p_id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = points.crossJoin(intervals)
+      .filter(col("x") >= col("lo") && col("x") <= col("hi"))
+      .select("p_id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected && got.nonEmpty)
+    // closed-interval boundaries land inside
+    val b = graft.operators.RangeJoin.pointInInterval(
+      Seq((1L, 5.0), (2L, 7.0), (3L, 4.999)).toDF("p_id", "x"),
+      "x", Seq((9L, 5.0, 7.0)).toDF("iv_id", "lo", "hi"), "lo", "hi", 2.0)
+      .select("p_id").collect().map(_.getLong(0)).toSet
+    assert(b == Set(1L, 2L))
+  }
+
   test("asofJoin: latest right at-or-before, right-at-tie matches, no-match is null") {
     import spark.implicits._
     val left = Seq((100L, 1L, 10L), (101L, 1L, 5L), (102L, 2L, 7L), (103L, 3L, 1L))

@@ -112,6 +112,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]"), p)
   }
 
+  test("range join scale path stays an equi-join even with broadcasts off") {
+    // the raw range predicate would plan a nested loop / cartesian when
+    // neither side broadcasts; the bucketed construction must not
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val p = SparkEntry.queries("q_range_join")(s2, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"expected a shuffled equi-join on the bucket key:\n${p.take(2000)}")
+  }
+
   test("resume anti-join plans as a join, not a driver-side collect (S9)") {
     val p = plan("q_antijoin_resume")
     assert(p.contains("LeftAnti"), p)
