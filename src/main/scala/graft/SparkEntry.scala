@@ -482,6 +482,15 @@ object SparkEntry {
             lit("@example.com via https://site.example/"),
             col("doc_id").cast("string"), lit("/page x"))).as("scrubbed"))),
 
+    // ---- sketch: KMV distinct-count estimate of per-language
+    // vocabulary size (engine-portable by construction — the DuckDB
+    // oracle replays the estimate bit-for-bit, which no HLL can)
+    "q_sketch_distinct" -> ((s, dir) =>
+      graft.operators.Kmv.distinctPerGroup(
+        s.read.parquet(t(dir, "documents"))
+          .select(col("lang"), explode(TextOps.tokens(col("text"))).as("tok")),
+        "lang", "tok", k = 200)),
+
     // ---- corpus: context-window sequence packing (training-batch
     // layout; portable-hash streams + windowed cumsum, one bounded
     // shuffle — the greedy streaming approximation of bin packing)
@@ -905,6 +914,21 @@ object SparkEntry {
         |FROM d""".stripMargin
         .replace("URLPAT", TextOps.UrlPattern)
         .replace("EMAILPAT", TextOps.EmailPattern)),
+    "q_sketch_distinct" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT lang,
+        |    CAST('0x' || substr(md5('kmv' || t), 1, 15) AS BIGINT) AS hv
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents)
+        |), r AS (
+        |  SELECT lang, hv, row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn
+        |  FROM tok
+        |), kk AS (
+        |  SELECT lang, max(hv) AS hk, count(*) AS n FROM r WHERE rn <= 200 GROUP BY lang
+        |)
+        |SELECT lang,
+        |  CASE WHEN n < 200 THEN CAST(n AS DOUBLE)
+        |       ELSE 199.0 * 1152921504606846976.0 / hk END AS est_distinct
+        |FROM kk""".stripMargin,
     "q_pack_sequences" ->
       """WITH h AS (
         |  SELECT doc_id,

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** KMV (k-minimum-values) distinct-count sketch (Bar-Yossef et al.,
+  * "Counting distinct elements in a data stream", RANDOM 2002).
+  *
+  * estimate = (k-1) * M / h_k, where h_k is the k-th smallest distinct
+  * hash over a space of size M; standard error ~ 1/sqrt(k-2). With
+  * fewer than k distinct values the sketch IS the exact count.
+  *
+  * Why KMV instead of Spark's built-in approx_count_distinct (HLL++):
+  * the estimate here is a pure function of an md5-derived hash and
+  * exact double arithmetic, so it is REPRODUCIBLE across engines — a
+  * DuckDB oracle replays the estimate bit-for-bit, and two runs on any
+  * engine agree exactly. HLL implementations differ per engine and
+  * version, which makes them un-auditable as pipeline contracts. The
+  * sketch is mergeable (union = k smallest of the union), the same
+  * property that makes it shuffle-friendly.
+  *
+  * Scale shape: distinct (group, hash) pairs — one shuffle with
+  * map-side partial dedup — then a per-group top-k window over
+  * bounded-cardinality groups. For a global (ungrouped) estimate the
+  * orderBy+limit form plans as TakeOrderedAndProject (per-partition
+  * top-k, driver merge of k rows).
+  */
+object Kmv {
+
+  /** Full 60-bit portable hash (15 hex chars of md5) — NOT reduced mod
+    * 10^6 like Sampling's: the sketch needs a near-injective hash.
+    */
+  val HashSpace: Double = 1152921504606846976.0 // 2^60, exact in double
+  def hash60(value: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), value.cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+
+  /** (groupCol, est_distinct): estimated distinct `valueCol` per group.
+    * Exact count when a group has fewer than k distinct values.
+    */
+  def distinctPerGroup(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int, salt: String = "kmv"): DataFrame = {
+    require(k >= 3, s"k must be >= 3, got $k")
+    val hashed = df
+      .select(col(groupCol).as("grp"), hash60(col(valueCol), salt).as("hv"))
+      .distinct()
+    val w = Window.partitionBy(col("grp")).orderBy(col("hv"))
+    hashed
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .groupBy(col("grp"))
+      .agg(max(col("hv")).as("hk"), count(lit(1)).as("n"))
+      .select(col("grp").as(groupCol),
+        when(col("n") < k, col("n").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(HashSpace) / col("hk"))
+          .as("est_distinct"))
+  }
+}

@@ -220,6 +220,21 @@ class OpsSpec extends AnyFunSuite {
     assert(got(3L) == "und")
   }
 
+  test("KMV sketch: exact below k, within ~3 standard errors above k") {
+    import spark.implicits._
+    // group "small": 50 distinct values (< k) -> exact; group "big":
+    // 20000 distinct -> estimate within 3/sqrt(k-2) relative error
+    val rows = (1 to 50).map(i => ("small", s"v$i")) ++
+      (1 to 20000).map(i => ("big", s"w$i")) ++
+      (1 to 500).map(i => ("big", s"w$i")) // duplicates must not inflate
+    val got = graft.operators.Kmv.distinctPerGroup(
+        rows.toDF("grp", "v"), "grp", "v", k = 200)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("small") == 50.0)
+    val relErr = math.abs(got("big") - 20000.0) / 20000.0
+    assert(relErr < 3.0 / math.sqrt(198.0), s"estimate ${got("big")} off by $relErr")
+  }
+
   test("range join: bucketed equi-join == brute-force containment, incl. boundaries") {
     import spark.implicits._
     val rng = new scala.util.Random(11)
