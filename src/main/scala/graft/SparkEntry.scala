@@ -457,6 +457,15 @@ object SparkEntry {
         s.read.parquet(t(dir, "documents")), "doc_id", rate = 0.2)
         .select(col("doc_id"), col("lang"))),
 
+    // ---- corpus: domain-mixture sample (per-language rates — the
+    // data-mixing knob; shuffle-free, threshold folded into the scan)
+    "q_sample_mixture" -> ((s, dir) =>
+      graft.corpus.Sampling.mixtureSample(
+        s.read.parquet(t(dir, "documents")), "lang", "doc_id",
+        rates = Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.1),
+        defaultRate = 0.05)
+        .select(col("doc_id"), col("lang"))),
+
     // ---- corpus: exact stratified sample (ceil(frac*|stratum|) per
     // lang, portable-hash order; one shuffle on the stratum key)
     "q_sample_stratified" -> ((s, dir) =>
@@ -875,6 +884,12 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE CAST('0x' || substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
         |  % 1000000 < 200000""".stripMargin,
+    "q_sample_mixture" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST('0x' || substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |  % 1000000 <
+        |  CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
+        |            WHEN 'zh' THEN 100000 ELSE 50000 END""".stripMargin,
     "q_sample_stratified" ->
       """WITH h AS (
         |  SELECT doc_id, lang,

@@ -41,6 +41,26 @@ object Sampling {
     df.filter(portableHash(col(idCol), salt) < (rate * HashMod).toLong)
   }
 
+  /** Mixture sample: a DIFFERENT deterministic rate per stratum — the
+    * domain-mixing knob of a training-data pipeline (e.g. upweight
+    * code, downweight boilerplate web). Same shuffle-free hash filter
+    * as hashSample, with the per-stratum threshold folded into the scan
+    * predicate; strata absent from `rates` default to `defaultRate`.
+    * Nested like hashSample: lowering one stratum's rate yields a
+    * subset of the higher-rate sample.
+    */
+  def mixtureSample(df: DataFrame, stratumCol: String, idCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0,
+      salt: String = "graft"): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
+      s"rates must be in [0,1]: $rates / $defaultRate")
+    val threshold = rates.foldLeft(lit((defaultRate * HashMod).toLong)) {
+      case (acc, (stratum, rate)) =>
+        when(col(stratumCol) === stratum, lit((rate * HashMod).toLong)).otherwise(acc)
+    }
+    df.filter(portableHash(col(idCol), salt) < threshold)
+  }
+
   /** Exact stratified sample: ceil(frac * |stratum|) rows per stratum,
     * lowest portable-hash rows first (id breaks hash ties).
     */

@@ -73,6 +73,28 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("mixtureSample applies per-stratum rates, default rate, and nests") {
+    val d = docs(3000) // strata en/de/fr by i % 3, 1000 each
+    val rates = Map("en" -> 0.5, "de" -> 0.1)
+    val got = Sampling.mixtureSample(d, "lang", "doc_id", rates, defaultRate = 0.0)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byLang = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang.getOrElse("fr", 0) == 0) // default 0.0 drops the rest
+    assert(byLang("en") > 1000 * 0.5 * 0.8 && byLang("en") < 1000 * 0.5 * 1.2)
+    assert(byLang("de") > 1000 * 0.1 * 0.5 && byLang("de") < 1000 * 0.1 * 1.6)
+    // nesting: halving a stratum's rate yields a subset
+    val lower = Sampling.mixtureSample(d, "lang", "doc_id",
+      Map("en" -> 0.25, "de" -> 0.1), defaultRate = 0.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(lower.subsetOf(got.map(_._1).toSet))
+    // mixture with a uniform map degenerates to hashSample
+    val uni = Sampling.mixtureSample(d, "lang", "doc_id",
+      Map("en" -> 0.2, "de" -> 0.2, "fr" -> 0.2))
+      .collect().map(_.getLong(0)).sorted
+    val plain = Sampling.hashSample(d, "doc_id", 0.2).collect().map(_.getLong(0)).sorted
+    assert(uni.sameElements(plain))
+  }
+
   test("packSequences matches a local greedy simulation and is parallelism-invariant") {
     import spark.implicits._
     val rng = new scala.util.Random(5)
