@@ -15,16 +15,19 @@ import org.apache.spark.sql.functions.col
   */
 object Parallelize {
 
-  /** Hash-repartition `df` on `key` to `factor` x session parallelism
-    * iff the current plan yields fewer partitions than cores. Use
-    * `factor > 1` when a downstream consumer oversubscribes partitions
-    * (e.g. `Extract.distributed`'s 4x skew posture) so it can elide its
-    * own exchange instead of re-shuffling the spread output.
+  /** Hash-repartition `df` on `key` iff the current plan yields fewer
+    * than `factor` x session-parallelism partitions (the target count).
+    * Use `factor > 1` when a downstream consumer oversubscribes
+    * partitions (e.g. `Extract.distributed`'s 4x skew posture) so it
+    * can elide its own exchange instead of re-shuffling the spread
+    * output — the guard tests against the same target it repartitions
+    * to, so an input anywhere below the consumer's elision threshold
+    * still gets spread.
     */
   def bySplits(df: DataFrame, key: String, factor: Int = 1): DataFrame = {
     val spark = df.sparkSession
     val parallelism = math.max(1, spark.sparkContext.defaultParallelism)
-    if (df.queryExecution.toRdd.getNumPartitions < parallelism)
+    if (df.queryExecution.toRdd.getNumPartitions < parallelism * factor)
       df.repartition(parallelism * factor, col(key))
     else df
   }

@@ -29,10 +29,9 @@ object Sampling {
 
   val HashMod: Long = 1000000L
 
-  /** 60-bit md5-derived hash of the id, uniform over [0, HashMod). */
+  /** 60-bit md5-derived hash of the id, reduced to [0, HashMod). */
   def portableHash(id: Column, salt: String): Column =
-    conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 15), 16, 10)
-      .cast("long") % HashMod
+    graft.PortableHash.salted60(id, salt) % HashMod
 
   /** Shuffle-free deterministic sample: rate in [0, 1]. */
   def hashSample(df: DataFrame, idCol: String, rate: Double,

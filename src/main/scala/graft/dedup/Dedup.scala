@@ -38,11 +38,7 @@ object Dedup {
     * from the relational oracle's range(1, len-n+1) construction).
     */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val toks = TextOps.tokens(col("__t"))
-    val idx = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
-      .otherwise(array().cast("array<int>"))
-    val sh = transform(idx,
-      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))
+    val sh = TextOps.shingleArray(TextOps.tokens(col("__t")), n)
     // spread an under-split scan across cores BEFORE the shuffle-free
     // heavy part (tokenize + shingle + per-shingle md5 downstream) —
     // a single-file corpus sample otherwise runs it all on one core
@@ -105,12 +101,12 @@ object Dedup {
   def minhashA(i: Int): Long = (1664525L * i + 1013904223L) % MinhashP
   def minhashB(i: Int): Long = (22695477L * i + 1L) % MinhashP
 
-  /** Portable base value: first 15 hex chars of md5 (60 bits) mod P.
-    * Computed once per (doc, shingle) row; the k per-seed hashes are
-    * cheap affine transforms of it.
+  /** Portable base value: the shared 60-bit md5 hash mod P. Computed
+    * once per (doc, shingle) row; the k per-seed hashes are cheap
+    * affine transforms of it.
     */
   def minhashBase(shingle: Column): Column =
-    conv(substring(md5(shingle), 1, 15), 16, 10).cast("long") % MinhashP
+    graft.PortableHash.md5Hash60(shingle) % MinhashP
 
   /** k MinHash components per doc: min over shingles of h_i(base).
     * One groupBy with k partial-aggregating mins — no per-seed shuffle.

@@ -25,9 +25,15 @@ import org.apache.spark.sql.functions._
   */
 object AsOf {
 
+  private val InternalCols = Seq("__tag", "__tb", "__pay", "__m")
+
   /** Left columns + `outCol` = the as-of matched `rightPayload` (null
-    * when no right row precedes). `left` must not already contain
-    * `outCol`; `key`/`time` column names must match across both sides.
+    * when no right row precedes). `key`/`time` column names must match
+    * across both sides. SQL null semantics: right rows with a NULL key
+    * or NULL time never match anything (NULL <= t is never true — and
+    * under the window formulation a null time would sort FIRST and
+    * masquerade as the earliest right); left rows with a NULL time or
+    * key get a null match.
     */
   def asofJoin(
       left: DataFrame,
@@ -39,24 +45,29 @@ object AsOf {
       outCol: String = "asof_match"): DataFrame = {
     val lcols = left.columns.toSeq
     require(!lcols.contains(outCol), s"left already has column $outCol")
+    for (c <- InternalCols) {
+      require(!lcols.contains(c), s"left must not contain reserved column $c")
+      require(!right.columns.contains(c), s"right must not contain reserved column $c")
+    }
     val tbType = right.schema(rightTiebreak).dataType
-    val payStruct = struct(col(rightPayload).as("v"))
     val lSide = left
       .withColumn("__tag", lit(1))
       .withColumn("__tb", lit(null).cast(tbType))
-      .withColumn("__pay", lit(null).cast(s"struct<v:${right.schema(rightPayload).dataType.sql}>"))
-    val rBase = right.select(
-      col(key), col(time), lit(0).as("__tag"),
-      col(rightTiebreak).as("__tb"), payStruct.as("__pay"))
-    val rSide = lcols.filterNot(c => c == key || c == time)
-      .foldLeft(rBase) { (df, c) =>
-        df.withColumn(c, lit(null).cast(left.schema(c).dataType))
-      }
-      .select(lSide.columns.map(col).toSeq: _*)
+      .withColumn("__pay",
+        lit(null).cast(s"struct<v:${right.schema(rightPayload).dataType.sql}>"))
+    val rSide = right
+      .filter(col(key).isNotNull && col(time).isNotNull)
+      .select(
+        col(key), col(time), lit(0).as("__tag"),
+        col(rightTiebreak).as("__tb"), struct(col(rightPayload).as("v")).as("__pay"))
     val w = Window.partitionBy(col(key))
       .orderBy(col(time), col("__tag"), col("__tb"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    lSide.unionByName(rSide)
+    // no extra null guard needed for LEFT rows: with null-keyed/timed
+    // rights filtered out, a null-time left sorts first in its
+    // partition and a null-key left shares its partition only with
+    // other lefts — either way every preceding __pay is null
+    lSide.unionByName(rSide, allowMissingColumns = true)
       .withColumn("__m", last(col("__pay"), ignoreNulls = true).over(w))
       .filter(col("__tag") === 1)
       .select((lcols.map(col) :+ col("__m").getField("v").as(outCol)): _*)

@@ -28,22 +28,25 @@ import org.apache.spark.sql.functions._
   */
 object Kmv {
 
-  /** Full 60-bit portable hash (15 hex chars of md5) — NOT reduced mod
-    * 10^6 like Sampling's: the sketch needs a near-injective hash.
+  /** The full 60-bit portable hash space — the sketch uses the shared
+    * PortableHash base UN-reduced (Sampling's mod-10^6 reduction would
+    * collide long before real vocabularies do).
     */
   val HashSpace: Double = 1152921504606846976.0 // 2^60, exact in double
-  def hash60(value: Column, salt: String): Column =
-    conv(substring(md5(concat(lit(salt), value.cast("string"))), 1, 15), 16, 10)
-      .cast("long")
 
   /** (groupCol, est_distinct): estimated distinct `valueCol` per group.
-    * Exact count when a group has fewer than k distinct values.
+    * Exact count when a group has fewer than k distinct values. NULL
+    * values are excluded (SQL COUNT(DISTINCT) semantics; a null hash
+    * would otherwise rank first under Spark's nulls-first sort and
+    * silently consume a top-k slot — DuckDB ranks nulls last).
     */
   def distinctPerGroup(df: DataFrame, groupCol: String, valueCol: String,
       k: Int, salt: String = "kmv"): DataFrame = {
     require(k >= 3, s"k must be >= 3, got $k")
     val hashed = df
-      .select(col(groupCol).as("grp"), hash60(col(valueCol), salt).as("hv"))
+      .select(col(groupCol).as("grp"),
+        graft.PortableHash.salted60(col(valueCol), salt).as("hv"))
+      .filter(col("hv").isNotNull)
       .distinct()
     val w = Window.partitionBy(col("grp")).orderBy(col("hv"))
     hashed

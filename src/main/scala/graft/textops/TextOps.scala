@@ -76,6 +76,19 @@ object TextOps {
     lenScore * 0.4 + wordScore * 0.3 + stopScore * 0.3
   }
 
+  /** n-gram shingle array over a token array. A doc with fewer than n
+    * tokens yields an EMPTY array — the greatest() clamp alone would
+    * emit one null-padded partial shingle, which diverged from the
+    * relational oracles in round 1. Shared by the dedup family and
+    * repetitionScore so the clamp semantics live in one place.
+    */
+  def shingleArray(toks: Column, n: Int): Column = {
+    val idx = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
+      .otherwise(array().cast("array<int>"))
+    transform(idx,
+      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))
+  }
+
   /** Repetition score (Gopher-style quality gate): the fraction of
     * duplicated n-gram shingles within the document, 1 -
     * distinct/total, 0.0 when the doc has no shingles. High values
@@ -84,11 +97,7 @@ object TextOps {
     * oracle-replayable.
     */
   def repetitionScore(text: Column, n: Int = 3): Column = {
-    val toks = tokens(text)
-    val idx = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
-      .otherwise(array().cast("array<int>"))
-    val sh = transform(idx,
-      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))
+    val sh = shingleArray(tokens(text), n)
     when(size(sh) === 0, lit(0.0))
       .otherwise(lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh))
   }

@@ -75,7 +75,9 @@ object FuzzCampaign {
 
     var bad = 0
     def compare(label: String, a: Map[String, String], b: Map[String, String]): Unit = {
-      val diff = a.keys.filter(k => a(k) != b.getOrElse(k, "<missing>")).toSeq.sorted
+      // bidirectional: a doc id present on only one side is a divergence
+      val diff = (a.keySet ++ b.keySet)
+        .filter(k => a.get(k) != b.get(k)).toSeq.sorted
       if (diff.nonEmpty) {
         bad += diff.size
         println(s"[fuzz] $label DIVERGES on ${diff.size} docs: ${diff.take(10).mkString(", ")}")

@@ -226,7 +226,8 @@ class OpsSpec extends AnyFunSuite {
     // 20000 distinct -> estimate within 3/sqrt(k-2) relative error
     val rows = (1 to 50).map(i => ("small", s"v$i")) ++
       (1 to 20000).map(i => ("big", s"w$i")) ++
-      (1 to 500).map(i => ("big", s"w$i")) // duplicates must not inflate
+      (1 to 500).map(i => ("big", s"w$i")) ++ // duplicates must not inflate
+      Seq(("small", null: String), ("big", null: String)) // nulls excluded
     val got = graft.operators.Kmv.distinctPerGroup(
         rows.toDF("grp", "v"), "grp", "v", k = 200)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
@@ -264,6 +265,10 @@ class OpsSpec extends AnyFunSuite {
       .toDF("event_id", "user_id", "sec")
     val right = Seq((200L, 1L, 5L), (201L, 1L, 5L), (202L, 1L, 9L), (203L, 2L, 8L))
       .toDF("event_id", "user_id", "sec")
+      // a null-time right must never match (SQL: NULL <= t is never true)
+      .unionByName(Seq((204L, 3L)).toDF("event_id", "user_id")
+        .withColumn("sec", lit(null).cast("long"))
+        .select("event_id", "user_id", "sec"))
     val got = graft.operators.AsOf.asofJoin(left, right,
         "user_id", "sec", "event_id", "event_id", "matched")
       .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long]))
@@ -271,7 +276,7 @@ class OpsSpec extends AnyFunSuite {
     assert(got(100L) == Some(202L)) // latest of {5,5,9} <= 10
     assert(got(101L) == Some(201L)) // tie at sec=5: right matches at-or-before, max tiebreak
     assert(got(102L) == None)       // user 2's only view is later (8 > 7)
-    assert(got(103L) == None)       // user 3 has no views at all
+    assert(got(103L) == None)       // user 3's only view has a null time
   }
 
   test("repetitionScore: 0 for unique text, high for loops, 0 for tiny docs") {
