@@ -16,6 +16,12 @@ class PipelineSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("SparkEntry.entry: the driver's flagship smoke yields rows with ok status") {
+    val rows = SparkEntry.entry(spark).limit(50).collect()
+    assert(rows.nonEmpty, "driver smoke-checks rows > 0 on entry()")
+    assert(rows.forall(_.getAs[String]("status") == "ok"))
+  }
+
   test("distributed extraction matches goldens for all seeded docs") {
     import spark.implicits._
     val fixtures = SpanGen.genDocs(120, seed = 42L)
