@@ -183,9 +183,9 @@ object Dedup {
     //
     // Plan shape (verified with broadcasts off): the banded self-join
     // reuses ONE exchange (the window's), and the two sig-attach joins
-    // share a second — signatures are computed twice total (banding +
-    // rerank attach). Persist `sigs` upstream to trade memory for the
-    // recompute when the corpus scan dominates.
+    // share a second. minhashNearDups persists `sigs` upstream, so the
+    // three reads (banding + both rerank attaches) hit one cached
+    // computation of the shingle shuffle + partial mins.
     val banded = bandedBuckets(sigs, bands, rowsPerBand)
       .filter(col("bsz") <= maxBucketSize)
       .drop("bsz")
@@ -205,17 +205,36 @@ object Dedup {
 
   /** MinHash near-dup pairs with estimated Jaccard (matching signature
     * fraction) >= threshold.
+    *
+    * The signature frame is persisted (MEMORY_AND_DISK) across its
+    * three reads (banding + the two re-attach joins), so the shingle
+    * shuffle + k partial mins run ONCE per action instead of twice.
+    * The cache is bounded — (id, k ints) per doc, ~300 B/doc at k=64,
+    * spillable — and callers that materialize the pairs eagerly
+    * (nearDupClusters) unpersist it as soon as the pair set is
+    * checkpointed; a lazily-consumed result keeps it cached for reuse
+    * until session end or LRU eviction.
     */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, k: Int = 64, bands: Int = 16, threshold: Double = 0.7): DataFrame = {
+      n: Int = 3, k: Int = 64, bands: Int = 16, threshold: Double = 0.7): DataFrame =
+    minhashNearDupsWithSigs(docs, idCol, textCol, n, k, bands, threshold)._1
+
+  /** As minhashNearDups, also returning the persisted signature frame so
+    * eager callers can unpersist it once the pairs are materialized.
+    */
+  def minhashNearDupsWithSigs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7): (DataFrame, DataFrame) = {
     require(k % bands == 0, "k must divide into bands")
     val sigs = minhashSignatures(docs, idCol, textCol, n, k)
-    minhashCandidates(sigs, bands, k / bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = minhashCandidates(sigs, bands, k / bands)
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
           when(x === y, 1).otherwise(0)), _ === 1)).cast("double") / k)
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
+    (pairs, sigs)
   }
 
   /** SimHash fingerprint width: 60 bits (15 hex chars of md5 per token —
@@ -316,19 +335,39 @@ object Dedup {
     * MapReduce and Beyond", SoCC 2014), vs O(diameter) for plain
     * propagation. Near-dup graphs are forests of shallow dense blobs,
     * so in practice 3-5 rounds. Each round localCheckpoints the label
-    * frontier (keeps the lineage flat across iterations — swap for
-    * reliable checkpointing on a real cluster) and runs one action for
-    * convergence detection.
+    * frontier (keeps the lineage flat across iterations) and runs one
+    * action for convergence detection; superseded rounds' checkpoint
+    * blocks are unpersisted as soon as the next frontier materializes,
+    * so executor storage holds O(1) frontiers, not one per round.
+    * Trade-off, documented: localCheckpoint blocks are UNRECOVERABLE on
+    * executor loss — the job fails and restarts instead of recomputing.
+    * That is the right call single-host (this sandbox) and for short
+    * O(log d) loops; on a long-running real cluster swap the
+    * localCheckpoint calls for reliable `checkpoint()` against a
+    * cluster-visible checkpoint dir — same lineage truncation, blocks
+    * recompute from the checkpoint files on loss.
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIters: Int = 25): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    // localCheckpoint registers its backing RDD in the context's
+    // persistent-RDD map; id-set diffs around each checkpoint identify
+    // exactly the blocks each frame owns, so superseded frames can be
+    // dropped without holding RDD handles through Dataset internals
+    def persisted: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    def unpersist(ids: Set[Int]): Unit =
+      sc.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (ids(id)) rdd.unpersist(blocking = false)
+      }
     // one materialization of the (potentially expensive) upstream pair
     // pipeline — the symmetrizing union below reads `half` twice, and
     // without this checkpoint each branch would re-execute the whole
     // candidate-generation lineage (measured: the single largest cost
     // of the round-2 driver bench's q_dedup_cluster)
+    val beforeHalf = persisted
     val half = pairs.select(col(idA).cast("long").as("u"), col(idB).cast("long").as("v"))
       .localCheckpoint()
+    val halfIds = persisted -- beforeHalf
     // edges hash-partitioned on the probe key v once, BEFORE the
     // checkpoint (localCheckpoint preserves outputPartitioning): every
     // round's neighbor join then reuses this layout and only the label
@@ -336,15 +375,22 @@ object Dedup {
     val edges = half.union(half.select(col("v").as("u"), col("u").as("v")))
       .repartition(col("v"))
       .localCheckpoint()
+    // edges is materialized; half's blocks are no longer referenced
+    unpersist(halfIds)
+    val afterEdges = persisted
     // seed labels with round 1's relax fused in: label(u) = min(u, N(u))
     // comes free from the same groupBy that enumerates the nodes
     var labels = edges.groupBy(col("u"))
       .agg(least(min(col("v")), col("u")).as("label"))
       .select(col("u").as("id"), col("label"))
       .localCheckpoint()
+    // blocks backing the CURRENT labels frontier — superseded (and
+    // dropped) when the next round's frontier materializes
+    var frontierIds = persisted -- afterEdges
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
+      val beforeRound = persisted
       val nbrMin = edges.join(labels.withColumnRenamed("id", "v"), "v")
         .groupBy(col("u").as("id")).agg(min("label").as("nb_label"))
       // materialized once per round: both sides of the pointer-jump
@@ -354,6 +400,7 @@ object Dedup {
         .select(col("id"), col("label").as("prev"),
           least(col("label"), coalesce(col("nb_label"), col("label"))).as("label"))
         .localCheckpoint()
+      val relaxedIds = persisted -- beforeRound
       // pointer jumping: follow the label one hop (labels are node ids,
       // so every label value has a row; left join guards the root case).
       // The previous round's label rides along so convergence detection
@@ -363,6 +410,11 @@ object Dedup {
           Seq("label"), "left")
         .select(col("id"), col("prev"), coalesce(col("ll"), col("label")).as("label"))
         .localCheckpoint()
+      val nextIds = persisted -- beforeRound -- relaxedIds
+      // next is materialized: the round's relaxed intermediate and the
+      // previous frontier are superseded — drop their blocks now
+      unpersist(relaxedIds ++ frontierIds)
+      frontierIds = nextIds
       converged = next.filter(col("label") =!= col("prev")).isEmpty
       labels = next.select(col("id"), col("label"))
       iter += 1
@@ -379,9 +431,14 @@ object Dedup {
     */
   def nearDupClusters(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 64, bands: Int = 16, threshold: Double = 0.7): DataFrame = {
-    val pairs = minhashNearDups(docs, idCol, textCol, n, k, bands, threshold)
-    connectedComponents(pairs)
-      .withColumn("keep", col("doc_id") === col("cluster_id"))
+    val (pairs, sigs) =
+      minhashNearDupsWithSigs(docs, idCol, textCol, n, k, bands, threshold)
+    // connectedComponents localCheckpoints the pair pipeline eagerly up
+    // front, so by the time it returns the signature cache has served
+    // its three reads and can be dropped
+    val cc = connectedComponents(pairs)
+    sigs.unpersist(blocking = false)
+    cc.withColumn("keep", col("doc_id") === col("cluster_id"))
   }
 
   /** The deduplicated corpus: every doc except non-canonical members of

@@ -169,10 +169,19 @@ object Media {
   def resize(blobs: Dataset[MediaBlob], targetW: Int, targetH: Int): Dataset[MediaBlob] = {
     import blobs.sparkSession.implicits._
     blobs.map { b =>
-      if (b.format == "mp4")
-        MediaBlob(b.doc_id, b.media_ref, b.format, targetW, targetH, b.n_frames,
-          encodeBytes(b.doc_id, targetW, targetH, b.n_frames, formatByte(b.format)))
-      else {
+      if (isStubContainer(b.content)) {
+        // bytes-only posture, same as decodeBytes: the branch keys on
+        // the payload magic and the frame count / format byte come from
+        // the container header — a blob MISLABELED mp4 keeps its real
+        // image payload (next branch) instead of being silently
+        // replaced by a synthesized stub that then re-decodes "valid"
+        val hdr = ByteBuffer.wrap(b.content, 4, 13)
+        hdr.getInt; hdr.getInt
+        val frames = hdr.getInt
+        val fmtByte = hdr.get()
+        MediaBlob(b.doc_id, b.media_ref, b.format, targetW, targetH, frames,
+          encodeBytes(b.doc_id, targetW, targetH, frames, fmtByte))
+      } else {
         // same fail-closed posture as decodeBytes: a corrupt payload
         // passes through unchanged (its re-decode then reports the
         // corruption) instead of killing the task or silently emitting
@@ -203,8 +212,13 @@ object Media {
   def frameSample(blobs: Dataset[MediaBlob], stride: Int): Dataset[FrameSample] = {
     import blobs.sparkSession.implicits._
     blobs.flatMap { b =>
-      (0 until b.n_frames by stride).map { fi =>
-        if (b.format == "mp4")
+      // branch on the payload magic (bytes-only posture, as in resize /
+      // decodeBytes): real image bytes pass through even when the
+      // metadata row mislabels them as video
+      val stub = isStubContainer(b.content)
+      val frames = if (stub) ByteBuffer.wrap(b.content, 12, 4).getInt else 1
+      (0 until frames by stride).map { fi =>
+        if (stub)
           FrameSample(b.doc_id, fi,
             encodeBytes(b.doc_id * 131L + fi, b.width, b.height, 1, formatByte(b.format)))
         else FrameSample(b.doc_id, fi, b.content)

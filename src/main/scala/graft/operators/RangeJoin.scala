@@ -21,6 +21,14 @@ object RangeJoin {
   /** Inner join of `points` (value `pointCol`) with `intervals`
     * (`[loCol, hiCol]`, closed) via bucketed equi-join. Returns all
     * columns of both sides; column names must be disjoint.
+    *
+    * Inverted intervals (lo > hi) are dropped before the explode: a
+    * closed interval with lo > hi contains no point, so the exact
+    * predicate would discard every candidate anyway — but Spark's
+    * `sequence(start, stop)` with start > stop generates a DESCENDING
+    * bucket list (implicit step -1), silently fanning each bad row out
+    * to unbounded spurious candidates first. The filter keeps the
+    * output identical and the cost bounded.
     */
   def pointInInterval(
       points: DataFrame,
@@ -32,10 +40,12 @@ object RangeJoin {
     require(width > 0, s"width must be positive, got $width")
     val p = points.withColumn("__bucket",
       floor(col(pointCol) / width).cast("long"))
-    val iv = intervals.withColumn("__bucket",
-      explode(sequence(
-        floor(col(loCol) / width).cast("long"),
-        floor(col(hiCol) / width).cast("long"))))
+    val iv = intervals
+      .filter(col(loCol) <= col(hiCol))
+      .withColumn("__bucket",
+        explode(sequence(
+          floor(col(loCol) / width).cast("long"),
+          floor(col(hiCol) / width).cast("long"))))
     p.join(iv, Seq("__bucket"))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bucket")

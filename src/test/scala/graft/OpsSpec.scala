@@ -259,6 +259,56 @@ class OpsSpec extends AnyFunSuite {
     assert(b == Set(1L, 2L))
   }
 
+  test("range join: inverted intervals (lo > hi) are dropped before the explode") {
+    import spark.implicits._
+    // sequence(lo_bucket, hi_bucket) with lo > hi would generate a
+    // DESCENDING bucket list and fan the bad row out to spurious
+    // candidates; the guard keeps output identical (no point is inside
+    // an inverted closed interval) and cost bounded
+    val points = Seq((1L, 5.0), (2L, 7.0)).toDF("p_id", "x")
+    val intervals = Seq((9L, 4.0, 8.0), (10L, 100.0, -100.0)).toDF("iv_id", "lo", "hi")
+    val got = graft.operators.RangeJoin.pointInInterval(
+        points, "x", intervals, "lo", "hi", 2.0)
+      .select("p_id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 9L), (2L, 9L)))
+  }
+
+  test("media: resize/frameSample branch on payload bytes, not metadata format") {
+    import spark.implicits._
+    // a real PNG payload MISLABELED as mp4 must keep its image bytes:
+    // resize re-encodes the image (not a synthesized stub container),
+    // frameSample passes the still through as its single frame
+    val mislabeled = Media.MediaBlob(11L, "media://11/0", "mp4", 40, 30, 6,
+      Media.encodeImage(11L, 40, 30, "png"))
+    val resized = Media.resize(spark.createDataset(Seq(mislabeled)), 32, 32).collect().head
+    val (w, h, f, fmt, ok) = Media.decodeBytes(resized.content)
+    assert((w, h, f, fmt, ok) == ((32, 32, 1, "png", true)))
+    val frames = Media.frameSample(spark.createDataset(Seq(mislabeled)), 1).collect()
+    assert(frames.length == 1 && frames.head.content.sameElements(mislabeled.content))
+  }
+
+  test("connected components: superseded round checkpoints are unpersisted") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.size
+    // an 18-node path graph forces several pointer-jumping rounds
+    val pairs = (0L until 17L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+    assert(cc.forall(_.getAs[Long]("cluster_id") == 0L))
+    // storage holds O(1) frames (edges + final frontier), not one per
+    // round — every superseded frontier/relax checkpoint was dropped
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 3, s"leaked checkpointed frames: $before -> $after")
+  }
+
+  test("minhash near-dups: signature frame is cached across its three reads") {
+    val df = Dedup.minhashNearDups(docsDf(
+      (1L, "aaaa bbbb cccc dddd"), (2L, "aaaa bbbb cccc eeee"), (3L, "zzzz yyyy")),
+      "doc_id", "text")
+    val plan = df.queryExecution.executedPlan.toString
+    val cachedReads = "InMemoryTableScan".r.findAllIn(plan).length
+    assert(cachedReads >= 3, s"expected >=3 cached sig reads, got $cachedReads:\n$plan")
+  }
+
   test("asofJoin: latest right at-or-before, right-at-tie matches, no-match is null") {
     import spark.implicits._
     val left = Seq((100L, 1L, 10L), (101L, 1L, 5L), (102L, 2L, 7L), (103L, 3L, 1L))
