@@ -96,6 +96,51 @@ object Bench {
     f.delete()
   }
 
+  /** Accumulates executor task CPU time (ns) across all completed tasks.
+    * Listener events post asynchronously; `settledCpuNs` polls until the
+    * counter stops moving so per-query deltas attribute to the right
+    * query (telemetry-grade, not a graded number).
+    */
+  final class CpuListener extends org.apache.spark.scheduler.SparkListener {
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) cpuNs.addAndGet(m.executorCpuTime)
+    }
+    def settledCpuNs(): Long = {
+      var prev = cpuNs.get()
+      var waited = 0
+      while (waited < 400) {
+        Thread.sleep(40); waited += 40
+        val cur = cpuNs.get()
+        if (cur == prev) return cur
+        prev = cur
+      }
+      prev
+    }
+  }
+
+  /** 1-minute load average from /proc/loadavg (-1.0 if unreadable) —
+    * lets a reader see at a glance whether the run was contaminated by
+    * ambient host load (round 3's driver artifact ran at loadavg ~9 and
+    * reported 5-20x inflated timings for whichever queries collided).
+    */
+  def loadavg1m(): Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split("\\s+")(0).toDouble
+    catch { case _: Exception => -1.0 }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   def session(cpus: String): SparkSession = {
     SparkSession.builder()
       .master(s"local[$cpus]")
@@ -114,15 +159,26 @@ object Bench {
     val spark = session(cpus)
     spark.sparkContext.setLogLevel("WARN")
 
+    val loadavgStart = loadavg1m()
+    val cpuListener = new CpuListener
+    spark.sparkContext.addSparkListener(cpuListener)
+    val cpuAtStart = cpuListener.settledCpuNs()
+
     val (inputDir, nDocs) = materializeInput(spark, sfDir, replicate)
     timeExtractExpr(spark, inputDir) // warmup (JIT + codegen caches)
-    val (exprSec, okDocs) = timeExtractExpr(spark, inputDir)
+    // best-of-2 timed trials, like every suite query below: the graded
+    // headline must not invert under a transient ambient-load spike
+    val (exprSecA, okDocs) = timeExtractExpr(spark, inputDir)
+    val (exprSecB, _) = timeExtractExpr(spark, inputDir)
+    val exprSec = math.min(exprSecA, exprSecB)
     val (typedSec, _) = timeExtractTyped(spark, inputDir)
     val docsPerSec = okDocs / exprSec
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double](
       "extract_pipeline" -> exprSec,
       "extract_pipeline_typed" -> typedSec)
+    val errs = scala.collection.mutable.LinkedHashMap[String, String]()
+    val cpuSecs = scala.collection.mutable.LinkedHashMap[String, Double]()
     // Warmup pass at the smallest SF before the timed loop, mirroring the
     // headline's own warmup run: the timed numbers measure steady-state
     // throughput — what a long-running job sees for 99.99% of its life —
@@ -137,20 +193,52 @@ object Bench {
     }
     for (wd <- warmDir; (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1))
       try { fn(spark, wd).count() } catch { case _: Throwable => () }
+    // Per query: best of 2 timed trials (a single trial is a coin flip
+    // on host weather — round 3's driver artifact measured 50.1s for a
+    // 3.6s query under a noisy neighbor), per-trial task-CPU deltas for
+    // the best trial, and FAILURES RECORDED, never swallowed: a throwing
+    // query previously looked like a fast timing, making the artifact
+    // better when the engine broke.
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      results(name) = (System.nanoTime() - t0) / 1e9
+      var best = Double.MaxValue
+      var bestCpu = 0.0
+      var trial = 0
+      while (trial < 2 && !errs.contains(name)) {
+        val c0 = cpuListener.settledCpuNs()
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          if (sec < best) {
+            best = sec
+            bestCpu = (cpuListener.settledCpuNs() - c0) / 1e9
+          }
+        } catch {
+          case e: Throwable =>
+            best = (System.nanoTime() - t0) / 1e9
+            errs(name) = (e.getClass.getName + ": " +
+              Option(e.getMessage).getOrElse("")).take(200)
+        }
+        trial += 1
+      }
+      results(name) = best
+      cpuSecs(name) = bestCpu
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+      .mkString("{", ",", "}")
+    val qCpu = cpuSecs.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+      .mkString("{", ",", "}")
+    val qErrs = errs.map { case (k, v) => "\"" + k + "\":" + jsonStr(v) }
       .mkString("{", ",", "}")
     // headline total excludes the typed cross-check: it exists only as
     // the semantic baseline for golden-equality, is ~7x the expression
     // path by design, and would otherwise dominate the graded number
     val total = results.iterator
       .filter(_._1 != "extract_pipeline_typed").map(_._2).sum
+    val taskCpuSec = (cpuListener.settledCpuNs() - cpuAtStart) / 1e9
+    val loadavgEnd = loadavg1m()
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"typed_cross_check_sec":$typedSec%.3f,"sf":"$sfDir","docs":$nDocs,"docs_per_sec":$docsPerSec%.1f,"cpus":"$cpus"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"typed_cross_check_sec":$typedSec%.3f,"sf":"$sfDir","docs":$nDocs,"docs_per_sec":$docsPerSec%.1f,"cpus":"$cpus","trials":2,"query_errs":$qErrs,"failed_queries":${errs.size},"query_cpu_sec":$qCpu,"task_cpu_sec":$taskCpuSec%.1f,"loadavg_start":$loadavgStart%.2f,"loadavg_end":$loadavgEnd%.2f}"""
     println(json)
     // also land the line in a file: sbt prefixes forked stdout with
     // "[info] ", which broke the driver's JSON parse in round 1
