@@ -369,6 +369,21 @@ object SparkEntry {
           s.read.parquet(t(dir, "documents")), "doc_id", "text", n = 3, k = 64),
         bands = 16, rowsPerBand = 4, maxBucketSize = 1)),
 
+    // ---- dedup: passage-level exact-substring dedup — maximal runs of
+    // 8-token windows duplicated across >= 2 docs, merged per doc into
+    // (span_start, span_end, dup_group) via the islands pattern
+    "q_dedup_substring" -> ((s, dir) =>
+      graft.dedup.Substring.duplicatePassages(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text",
+        windowTokens = 8, minDocFreq = 2)),
+
+    // ---- dedup: the substring cap audit (anchors the hot-key guard
+    // would drop; cap=2 here so the test corpus' df=3+ windows surface)
+    "q_dedup_substr_audit" -> ((s, dir) =>
+      graft.dedup.Substring.droppedAnchors(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text",
+        windowTokens = 8, maxDocFreq = 2)),
+
     // ---- dedup: near-dup clustering (MinHash pairs -> connected
     // components via pointer-jumping min-label propagation; the grouping
     // stage that picks one canonical doc per near-dup cluster)
@@ -1331,6 +1346,44 @@ object SparkEntry {
     "q_dedup_cap_audit" ->
       (s"WITH $minhashPairsCtes\n" +
         "SELECT band, bkey AS band_hash, count(*) AS bsz FROM bands_t GROUP BY 1, 2 HAVING count(*) > 1"),
+    "q_dedup_substring" ->
+      // window fingerprints + df>=2 anchors + islands merge, replayed
+      // relationally; CASE with null lag falls to ELSE 1, matching
+      // Spark's when(null-cond).otherwise(1)
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), w AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    CAST('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 7), ' ')), 1, 15) AS BIGINT) AS whash
+        |  FROM (SELECT doc_id, toks, unnest(range(1, greatest(len(toks) - 8 + 1, 0) + 1)) AS i FROM t)
+        |), anchors AS (
+        |  SELECT whash FROM w GROUP BY whash
+        |  HAVING count(DISTINCT doc_id) >= 2 AND count(DISTINCT doc_id) <= 100000
+        |), dw AS (
+        |  SELECT w.doc_id, w.pos, w.whash FROM w JOIN anchors USING (whash)
+        |), isl AS (
+        |  SELECT doc_id, pos, whash,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+        |         THEN 0 ELSE 1 END AS brk
+        |  FROM dw
+        |), grp AS (
+        |  SELECT doc_id, pos, whash,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM isl
+        |)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end,
+        |       min(whash) AS dup_group, count(*) AS n_windows
+        |FROM grp GROUP BY doc_id, island""".stripMargin,
+    "q_dedup_substr_audit" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), w AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 7), ' ')), 1, 15) AS BIGINT) AS whash
+        |  FROM (SELECT doc_id, toks, unnest(range(1, greatest(len(toks) - 8 + 1, 0) + 1)) AS i FROM t)
+        |)
+        |SELECT whash, count(DISTINCT doc_id) AS df FROM w GROUP BY whash
+        |HAVING count(DISTINCT doc_id) > 2""".stripMargin,
     "q_dedup_cluster" ->
       // connected components over the thresholded pair graph: DuckDB's
       // recursive CTE computes min-reachable-id per node — an

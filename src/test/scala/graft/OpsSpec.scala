@@ -309,6 +309,39 @@ class OpsSpec extends AnyFunSuite {
     assert(cachedReads >= 3, s"expected >=3 cached sig reads, got $cachedReads:\n$plan")
   }
 
+  test("substring dedup: shared passage found at both offsets, merged maximal") {
+    import graft.dedup.Substring
+    // a 6-token passage shared by docs 1 and 2 at different offsets;
+    // doc 3 is too short to window; straddling windows are unique so
+    // the merged span is exactly the passage
+    val docs = docsDf(
+      (1L, "a b c d p1 p2 p3 p4 p5 p6 e f"),
+      (2L, "p1 p2 p3 p4 p5 p6 z y w v"),
+      (3L, "q r s"))
+    val got = Substring.duplicatePassages(docs, "doc_id", "text",
+        windowTokens = 4, minDocFreq = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("dup_group"),
+        r.getAs[Long]("n_windows")))
+    assert(got.length == 2)
+    val byDoc = got.map(r => r._1 -> r).toMap
+    // doc 1: passage tokens 4..9 -> windows start 4,5,6 -> span [4,10)
+    assert((byDoc(1L)._2, byDoc(1L)._3, byDoc(1L)._5) == ((4L, 10L, 3L)))
+    // doc 2: same passage at offset 0 -> span [0,6)
+    assert((byDoc(2L)._2, byDoc(2L)._3, byDoc(2L)._5) == ((0L, 6L, 3L)))
+    // identical passages share the dup_group fingerprint
+    assert(byDoc(1L)._4 == byDoc(2L)._4)
+    // cap audit: with maxDocFreq=1 every df>=2 anchor is reported
+    val dropped = Substring.droppedAnchors(docs, "doc_id", "text",
+      windowTokens = 4, maxDocFreq = 1).collect()
+    assert(dropped.length == 3 && dropped.forall(_.getAs[Long]("df") == 2L))
+    // and with the cap at 1 the passages disappear rather than silently
+    // surviving via a different path
+    assert(Substring.duplicatePassages(docs, "doc_id", "text",
+      windowTokens = 4, minDocFreq = 2, maxDocFreq = 1).isEmpty)
+  }
+
   test("asofJoin: latest right at-or-before, right-at-tie matches, no-match is null") {
     import spark.implicits._
     val left = Seq((100L, 1L, 10L), (101L, 1L, 5L), (102L, 2L, 7L), (103L, 3L, 1L))
