@@ -105,6 +105,19 @@ object SparkEntry {
     })
   }
 
+  /** One trained BPE codec per corpus dir per JVM: training is a pure
+    * deterministic function of the documents table (top-word sample ->
+    * seeded merge loop), so the cache is sound and the merge-table dump
+    * (q_bpe_merges) is exactly what q_bpe_tokens / q_pack_bpe applied.
+    */
+  private val bpeModels =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.textops.BpeCodec]()
+  private def bpeModel(s: SparkSession, dir: String): graft.textops.BpeCodec =
+    bpeModels.computeIfAbsent(dir, _ =>
+      graft.textops.Bpe.train(
+        s.read.parquet(t(dir, "documents")), "text",
+        numMerges = 200, minPairFreq = 2))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- extraction core (typed map; rows-only driver check, golden-gated in tests)
     "extract_e1_spans" -> ((s, dir) =>
@@ -340,6 +353,33 @@ object SparkEntry {
     "q_bpe_estimate" -> ((s, dir) =>
       s.read.parquet(t(dir, "documents"))
         .select(col("doc_id"), TextOps.bpeTokenEstimate(col("text")).as("n_bpe"))),
+
+    // ---- text: REAL corpus-trained BPE. q_bpe_merges dumps the learned
+    // merge table (model dump, identity-oracled except rank 1, which the
+    // oracle re-derives from the corpus as the argmax adjacent codepoint
+    // pair); q_bpe_tokens applies it through the codegen'd bpe_count
+    // expression, and its oracle REPLAYS the dumped table bit-for-bit
+    // with a recursive min-rank/leftmost merge loop in pure SQL.
+    "q_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      bpeModel(s, dir).merges.toSeq.zipWithIndex
+        .map { case ((l, r), i) => (i + 1L, l, r) }
+        .toDF("rank", "left_sym", "right_sym")
+    }),
+    "q_bpe_tokens" -> ((s, dir) =>
+      s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.bpeCount(
+            s, col("text"), bpeModel(s, dir)).as("n_bpe"))),
+
+    // ---- corpus: sequence packing with the REAL trained-BPE budget
+    // (the whitespace-proxy q_pack_sequences stays as the cheap path)
+    "q_pack_bpe" -> ((s, dir) =>
+      graft.corpus.Packing.packSequences(
+        s.read.parquet(t(dir, "documents")), "doc_id",
+        graft.functions.GraftFunctions.bpeCount(
+          s, col("text"), bpeModel(s, dir)),
+        budget = 2048, groups = 8, salt = "pack")),
 
     // ---- dedup: exact n-gram Jaccard pairs (bounded id range)
     "q_dedup_ngram" -> ((s, dir) =>
@@ -818,6 +858,61 @@ object SparkEntry {
        |)""".stripMargin
   }
 
+  /** Recursive replay of trained-BPE application from the dumped merge
+    * table ('{OUT}/q_bpe_merges'): per distinct word, start from
+    * codepoints and repeatedly merge the LEFTMOST occurrence of the
+    * lowest-rank adjacent pair until none applies — exactly
+    * BpeCodec.segmentWord. Pair keys join symbols with a space, the one
+    * character symbols can never contain (words are split on it). Must
+    * be prefixed by WITH RECURSIVE. Ends at CTE `doctok`
+    * (doc_id, n_bpe).
+    */
+  private val bpeApplyCtes: String = {
+    // adjacent-pair ranks of the current segmentation: list_position is
+    // 1-based = the dump's rank column; 0 = pair not in the table
+    val pairRanks =
+      """list_transform(list_transform(range(1, len(seg)),
+        |      i -> seg[CAST(i AS INT)] || ' ' || seg[CAST(i AS INT) + 1]),
+        |      pr -> list_position(pl, pr))""".stripMargin
+    s"""mlist AS (
+       |  SELECT coalesce(list(left_sym || ' ' || right_sym ORDER BY rank),
+       |                  CAST([] AS VARCHAR[])) AS pl
+       |  FROM '{OUT}/q_bpe_merges/*.parquet'
+       |), words AS (
+       |  SELECT DISTINCT w AS word
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> ''
+       |), seg AS (
+       |  SELECT word, list_transform(range(1, length(word) + 1),
+       |    i -> substr(word, CAST(i AS INT), 1)) AS seg
+       |  FROM words
+       |  UNION ALL
+       |  SELECT word,
+       |    list_slice(seg, 1, p - 1) || [seg[p] || seg[p + 1]]
+       |      || list_slice(seg, p + 2, len(seg)) AS seg
+       |  FROM (
+       |    SELECT word, seg, pl,
+       |      list_min(list_filter($pairRanks, x -> x > 0)) AS br
+       |    FROM seg CROSS JOIN mlist) s,
+       |    LATERAL (SELECT list_position(list_transform(range(1, len(seg)),
+       |      i -> seg[CAST(i AS INT)] || ' ' || seg[CAST(i AS INT) + 1]),
+       |      pl[CAST(br AS INT)]) AS p)
+       |  WHERE br IS NOT NULL
+       |), wtok AS (
+       |  SELECT word, len(seg) AS n
+       |  FROM seg CROSS JOIN mlist
+       |  WHERE len(list_filter($pairRanks, x -> x > 0)) = 0
+       |), doctok AS (
+       |  SELECT d.doc_id, CAST(coalesce(sum(t.n), 0) AS BIGINT) AS n_bpe
+       |  FROM documents d
+       |  LEFT JOIN (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |             FROM documents) dw
+       |    ON dw.doc_id = d.doc_id AND dw.w <> ''
+       |  LEFT JOIN wtok t ON t.word = dw.w
+       |  GROUP BY d.doc_id
+       |)""".stripMargin
+  }
+
   /** The three kept blocks of `htmlDoc` recomputed directly: title,
     * whitespace-normalized doc text (dropped when empty), and the mixed
     * entity+link block. The whitespace class is spelled out explicitly:
@@ -1196,6 +1291,51 @@ object SparkEntry {
         |  CAST(list_sum(list_transform(regexp_split_to_array(text, '[^A-Za-z0-9]+'),
         |    w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpe
         |FROM documents""".stripMargin,
+    "q_bpe_merges" ->
+      // model dump: identity for ranks > 1, but rank 1 is RE-DERIVED
+      // from the corpus (argmax adjacent codepoint pair over the capped
+      // top-word vocabulary, count desc / lexicographic tie-break) — a
+      // wrong first merge hash-mismatches; full training correctness is
+      // gated by BpeSpec's independent reference implementation, and
+      // full APPLICATION of this very table is oracled bit-for-bit by
+      // q_bpe_tokens / q_pack_bpe below
+      """WITH wrds AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        |), wc AS (
+        |  SELECT w, count(*) AS cnt FROM wrds WHERE w <> '' GROUP BY w
+        |  ORDER BY cnt DESC, w LIMIT 65536
+        |), pr AS (
+        |  SELECT substr(w, CAST(i AS INT), 1) AS l,
+        |         substr(w, CAST(i AS INT) + 1, 1) AS r, cnt
+        |  FROM (SELECT w, cnt, unnest(range(1, length(w))) AS i FROM wc)
+        |), r1 AS (
+        |  SELECT l, r FROM pr GROUP BY l, r HAVING sum(cnt) >= 2
+        |  ORDER BY sum(cnt) DESC, l, r LIMIT 1
+        |)
+        |SELECT CAST(1 AS BIGINT) AS rank, l AS left_sym, r AS right_sym FROM r1
+        |UNION ALL
+        |SELECT rank, left_sym, right_sym FROM '{OUT}/q_bpe_merges/*.parquet'
+        |WHERE rank > 1""".stripMargin,
+    "q_bpe_tokens" ->
+      s"WITH RECURSIVE $bpeApplyCtes\nSELECT doc_id, n_bpe FROM doctok",
+    "q_pack_bpe" ->
+      // NOTE: no outer stripMargin after interpolating bpeApplyCtes —
+      // its "|| list_slice" continuation lines would lose a pipe
+      (s"WITH RECURSIVE $bpeApplyCtes, " +
+        """h AS (
+          |  SELECT doc_id, n_bpe AS n_tokens,
+          |    CAST('0x' || substr(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+          |      % 1000000 AS hv
+          |  FROM doctok
+          |), c AS (
+          |  SELECT doc_id, CAST(hv % 8 AS INTEGER) AS grp, n_tokens,
+          |    sum(n_tokens) OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_off
+          |  FROM h
+          |)
+          |SELECT doc_id, grp, CAST(floor(start_off / 2048.0) AS BIGINT) AS pack_id,
+          |  n_tokens, CAST(start_off AS BIGINT) AS start_off
+          |FROM c""".stripMargin),
     "q_dedup_simhash" -> {
       // replay the portable 60-bit SimHash (per-token md5-derived hash,
       // bit votes, 4x15-bit chunk banding with the bucket cap, exact

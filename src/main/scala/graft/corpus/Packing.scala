@@ -35,13 +35,22 @@ object Packing {
     * streams.
     */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
-      budget: Int, groups: Int, salt: String = "pack"): DataFrame = {
+      budget: Int, groups: Int, salt: String = "pack"): DataFrame =
+    packSequences(docs, idCol, TextOps.tokenCount(col(textCol)),
+      budget, groups, salt)
+
+  /** As above with an explicit token-count Column — the seam that lets
+    * the pack budget run on REAL trained-BPE counts
+    * (GraftFunctions.bpeCount) instead of the whitespace proxy.
+    */
+  def packSequences(docs: DataFrame, idCol: String, tokenCount: Column,
+      budget: Int, groups: Int, salt: String): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     require(groups > 0, s"groups must be positive, got $groups")
     val hv: Column = Sampling.portableHash(col(idCol), salt)
     val base = docs.select(
       col(idCol).cast("long").as("doc_id"),
-      TextOps.tokenCount(col(textCol)).as("n_tokens"),
+      tokenCount.as("n_tokens"),
       (hv % groups).cast("int").as("grp"),
       hv.as("__hv"))
     val w = Window.partitionBy(col("grp")).orderBy(col("__hv"), col("doc_id"))

@@ -17,7 +17,18 @@ object GraftFunctions {
     "extract_spans_split_mid" -> (exprs =>
       ExtractSpansExpr(exprs.head, useSplitHeuristic = true, useMidpoint = true)),
     "simhash60" -> (exprs => Simhash60Expr(exprs.head)),
-    "html_main_content" -> (exprs => HtmlMainContentExpr(exprs.head)))
+    "html_main_content" -> (exprs => HtmlMainContentExpr(exprs.head)),
+    "bpe_count" -> (exprs => BpeCountExpr(exprs(0), exprs(1))))
+
+  /** Trained-BPE token count Column over `text` — the merge table rides
+    * as an in-plan literal so the registry builder stays stateless.
+    */
+  def bpeCount(spark: SparkSession, text: Column,
+      codec: graft.textops.BpeCodec): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("bpe_count", text,
+      org.apache.spark.sql.functions.typedLit(codec.packed))
+  }
 
   /** Session-scoped registration (tests, local jobs). */
   def register(spark: SparkSession): Unit =
