@@ -62,6 +62,63 @@ object Lineage {
     input.join(done, Seq("doc_id"), "left_anti").as[Doc]
   }
 
+  /** Stable resume bucket of a doc_id: independent of the run's
+    * extraction partitioning, so completeness accounting survives
+    * re-running at a different parallelism.
+    */
+  private def resumeBucket(buckets: Int) =
+    pmod(xxhash64(col("doc_id"), lit(16)), lit(buckets))
+
+  /** Buckets NOT fully completed: per-bucket completed-doc counts from
+    * the metrics table vs per-bucket input counts (both one cheap
+    * column-pruned scan + map-side-combined agg into <= `buckets`
+    * rows). A bucket whose distinct ok count equals its input count is
+    * wholly done — valid because committed doc_ids are a subset of the
+    * input's (resume always replays the same input table).
+    */
+  def incompleteBuckets(spark: SparkSession, input: Dataset[Doc],
+      metricsPath: String, buckets: Int,
+      catalog: TableCatalog = ParquetCatalog): DataFrame = {
+    val b = resumeBucket(buckets)
+    val inCnt = input.toDF().select(b.as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_in"))
+    val doneCnt = completedDocIds(spark, metricsPath, catalog)
+      .select(b.as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_done"))
+    inCnt.join(doneCnt, Seq("bucket"), "left")
+      .filter(coalesce(col("n_done"), lit(0)) < col("n_in"))
+      .select(col("bucket"))
+  }
+
+  /** Partition-granular resume fast path. The plain anti-join keys the
+    * FULL input against the FULL completed-id set — at 10^12 docs the
+    * completed side is itself a 10^12-row shuffle on every resume. Here
+    * whole completed buckets are skipped first with two bounded
+    * aggregations, and only docs in partially-complete buckets (the
+    * crash frontier — a few buckets out of thousands on a steady
+    * resume) reach the per-doc anti-join; both pruning joins broadcast
+    * the <= `buckets`-row incomplete set. Worst case (fresh run, all
+    * buckets incomplete) degrades to the plain path plus two cheap
+    * count scans. Output is identical to filterPending.
+    */
+  def filterPendingBucketed(spark: SparkSession, input: Dataset[Doc],
+      metricsPath: String, buckets: Int = 4096,
+      catalog: TableCatalog = ParquetCatalog): Dataset[Doc] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[Doc]
+    if (!catalog.exists(spark, metricsPath)) return input
+    val b = resumeBucket(buckets)
+    val incomplete = broadcast(
+      incompleteBuckets(spark, input, metricsPath, buckets, catalog))
+    val candidates = input.toDF().withColumn("bucket", b)
+      .join(incomplete, Seq("bucket"), "left_semi")
+    val pendingDone = completedDocIds(spark, metricsPath, catalog)
+      .withColumn("bucket", b)
+      .join(incomplete, Seq("bucket"), "left_semi")
+      .select(col("doc_id"))
+    candidates.join(pendingDone, Seq("doc_id"), "left_anti")
+      .drop("bucket").as[Doc]
+  }
+
   /** Extract with lineage columns captured inside the task (partition id
     * and per-doc wall time measured where the work happens).
     */
@@ -115,7 +172,7 @@ object Lineage {
         s"run_id=$runId already exists under $outPath; every attempt needs " +
           "a fresh run_id (a same-id rerun would append duplicate rows)")
     val skipped = completedDocIds(spark, metricsPath, catalog).count()
-    val pending = filterPending(spark, input, metricsPath, catalog)
+    val pending = filterPendingBucketed(spark, input, metricsPath, catalog = catalog)
     val extracted = extractWithLineage(spark, pending, strategy, numPartitions)
 
     catalog.appendPartitioned(

@@ -104,6 +104,43 @@ class LineageSpec extends AnyFunSuite {
     assert(committed.filter($"run_id" =!= "retry").count() == 0)
   }
 
+  test("bucketed resume prunes completed buckets before the per-doc anti-join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val fixtures = SpanGen.genDocs(200, seed = 31L)
+    val all = spark.createDataset(fixtures.map(_._1))
+    val buckets = 8
+    // same bucket formula as Lineage.resumeBucket
+    val bucketOf = pmod(xxhash64(col("doc_id"), lit(16)), lit(buckets))
+    val withB = all.toDF().withColumn("bucket", bucketOf)
+
+    // mark every doc complete except all of bucket 3 and one straggler in
+    // bucket 5 — so exactly two buckets are partially complete
+    val straggler = withB.filter($"bucket" === 5)
+      .select("doc_id").as[String].head()
+    val metrics = tmp() + "/metrics"
+    withB.filter($"bucket" =!= 3 && col("doc_id") =!= straggler)
+      .select(col("doc_id"), lit("ok").as("status"))
+      .write.parquet(metrics)
+
+    // pruning: only the two partially-complete buckets survive, so the
+    // per-doc anti-join input shrinks from 200 docs to just their docs
+    val incomplete = Lineage.incompleteBuckets(spark, all, metrics, buckets)
+      .as[Long].collect().toSet
+    assert(incomplete == Set(3L, 5L))
+    val candidateCount = withB.filter($"bucket".isin(3, 5)).count()
+    assert(candidateCount < 200 && candidateCount > 0)
+
+    // fast path output is identical to the plain anti-join
+    val plain = Lineage.filterPending(spark, all, metrics)
+      .select("doc_id").as[String].collect().sorted.toSeq
+    val fast = Lineage.filterPendingBucketed(spark, all, metrics, buckets)
+      .select("doc_id").as[String].collect().sorted.toSeq
+    assert(fast == plain)
+    assert(fast.length == withB.filter($"bucket" === 3).count() + 1)
+    assert(fast.contains(straggler))
+  }
+
   test("filterPending on a fresh metrics path passes everything through") {
     import spark.implicits._
     val ds = spark.createDataset(SpanGen.genDocs(5, 2L).map(_._1))
