@@ -1,37 +1,138 @@
 package graft.lineage
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+import java.nio.charset.StandardCharsets.UTF_8
 
 /** Storage seam for the output + metrics tables. The sandbox has no
   * Iceberg runtime jar, so the default is Parquet with an Iceberg-shaped
-  * layout (append-only, partition column, directory pruning); on a real
-  * cluster `IcebergCatalog` is the only class that changes — the engine
-  * code is catalog-agnostic (SURVEY.md §7 hard part (d)).
+  * layout (append-only, partition column, directory pruning, snapshot
+  * manifests); on a real cluster `IcebergCatalog` is the only class that
+  * changes — the engine code is catalog-agnostic (SURVEY.md §7 hard
+  * part (d)).
   */
 trait TableCatalog {
   def append(df: DataFrame, table: String): Unit
   def appendPartitioned(df: DataFrame, table: String, partitionCol: String): Unit
   def read(spark: SparkSession, table: String): DataFrame
   def exists(spark: SparkSession, table: String): Boolean
+
+  /** Committed snapshot ids, ascending — one per successful append. */
+  def snapshots(spark: SparkSession, table: String): Seq[Long]
+
+  /** Table contents as of `snapshotId` (inclusive) — Iceberg's
+    * `VERSION AS OF` / `option("snapshot-id", ...)` time travel.
+    * Fails on an id that was never committed.
+    */
+  def readAsOf(spark: SparkSession, table: String, snapshotId: Long): DataFrame
 }
 
-/** Parquet-backed default: `table` is a filesystem path. */
+/** Parquet-backed default: `table` is a filesystem path.
+  *
+  * Snapshot emulation (the Iceberg seam made testable without the
+  * runtime jar): every append commits a manifest under
+  * `<table>/_graft_snapshots/snap-<id>` listing the data files that
+  * append added (relative paths, one per line). `readAsOf(id)` reads the
+  * union of files from manifests `<= id` with `basePath=<table>` so
+  * partition columns survive. Underscore-prefixed paths are invisible to
+  * Spark's parquet reader, so `read` (current view) is unaffected.
+  *
+  * Single-writer by design: the engine's driver is the only committer
+  * (Lineage.runResumable fails fast on run_id reuse). Real Iceberg
+  * replaces the before/after listing with optimistic metadata commits,
+  * which is exactly why this stays behind the seam.
+  */
 object ParquetCatalog extends TableCatalog {
+  private val SnapDir = "_graft_snapshots"
+
+  private def fsFor(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Data files under the table root, as table-relative paths. Skips
+    * the manifest dir and Spark's hidden/underscore side files.
+    */
+  private def listDataFiles(spark: SparkSession, table: String): Set[String] = {
+    val fs = fsFor(spark, new Path(table))
+    val root = fs.makeQualified(new Path(table))
+    if (!fs.exists(root)) return Set.empty
+    val out = scala.collection.mutable.Set[String]()
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val status = it.next()
+      val rel = root.toUri.relativize(status.getPath.toUri).toString
+      val hidden = rel.split('/').exists(seg => seg.startsWith("_") || seg.startsWith("."))
+      if (!hidden) out += rel
+    }
+    out.toSet
+  }
+
+  private def commitSnapshot(spark: SparkSession, table: String)(write: => Unit): Unit = {
+    val before = listDataFiles(spark, table)
+    write
+    val added = (listDataFiles(spark, table) -- before).toSeq.sorted
+    val fs = fsFor(spark, new Path(table))
+    val root = fs.makeQualified(new Path(table))
+    val snapId = snapshots(spark, table).lastOption.getOrElse(0L) + 1
+    fs.mkdirs(new Path(root, SnapDir))
+    val os = fs.create(new Path(root, f"$SnapDir/snap-$snapId%09d"), false)
+    try os.write(added.mkString("\n").getBytes(UTF_8)) finally os.close()
+  }
+
   override def append(df: DataFrame, table: String): Unit =
-    df.write.mode(SaveMode.Append).parquet(table)
+    commitSnapshot(df.sparkSession, table) {
+      df.write.mode(SaveMode.Append).parquet(table)
+    }
+
   override def appendPartitioned(df: DataFrame, table: String, partitionCol: String): Unit =
-    df.write.mode(SaveMode.Append).partitionBy(partitionCol).parquet(table)
+    commitSnapshot(df.sparkSession, table) {
+      df.write.mode(SaveMode.Append).partitionBy(partitionCol).parquet(table)
+    }
+
   override def read(spark: SparkSession, table: String): DataFrame =
     spark.read.parquet(table)
+
   override def exists(spark: SparkSession, table: String): Boolean =
     try { spark.read.parquet(table).schema; true }
     catch { case _: org.apache.spark.sql.AnalysisException => false }
+
+  override def snapshots(spark: SparkSession, table: String): Seq[Long] = {
+    val fs = fsFor(spark, new Path(table))
+    val dir = fs.makeQualified(new Path(table, SnapDir))
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("snap-") => n.stripPrefix("snap-").toLong }
+      .sorted
+  }
+
+  override def readAsOf(spark: SparkSession, table: String, snapshotId: Long): DataFrame = {
+    val ids = snapshots(spark, table)
+    require(ids.contains(snapshotId),
+      s"unknown snapshot $snapshotId for $table (committed: ${ids.mkString(", ")})")
+    val fs = fsFor(spark, new Path(table))
+    val root = fs.makeQualified(new Path(table))
+    val files = ids.filter(_ <= snapshotId).flatMap { id =>
+      val in = fs.open(new Path(root, f"$SnapDir/snap-$id%09d"))
+      val body =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      body.split("\n").toSeq.filter(_.nonEmpty)
+    }
+    if (files.isEmpty) read(spark, table).limit(0)
+    else
+      spark.read
+        .option("basePath", root.toString)
+        .parquet(files.map(f => new Path(root, f).toString): _*)
+  }
 }
 
 /** Iceberg mapping (not constructible in this sandbox — no runtime jar):
   * `table` is a catalog identifier; appends become
-  * `df.writeTo(table).append()` and reads `spark.table(table)`; the
-  * run_id partition column maps to a hidden partition transform. Kept
-  * as the documented swap point.
+  * `df.writeTo(table).append()`, reads `spark.table(table)`, snapshots
+  * the `<table>.snapshots` metadata table, and `readAsOf` becomes
+  * `spark.read.option("snapshot-id", id).table(table)`. The run_id
+  * partition column maps to a hidden partition transform. Kept as the
+  * documented swap point.
   */
 // final class IcebergCatalog extends TableCatalog { ... }

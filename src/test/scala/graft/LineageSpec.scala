@@ -141,6 +141,43 @@ class LineageSpec extends AnyFunSuite {
     assert(fast.contains(straggler))
   }
 
+  test("snapshot time travel: readAsOf replays the table as of a prior append") {
+    import spark.implicits._
+    import graft.lineage.ParquetCatalog
+    val fixtures = SpanGen.genDocs(60, seed = 41L)
+    val all = spark.createDataset(fixtures.map(_._1))
+    val firstHalf = spark.createDataset(fixtures.take(30).map(_._1))
+    val out = tmp() + "/out"
+    val metrics = tmp() + "/metrics"
+
+    Lineage.runResumable(spark, firstHalf, out, metrics, "run-1")
+    Lineage.runResumable(spark, all, out, metrics, "run-2")
+
+    // one snapshot per append, on both the partitioned output table and
+    // the flat metrics table
+    assert(ParquetCatalog.snapshots(spark, out) == Seq(1L, 2L))
+    assert(ParquetCatalog.snapshots(spark, metrics) == Seq(1L, 2L))
+
+    // metrics as of snapshot 1 = just run-1's 30 rows; as of 2 = current
+    assert(ParquetCatalog.readAsOf(spark, metrics, 1L).count() == 30)
+    val asOf2 = ParquetCatalog.readAsOf(spark, metrics, 2L)
+      .select("doc_id").as[String].collect().sorted.toSeq
+    val current = ParquetCatalog.read(spark, metrics)
+      .select("doc_id").as[String].collect().sorted.toSeq
+    assert(asOf2 == current && asOf2.length == 60)
+
+    // partition column survives time travel on the partitioned table
+    val outAsOf1 = ParquetCatalog.readAsOf(spark, out, 1L)
+    assert(outAsOf1.columns.contains("run_id"))
+    assert(outAsOf1.select("run_id").distinct().as[String].collect().toSeq == Seq("run-1"))
+    assert(outAsOf1.count() == 30)
+
+    // unknown snapshot fails fast
+    intercept[IllegalArgumentException] {
+      ParquetCatalog.readAsOf(spark, metrics, 99L)
+    }
+  }
+
   test("filterPending on a fresh metrics path passes everything through") {
     import spark.implicits._
     val ds = spark.createDataset(SpanGen.genDocs(5, 2L).map(_._1))
