@@ -557,16 +557,17 @@ object SparkEntry {
           TextOps.repetitionScore(col("text")).as("rep_frac"))),
 
     // ---- text analysis: PII/URL scrub. The corpus has no PII, so a
-    // deterministic contact line (email + URL per doc) is appended
-    // in-query before scrubbing — the oracle replays both the append
-    // and the scrub, so the replacement semantics are actually exercised
+    // deterministic contact line (email + URL + phone + IP per doc) is
+    // appended in-query before scrubbing — the oracle replays both the
+    // append and the scrub, so every replacement branch is exercised
     "q_text_scrub" -> ((s, dir) =>
       s.read.parquet(t(dir, "documents"))
         .select(col("doc_id"),
           TextOps.scrubPii(concat(col("text"),
             lit(" contact user"), col("doc_id").cast("string"),
             lit("@example.com via https://site.example/"),
-            col("doc_id").cast("string"), lit("/page x"))).as("scrubbed"))),
+            col("doc_id").cast("string"),
+            lit("/page or +1 (555) 010-4477 at 10.20.30.42 x"))).as("scrubbed"))),
 
     // ---- sketch: KMV distinct-count estimate of per-language
     // vocabulary size (engine-portable by construction — the DuckDB
@@ -1052,15 +1053,19 @@ object SparkEntry {
       ("""WITH d AS (
         |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
         |    || '@example.com via https://site.example/' || CAST(doc_id AS VARCHAR)
-        |    || '/page x' AS t
+        |    || '/page or +1 (555) 010-4477 at 10.20.30.42 x' AS t
         |  FROM documents
         |)
-        |SELECT doc_id, regexp_replace(regexp_replace(t,
+        |SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
         |  'URLPAT', '<URL>', 'g'),
-        |  'EMAILPAT', '<EMAIL>', 'g') AS scrubbed
+        |  'EMAILPAT', '<EMAIL>', 'g'),
+        |  'IPPAT', '<IP>', 'g'),
+        |  'PHONEPAT', '<PHONE>', 'g') AS scrubbed
         |FROM d""".stripMargin
         .replace("URLPAT", TextOps.UrlPattern)
-        .replace("EMAILPAT", TextOps.EmailPattern)),
+        .replace("EMAILPAT", TextOps.EmailPattern)
+        .replace("IPPAT", TextOps.Ipv4Pattern)
+        .replace("PHONEPAT", TextOps.PhonePattern)),
     "q_sketch_distinct" ->
       """WITH tok AS (
         |  SELECT DISTINCT lang,

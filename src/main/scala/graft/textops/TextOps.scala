@@ -102,20 +102,37 @@ object TextOps {
       .otherwise(lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh))
   }
 
-  /** PII/URL scrub (C4-style pre-training hygiene): URLs then email
-    * addresses replaced with placeholder tokens. URLs first — an email
-    * embedded in a URL's userinfo must scrub as part of the URL. The
-    * patterns use only constructs Java regex and RE2/DuckDB interpret
-    * identically (literal classes, `[^ ]`, bounded repetition), so a
-    * SQL oracle replays the scrub byte-for-byte. Codegen'd
-    * regexp_replace — no UDF.
+  /** PII/URL scrub (C4-style pre-training hygiene): URLs, then email
+    * addresses, then IPv4 addresses, then phone numbers, each replaced
+    * with a placeholder token. Order matters and is fixed: an email in a
+    * URL's userinfo scrubs as part of the URL; an IP host scrubs as part
+    * of its URL; IPs go before phones so dotted octet runs are never
+    * half-eaten by the phone pattern. The patterns use only constructs
+    * Java regex and RE2/DuckDB interpret identically (literal classes,
+    * `[^ ]`, bounded repetition, ASCII `\b`), so a SQL oracle replays
+    * the scrub byte-for-byte. Codegen'd regexp_replace — no UDF.
+    *
+    * `\b` placement: both digit patterns anchor word boundaries on their
+    * digit runs, so digits INSIDE an alphanumeric token ("build20261")
+    * never scrub — the C4 false-positive guard. The phone boundary sits
+    * before the area code's first digit (after the optional `+CC` and
+    * `(`, which as non-word chars cannot carry a boundary themselves),
+    * and the trailing `\b` rejects matches that would end mid-digit-run,
+    * so over-long digit runs stay untouched.
     */
   val UrlPattern = "https?://[^ ]+"
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b"
+  val PhonePattern =
+    "(\\+[0-9]{1,3}[-. ]?)?\\(?\\b[0-9]{3}\\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}\\b"
   def scrubPii(text: Column): Column =
     regexp_replace(
-      regexp_replace(text, UrlPattern, "<URL>"),
-      EmailPattern, "<EMAIL>")
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, UrlPattern, "<URL>"),
+          EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
 
   /** Positional rolling-hash fingerprint: sum_i i*len(tok_i) mod p —
     * order-sensitive, engine-portable (pure integer arithmetic).

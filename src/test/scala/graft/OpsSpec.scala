@@ -387,6 +387,27 @@ class OpsSpec extends AnyFunSuite {
     assert(got(3L) == "<EMAIL> embedded <URL>")
   }
 
+  test("scrubPii phone and IP branches: formats hit, embedded digits spared") {
+    val df = docsDf(
+      (1L, "call +1 (555) 010-4477 or 555-010-4477 today"),
+      (2L, "server at 10.20.30.42 port open"),
+      (3L, "build20261 has 5550104477890 digits and v1.2.3 tags"),
+      (4L, "http://10.0.0.1/admin then ping 10.0.0.1"),
+      (5L, "raw 5550104477 run"))
+    val got = df.select(col("doc_id"), TextOps.scrubPii(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // both +CC and bare 10-digit formats scrub
+    assert(got(1L) == "call <PHONE> or <PHONE> today")
+    assert(got(2L) == "server at <IP> port open")
+    // word boundaries: digits inside alphanumerics and over-long runs
+    // stay; dotted version tags are not 4-octet IPs
+    assert(got(3L) == "build20261 has 5550104477890 digits and v1.2.3 tags")
+    // an IP inside a URL scrubs as the URL; the bare one as an IP
+    assert(got(4L) == "<URL> then ping <IP>")
+    // an unseparated 10-digit run is still a phone (boundary-delimited)
+    assert(got(5L) == "raw <PHONE> run")
+  }
+
   test("token counts and bpe estimate") {
     val df = docsDf((1L, "one two three"))
     assert(df.select(TextOps.tokenCount(col("text"))).head().getLong(0) == 3L)
