@@ -7,9 +7,20 @@ import java.util.concurrent.atomic.AtomicLong
   * a fresh JVM, result on stdout as "RESULT <seconds> <rows>", plus a
   * "METRICS runMs cpuMs gcMs deserMs" line from Spark task metrics for
   * the measured run (stall diagnosis: cpuMs << runMs means tasks waited
-  * on something other than the CPU).
+  * on something other than the CPU) and a "DRIVERMEM start/peak/end"
+  * line sampled across the measured run (local mode shares the heap
+  * with executors, so the meaningful flat-memory signal is settled
+  * start-vs-end usage after a forced GC — a driver-side accumulation
+  * scaling with input size would survive the GC and show there).
   */
 object BenchOne {
+  private def settledUsedMb(): Long = {
+    System.gc()
+    Thread.sleep(200)
+    val rt = Runtime.getRuntime
+    (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(cpus, inputDir) = args
     val spark = Bench.session(cpus)
@@ -30,9 +41,24 @@ object BenchOne {
         }
       }
     })
+    val memStart = settledUsedMb()
+    val peakMb = new AtomicLong(memStart)
+    val sampler = new Thread(() => {
+      val rt = Runtime.getRuntime
+      while (!Thread.currentThread().isInterrupted) {
+        val used = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+        peakMb.getAndUpdate(p => math.max(p, used))
+        try Thread.sleep(250) catch { case _: InterruptedException => return }
+      }
+    })
+    sampler.setDaemon(true)
+    sampler.start()
     val (sec, rows) = Bench.timeExtract(spark, inputDir)
+    sampler.interrupt()
+    val memEnd = settledUsedMb()
     println(s"RESULT $sec $rows")
     println(s"METRICS run=${runMs.get}ms cpu=${cpuNs.get / 1000000}ms gc=${gcMs.get}ms taskDeser=${deserMs.get}ms")
+    println(s"DRIVERMEM start=${memStart}MB peak=${peakMb.get}MB end=${memEnd}MB")
     spark.stop()
   }
 }

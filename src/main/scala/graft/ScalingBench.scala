@@ -26,7 +26,7 @@ object ScalingBench {
     "java.base/sun.security.action", "java.base/sun.util.calendar"
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
-  def childRun(cpus: Int, inputDir: String): (Double, Long, Long) = {
+  def childRun(cpus: Int, inputDir: String): (Double, Long, Long, String) = {
     val java = System.getProperty("java.home") + "/bin/java"
     val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")
     val cmd = Seq(java) ++ addOpens ++ Seq(
@@ -55,7 +55,9 @@ object ScalingBench {
       .flatMap(_.split(' ').find(_.startsWith("cpu=")))
       .map(_.stripPrefix("cpu=").stripSuffix("ms").toLong)
       .getOrElse(0L)
-    (sec.toDouble, rows.toLong, cpuMs)
+    val memLine = out.linesIterator.find(_.startsWith("DRIVERMEM "))
+      .map(_.stripPrefix("DRIVERMEM ")).getOrElse("unavailable")
+    (sec.toDouble, rows.toLong, cpuMs, memLine)
   }
 
   def main(args: Array[String]): Unit = {
@@ -75,12 +77,13 @@ object ScalingBench {
     var ok4N = 0L
     var cpuN = 0L
     var cpu4N = 0L
+    var mem4N = "unavailable"
     for (t <- 1 to trials) {
-      val (sN, oN, cN) = childRun(n, inputDir)
-      val (s4, o4, c4) = childRun(4 * n, inputDir)
+      val (sN, oN, cN, _) = childRun(n, inputDir)
+      val (s4, o4, c4, m4) = childRun(4 * n, inputDir)
       System.err.println(f"[scaling] trial $t: local[$n]=$sN%.2fs local[${4 * n}]=$s4%.2fs")
       if (sN < secN) { secN = sN; okN = oN; cpuN = cN }
-      if (s4 < sec4N) { sec4N = s4; ok4N = o4; cpu4N = c4 }
+      if (s4 < sec4N) { sec4N = s4; ok4N = o4; cpu4N = c4; mem4N = m4 }
     }
     require(okN == ok4N, s"row counts diverged: $okN vs $ok4N")
     val dpsN = okN / secN
@@ -117,6 +120,10 @@ object ScalingBench {
          || local[${4 * n}], shuffle.partitions=${4 * n} | $nDocs | $sec4N%.2f | $dps4N%.0f | ${cpu4N / 1000.0}%.1f |
          |
          |Scaling efficiency N=$n -> 4N=${4 * n}: **$eff%.3f** (target >= 0.8).
+         |Driver heap across the best 4N run (settled, post-GC): $mem4N —
+         |local mode shares the heap with executor threads, so "flat" means
+         |start-vs-end usage does not grow with input size (nothing
+         |accumulates on the driver).
          |$inflLine
          |Input: $inputDir (sf=$sfDir, replicate=$replicate); sink=${
            sys.env.getOrElse("SPARK_GRAFT_SINK", "parquet")}; best of $trials
