@@ -325,18 +325,26 @@ object Dedup {
     * Returns (doc_id, cluster_id) for every node that appears in a pair,
     * with cluster_id = the minimum doc id reachable from it.
     *
-    * Production algorithm: alternating large-star/small-star rounds
-    * ([[connectedComponentsStar]]) — the working edge set contracts to a
-    * near-star-forest after the first round, so later rounds shuffle a
-    * shrinking frontier instead of the full edge set. The pointer-jumping
-    * variant ([[connectedComponentsJump]]) is kept as the measured
-    * baseline; both produce identical labels (spec-asserted), ClusterSpec
-    * asserts the star variant converges in no more (and on long paths
-    * strictly fewer) rounds.
+    * Two implementations, chosen by graph shape — both produce identical
+    * labels (spec-asserted against union-find ground truth):
+    *
+    *  - [[connectedComponentsJump]] (production default): pointer-jumping
+    *    min-label propagation over once-partitioned edges. Near-dup
+    *    candidate graphs are forests of SHALLOW DENSE BLOBS (diameter
+    *    2-4), where its 3 joins/round over a pre-partitioned edge set
+    *    win on job count: measured 3.3 s vs the star variant's 7.0 s for
+    *    q_dedup_cluster at sf0.1 (local[32], quiet host, best-of-2).
+    *  - [[connectedComponentsStar]]: alternating large-star/small-star
+    *    rounds with fused path-halving. Strictly fewer rounds on
+    *    high-diameter graphs (ClusterSpec measures both on a 128-node
+    *    path) and the working edge set contracts toward a star forest,
+    *    so each later round shuffles a shrinking frontier — the variant
+    *    to pick when components can be long chains (linked-page graphs,
+    *    citation chains) rather than near-dup blobs.
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIters: Int = 25): DataFrame =
-    connectedComponentsStar(pairs, idA, idB, maxIters)._1
+    connectedComponentsJump(pairs, idA, idB, maxIters)._1
 
   /** Alternating two-phase connected components (the large-star /
     * small-star construction of Kiveris et al., "Connected Components in
@@ -447,9 +455,9 @@ object Dedup {
     (labels, iter)
   }
 
-  /** Pointer-jumping connected components — the measured baseline for
-    * [[connectedComponentsStar]] and the variant of choice when the edge
-    * list is produced pre-partitioned on the probe key.
+  /** Pointer-jumping connected components — the production default (see
+    * [[connectedComponents]] for the measured shape-based choice vs
+    * [[connectedComponentsStar]]).
     *
     * Algorithm: min-label propagation (each node takes the min label
     * over itself and its neighbors) followed by pointer jumping

@@ -92,9 +92,9 @@ class ClusterSpec extends AnyFunSuite {
         val want = unionFind(pairs.map { case (a, b) => (math.min(a, b), math.max(a, b)) })
         assert(got == want, s"seed $seed (n=$n, m=$m)")
         // both variants agree everywhere, not just on the production path
-        val jump = Dedup.connectedComponentsJump(pairsDf(pairs: _*))._1
+        val star = Dedup.connectedComponentsStar(pairsDf(pairs: _*))._1
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        assert(jump == want, s"jump variant, seed $seed (n=$n, m=$m)")
+        assert(star == want, s"star variant, seed $seed (n=$n, m=$m)")
       }
     }
   }
