@@ -550,6 +550,21 @@ object SparkEntry {
         s.read.parquet(t(dir, "documents")), "lang", "doc_id", frac = 0.1)
         .select(col("doc_id"), col("lang"))),
 
+    // ---- corpus: benchmark decontamination (GPT-3-style eval-overlap
+    // filter). The corpus has no separate benchmark table, so a
+    // deterministic 10% portable-hash split plays the benchmark and the
+    // remaining 90% the corpus — the oracle replays split, shingle
+    // hashes, and hit counts exactly. n=5 so the synthetic corpus's
+    // cross-doc repetition actually produces hits
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+      val isBench =
+        graft.PortableHash.salted60(col("doc_id"), "bench") % 1000000L < 100000L
+      graft.corpus.Decontaminate.contaminationHits(
+        docs.filter(!isBench), docs.filter(isBench),
+        "doc_id", "text", "doc_id", "text", n = 5, minHits = 1)
+    }),
+
     // ---- text analysis: repetition gate (duplicate-shingle fraction)
     "q_text_repetition" -> ((s, dir) =>
       s.read.parquet(t(dir, "documents"))
@@ -1017,6 +1032,31 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE CAST('0x' || substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
         |  % 1000000 < 200000""".stripMargin,
+    "q_decontaminate" ->
+      // 10% bench / 90% corpus portable-hash split, 5-gram shingle
+      // hashes, distinct benchmark shingles, per-doc distinct hit count
+      """WITH split AS (
+        |  SELECT doc_id, text,
+        |    CAST('0x' || substr(md5('bench' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |      % 1000000 < 100000 AS is_bench
+        |  FROM documents
+        |), bw AS (
+        |  SELECT DISTINCT
+        |    CAST('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 4), ' ')), 1, 15) AS BIGINT) AS shash
+        |  FROM (SELECT string_split(text, ' ') AS toks,
+        |          unnest(range(1, greatest(len(string_split(text, ' ')) - 5 + 1, 0) + 1)) AS i
+        |        FROM split WHERE is_bench)
+        |), cw AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 4), ' ')), 1, 15) AS BIGINT) AS shash
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+        |          unnest(range(1, greatest(len(string_split(text, ' ')) - 5 + 1, 0) + 1)) AS i
+        |        FROM split WHERE NOT is_bench)
+        |)
+        |SELECT doc_id, count(DISTINCT shash) AS n_hits
+        |FROM cw JOIN bw USING (shash)
+        |GROUP BY doc_id
+        |HAVING count(DISTINCT shash) >= 1""".stripMargin,
     "q_sample_mixture" ->
       """SELECT doc_id, lang FROM documents
         |WHERE CAST('0x' || substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)

@@ -154,4 +154,44 @@ class CorpusSpec extends AnyFunSuite {
     for ((id, (approx, scale)) <- deq; (a, o) <- approx.zip(orig(id)))
       assert(math.abs(a - o) <= scale / 2 + 1e-12, s"vec $id: $a vs $o (scale $scale)")
   }
+
+  test("decontaminate flags eval overlap and drops only flagged docs") {
+    import spark.implicits._
+    import graft.corpus.Decontaminate
+    val benchPassage = "the quick brown fox jumps over the lazy dog"
+    val bench = Seq((100L, s"eval question about $benchPassage indeed"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // contains the benchmark passage verbatim -> contaminated
+      (1L, s"some page copying $benchPassage plus unrelated tail words"),
+      // repeats the passage twice: distinct hit count must not double
+      (2L, s"$benchPassage and again $benchPassage"),
+      // clean
+      (3L, "completely different words entirely unrelated content here now"),
+      // shorter than n tokens -> no shingles, never flagged
+      (4L, "tiny doc")).toDF("doc_id", "text")
+
+    val hits = Decontaminate.contaminationHits(
+        corpus, bench, "doc_id", "text", "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.keySet == Set(1L, 2L))
+    // doc 2's repeated passage yields the same distinct shingles as one
+    // occurrence embedded mid-sentence yields at most (extra join words
+    // add a few) — the guard is: counting is DISTINCT, so the doubled
+    // text does not double the hit count relative to its distinct set
+    val passageShingleCount = 9 - 5 + 1 // 9-token passage, 5-gram windows
+    assert(hits(1L) >= passageShingleCount)
+    assert(hits(2L) >= passageShingleCount && hits(2L) <= passageShingleCount + 4)
+
+    // minHits raises the bar: at an impossibly high threshold nothing is
+    // flagged and decontaminate keeps everything
+    assert(Decontaminate.contaminationHits(
+      corpus, bench, "doc_id", "text", "doc_id", "text",
+      n = 5, minHits = 1000).isEmpty)
+
+    val clean = Decontaminate.decontaminate(
+        corpus, bench, "doc_id", "text", "doc_id", "text", n = 5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(clean.sameElements(Array(3L, 4L)))
+  }
 }
