@@ -148,6 +148,30 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("substring dedup: hash-keyed joins only, no pairwise doc join anywhere") {
+    // the operator's scale contract is linear-in-tokens: window
+    // fingerprints -> anchor agg -> equi-join back -> islands. A
+    // cartesian or nested-loop join appearing here would be the
+    // quadratic all-pairs compare the design exists to avoid
+    val p = plan("q_dedup_substring")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("NestedLoopJoin"), p.take(2000))
+    assert(p.contains("whash"), p.take(2000))
+  }
+
+  test("decontamination: benchmark side broadcasts, corpus never shuffles") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      p.take(2000))
+    // the only hash exchange is the per-doc hit aggregation AFTER the
+    // join (tiny hit set); corpus shingles reach the join map-side
+    val exchanges = p.linesIterator
+      .filter(l => l.trim.startsWith("Exchange hashpartitioning")).toVector
+    assert(exchanges.forall(_.contains("doc_id")),
+      s"unexpected exchange before the join:\n${exchanges.mkString("\n")}")
+  }
+
   test("LSH band join shuffles bare keys; signatures re-attach after the pair distinct") {
     // the banded exchange must not carry the 64-long sig arrays — at
     // 10^9 docs that is k x the shuffle payload of the key-only design
