@@ -565,6 +565,14 @@ object SparkEntry {
         "doc_id", "text", "doc_id", "text", n = 5, minHits = 1)
     }),
 
+    // ---- corpus: context-window chunking (overlapping token windows —
+    // the step between cleaning and sequence packing; record-local,
+    // zero shuffles)
+    "q_chunk_docs" -> ((s, dir) =>
+      graft.corpus.Chunking.chunk(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text",
+        maxTokens = 40, overlap = 8)),
+
     // ---- text analysis: repetition gate (duplicate-shingle fraction)
     "q_text_repetition" -> ((s, dir) =>
       s.read.parquet(t(dir, "documents"))
@@ -1032,6 +1040,20 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE CAST('0x' || substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
         |  % 1000000 < 200000""".stripMargin,
+    "q_chunk_docs" ->
+      // starts 0, 32, 64, ... while start <= max(n - overlap - 1, 0);
+      // chunk_idx = start / stride (starts are exact multiples)
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), s AS (
+        |  SELECT doc_id, toks,
+        |    unnest(range(0, greatest(len(toks) - 8 - 1, 0) + 1, 32)) AS start
+        |  FROM t
+        |)
+        |SELECT doc_id, CAST(start / 32 AS INTEGER) AS chunk_idx,
+        |  array_to_string(list_slice(toks, start + 1, start + 40), ' ') AS chunk_text,
+        |  len(list_slice(toks, start + 1, start + 40)) AS n_tokens
+        |FROM s""".stripMargin,
     "q_decontaminate" ->
       // 10% bench / 90% corpus portable-hash split, 5-gram shingle
       // hashes, distinct benchmark shingles, per-doc distinct hit count

@@ -155,6 +155,50 @@ class CorpusSpec extends AnyFunSuite {
       assert(math.abs(a - o) <= scale / 2 + 1e-12, s"vec $id: $a vs $o (scale $scale)")
   }
 
+  test("chunking: full coverage, exact overlap, lossless reconstruction") {
+    import spark.implicits._
+    import graft.corpus.Chunking
+    val words = (0 until 103).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (1L, words),                         // multi-chunk
+      (2L, "a b c"),                       // shorter than maxTokens
+      (3L, (0 until 40).map(i => s"x$i").mkString(" ")), // exactly maxTokens
+      (4L, "")).toDF("doc_id", "text")     // empty text = one "" token
+    val out = Chunking.chunk(d, "doc_id", "text", maxTokens = 40, overlap = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._2) }
+
+    // short docs: exactly one chunk, the doc itself
+    assert(out(2L).map(c => (c._3, c._4)).toSeq == Seq(("a b c", 3)))
+    assert(out(3L).length == 1 && out(3L).head._4 == 40)
+    assert(out(4L).map(c => (c._3, c._4)).toSeq == Seq(("", 1)))
+
+    // 103 tokens, stride 32: starts 0,32,64 (96 > 103-8-1 = 94); the
+    // final chunk [64,103) clamps to 39 tokens and closes coverage
+    val chunks = out(1L)
+    assert(chunks.map(_._2).toSeq == Seq(0, 1, 2))
+    assert(chunks.last._4 == 39)
+    val covered = chunks.flatMap { case (_, idx, _, n) =>
+      val start = idx * 32; start until (start + n)
+    }.toSet
+    assert(covered == (0 until 103).toSet, s"coverage gap: ${chunks.map(_._2)}")
+    // consecutive chunks overlap by exactly `overlap` tokens (except a
+    // clamped final chunk, which still starts stride apart)
+    for (Array(a, b) <- chunks.sliding(2)) {
+      assert(b._2 == a._2 + 1)
+      val aToks = a._3.split(" ", -1)
+      val bToks = b._3.split(" ", -1)
+      assert(aToks.takeRight(8).sameElements(bToks.take(8)),
+        s"overlap mismatch between chunk ${a._2} and ${b._2}")
+    }
+    // lossless: chunk 0 plus each later chunk minus its overlap prefix
+    // reconstructs the original token stream
+    val rebuilt = chunks.head._3.split(" ", -1) ++
+      chunks.tail.flatMap(_._3.split(" ", -1).drop(8))
+    assert(rebuilt.mkString(" ") == words)
+  }
+
   test("decontaminate flags eval overlap and drops only flagged docs") {
     import spark.implicits._
     import graft.corpus.Decontaminate
