@@ -496,17 +496,27 @@ object SparkEntry {
     // deterministic 50% sample. Demonstrates the operators compose into
     // the training-data-cleaning job a user actually runs.
     "q_corpus_clean" -> ((s, dir) => {
-      val scored = s.read.parquet(t(dir, "documents"))
-        .select(col("doc_id"), col("text"),
+      // single-pass composition: score once (bySplits spreads the
+      // under-split scan before the CPU-heavy HOFs), canonicalize exact
+      // dups with a window min over the checksum — only fixed-width
+      // columns ride the one shuffle (text is dropped before it) —
+      // then the shuffle-free hash-sample filter. The previous
+      // exactGroups + semi-join shape referenced `scored` twice and
+      // re-ran the scoring expressions over the whole corpus
+      val scored = graft.Parallelize.bySplits(
+          s.read.parquet(t(dir, "documents")).select(col("doc_id"), col("text")),
+          "doc_id")
+        .select(col("doc_id"),
+          sha2(lower(trim(col("text"))), 256).as("checksum"),
           TextOps.langId(col("text")).as("pred_lang"),
           TextOps.qualityScore(col("text")).as("quality"),
           TextOps.tokenCount(col("text")).as("n_tokens"))
         .filter(col("quality") >= 0.5 && col("pred_lang") =!= "und")
-      val keepIds = Dedup.exactGroups(scored, "doc_id", "text")
-        .select(col("keep_id").as("doc_id"))
-      graft.corpus.Sampling.hashSample(
-          scored.join(keepIds, Seq("doc_id"), "left_semi"),
-          "doc_id", rate = 0.5, salt = "clean")
+      val canonical = scored
+        .withColumn("keep_id",
+          min(col("doc_id")).over(Window.partitionBy(col("checksum"))))
+        .filter(col("doc_id") === col("keep_id"))
+      graft.corpus.Sampling.hashSample(canonical, "doc_id", rate = 0.5, salt = "clean")
         .select(col("doc_id"), col("pred_lang"), col("quality"), col("n_tokens"))
     }),
 
