@@ -575,6 +575,20 @@ object SparkEntry {
         "doc_id", "text", "doc_id", "text", n = 5, minHits = 1)
     }),
 
+    // ---- corpus: token-budget selection (greedy quality-ranked prefix
+    // under a total token budget — the "which tokens do we train on"
+    // cut; one global sort + running sum). Score is floor(quality*1e4)
+    // so the ordering is integer-exact across engines (raw double
+    // ordering could flip near-ties the .12g oracle canon can't see)
+    "q_budget_select" -> ((s, dir) =>
+      graft.corpus.BudgetSelect.selectUnderBudget(
+        s.read.parquet(t(dir, "documents"))
+          .select(col("doc_id"),
+            TextOps.tokenCount(col("text")).as("n_tokens"),
+            floor(TextOps.qualityScore(col("text")) * 10000).cast("long")
+              .as("qscore")),
+        "doc_id", "n_tokens", "qscore", budget = 20000L)),
+
     // ---- corpus: context-window chunking (overlapping token windows —
     // the step between cleaning and sequence packing; record-local,
     // zero shuffles)
@@ -1050,6 +1064,36 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE CAST('0x' || substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
         |  % 1000000 < 200000""".stripMargin,
+    "q_budget_select" -> {
+      val allMarkers = TextOps.LangMarkers.flatMap(_._2)
+        .map(m => s"'$m'").mkString("(", ", ", ")")
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+         |    CAST(length(text) AS DOUBLE) AS n_ch,
+         |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN $allMarkers)) AS DOUBLE) AS hits
+         |  FROM documents
+         |), d AS (
+         |  SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+         |    least(n_tok / 64.0, 1.0) AS len_score,
+         |    n_ch / greatest(n_tok, 1.0) AS mean_word,
+         |    least(hits / greatest(n_tok * 0.05, 1.0), 1.0) AS stop_score
+         |  FROM m
+         |), q AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(floor((len_score * 0.4
+         |      + (CASE WHEN mean_word >= 3 AND mean_word <= 10 THEN 1.0
+         |              ELSE greatest(0.0, 1.0 - abs(mean_word - 6.5) / 10.0) END) * 0.3
+         |      + stop_score * 0.3) * 10000) AS BIGINT) AS qscore
+         |  FROM d
+         |), c AS (
+         |  SELECT doc_id, n_tokens, qscore,
+         |    sum(n_tokens) OVER (ORDER BY qscore DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         |  FROM q
+         |)
+         |SELECT doc_id, n_tokens, qscore, cum_tokens FROM c
+         |WHERE cum_tokens <= 20000""".stripMargin
+    },
     "q_chunk_docs" ->
       // starts 0, 32, 64, ... while start <= max(n - overlap - 1, 0);
       // chunk_idx = start / stride (starts are exact multiples)

@@ -155,6 +155,27 @@ class CorpusSpec extends AnyFunSuite {
       assert(math.abs(a - o) <= scale / 2 + 1e-12, s"vec $id: $a vs $o (scale $scale)")
   }
 
+  test("budget selection keeps the greedy score-ranked prefix, no back-fill") {
+    import spark.implicits._
+    import graft.corpus.BudgetSelect
+    // (id, tokens, score): ranked by (score desc, id asc) ->
+    // 1(50), 5(40), 3(30), 2(100), 4(10); budget 150 keeps 50+40+30=120,
+    // doc 2 overflows (220) and doc 4 (10 tokens, WOULD fit) must NOT
+    // back-fill past the overflow
+    val d = Seq(
+      (1L, 50L, 9), (2L, 100L, 5), (3L, 30L, 7), (4L, 10L, 3), (5L, 40L, 9))
+      .toDF("doc_id", "n_tokens", "score")
+    val got = BudgetSelect.selectUnderBudget(d, "doc_id", "n_tokens", "score", 150L)
+      .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 50L, 5L -> 90L, 3L -> 120L))
+    // tiebreak: equal scores order by id, so doc 1 accumulates first
+    assert(got(1L) < got(5L))
+    // degenerate budgets: zero keeps nothing, huge keeps everything
+    assert(BudgetSelect.selectUnderBudget(d, "doc_id", "n_tokens", "score", 0L).isEmpty)
+    assert(BudgetSelect.selectUnderBudget(d, "doc_id", "n_tokens", "score", 1000000L)
+      .count() == 5)
+  }
+
   test("chunking: full coverage, exact overlap, lossless reconstruction") {
     import spark.implicits._
     import graft.corpus.Chunking
