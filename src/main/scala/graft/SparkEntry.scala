@@ -575,6 +575,13 @@ object SparkEntry {
         "doc_id", "text", "doc_id", "text", n = 5, minHits = 1)
     }),
 
+    // ---- dedup family: winnowing fingerprints (SIGMOD 2003 local
+    // fingerprinting — any shared run of >= w+k-1 tokens across docs
+    // shares a fingerprint; ~1/w density, record-local selection)
+    "q_winnow" -> ((s, dir) =>
+      graft.dedup.Winnow.fingerprints(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text", k = 4, w = 4)),
+
     // ---- corpus: token-budget selection (greedy quality-ranked prefix
     // under a total token budget — the "which tokens do we train on"
     // cut; one global sort + running sum). Score is floor(quality*1e4)
@@ -1064,6 +1071,28 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE CAST('0x' || substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
         |  % 1000000 < 200000""".stripMargin,
+    "q_winnow" ->
+      // k=4 shingle hashes, windows of w=4, min per window with
+      // rightmost tiebreak (position from the end of the reversed slice)
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), h AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(len(toks) - 4 + 1, 0) + 1),
+        |      i -> CAST('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 3), ' ')), 1, 15) AS BIGINT)) AS hs
+        |  FROM t
+        |), wins AS (
+        |  SELECT doc_id, hs, unnest(range(0, greatest(len(hs) - 4, 0) + 1)) AS j
+        |  FROM h WHERE len(hs) > 0
+        |), sel AS (
+        |  SELECT doc_id,
+        |    j + len(list_slice(hs, j + 1, j + 4))
+        |      - list_position(list_reverse(list_slice(hs, j + 1, j + 4)),
+        |                      list_min(list_slice(hs, j + 1, j + 4))) AS pos,
+        |    list_min(list_slice(hs, j + 1, j + 4)) AS fp
+        |  FROM wins
+        |)
+        |SELECT DISTINCT doc_id, CAST(pos AS INTEGER) AS pos, fp FROM sel""".stripMargin,
     "q_budget_select" -> {
       val allMarkers = TextOps.LangMarkers.flatMap(_._2)
         .map(m => s"'$m'").mkString("(", ", ", ")")

@@ -387,6 +387,39 @@ class OpsSpec extends AnyFunSuite {
     assert(got(3L) == "<EMAIL> embedded <URL>")
   }
 
+  test("winnowing: shared-run guarantee, 1/w density, rightmost tiebreak") {
+    import graft.dedup.Winnow
+    val shared = "alpha bravo charlie delta echo foxtrot golf" // 7 = w+k-1
+    val df = docsDf(
+      (1L, s"one two three $shared four five six"),
+      (2L, s"nine eight $shared seven ten eleven twelve"),
+      (3L, "totally disjoint words with nothing in common here at all"),
+      (4L, "too short"), // < k tokens -> no fingerprints
+      (5L, "rep rep rep rep rep rep rep rep")) // all shingles identical
+    val fps = Winnow.fingerprints(df, "doc_id", "text", k = 4, w = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1)
+
+    // the SIGMOD-2003 guarantee: a shared run of >= w+k-1 tokens means
+    // at least one shared fingerprint; the disjoint doc shares none
+    val f1 = fps(1L).map(_._3).toSet
+    val f2 = fps(2L).map(_._3).toSet
+    val f3 = fps(3L).map(_._3).toSet
+    assert((f1 & f2).nonEmpty)
+    assert((f1 & f3).isEmpty && (f2 & f3).isEmpty)
+    assert(!fps.contains(4L))
+
+    // density/coverage: consecutive selected positions are at most w
+    // apart (every window contributed a selection)
+    for ((_, rows) <- fps; ps = rows.map(_._2).distinct.sorted)
+      for (Array(a, b) <- ps.sliding(2)) assert(b - a <= 4, s"gap $a -> $b")
+
+    // all-equal hashes: rightmost tiebreak selects pos j + w - 1 per
+    // window -> positions {w-1 .. m-1} exactly (m = 5 shingles of doc 5)
+    assert(fps(5L).map(_._2).toSet == Set(3, 4))
+    assert(fps(5L).map(_._3).toSet.size == 1)
+  }
+
   test("scrubPii phone and IP branches: formats hit, embedded digits spared") {
     val df = docsDf(
       (1L, "call +1 (555) 010-4477 or 555-010-4477 today"),
