@@ -34,16 +34,26 @@ object Winnow {
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 4, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, s"k and w must be positive: k=$k w=$w")
+    // The hash array MUST be bound to its own projection before the
+    // window transform references it: inlined syntactically, every one
+    // of the m window lambdas would re-evaluate all m md5 hashes —
+    // O(m^2) digests per document (measured: 56 s for q_winnow at
+    // sf0.1 vs <1 s bound). CollapseProject's cost guard keeps the two
+    // projections separate because `hs` is non-cheap and referenced
+    // more than once.
     val hashes: Column =
       transform(TextOps.shingleArray(TextOps.tokens(col("__t")), k),
         s => PortableHash.md5Hash60(s))
+    val withHs = graft.Parallelize.bySplits(
+        docs.select(col(idCol).as("doc_id"), col(textCol).as("__t")), "doc_id")
+      .select(col("doc_id"), hashes.as("hs"))
+    val hs = col("hs")
     // window j covers hashes [j, j+w); slice clamps the final windows,
     // and greatest(m-w, 0) keeps one whole-sequence window when m < w
-    def winSlice(h: Column, j: Column): Column = slice(h, j + 1, lit(w))
     val windows = transform(
-      sequence(lit(0), greatest(size(hashes) - w, lit(0))),
+      sequence(lit(0), greatest(size(hs) - w, lit(0))),
       j => {
-        val win = winSlice(hashes, j)
+        val win = slice(hs, j + 1, lit(w))
         val mn = array_min(win)
         // rightmost occurrence of the min: position from the end via
         // the reversed slice (array_position is 1-based, first match)
@@ -52,10 +62,9 @@ object Winnow {
       })
     // a doc with no shingles (fewer than k tokens) must emit nothing,
     // not one garbage window over the empty hash array
-    val sel = when(size(hashes) > 0, windows)
+    val sel = when(size(hs) > 0, windows)
       .otherwise(array().cast("array<struct<pos:int,fp:bigint>>"))
-    graft.Parallelize.bySplits(
-        docs.select(col(idCol).as("doc_id"), col(textCol).as("__t")), "doc_id")
+    withHs
       .select(col("doc_id"), explode(sel).as("s"))
       .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
       .distinct()
