@@ -83,10 +83,20 @@ object TextOps {
     * repetitionScore so the clamp semantics live in one place.
     */
   def shingleArray(toks: Column, n: Int): Column = {
-    val idx = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
-      .otherwise(array().cast("array<int>"))
-    transform(idx,
-      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))
+    // Built from n shifted slices folded with zip_with rather than a
+    // transform over indices: an index lambda would capture `toks`
+    // per element, and HOF lambdas re-evaluate captured subtrees on
+    // EVERY element (no codegen/CSE inside CodegenFallback HOFs) — with
+    // toks itself a split() that is O(tokens^2) per document. Here
+    // `toks` appears only in row-level slice arguments (n evaluations
+    // per row, linear), and each zip_with step touches materialized
+    // arrays element-wise.
+    val len = size(toks) - (n - 1)
+    val parts = (0 until n)
+      .map(k => slice(toks, lit(k + 1), greatest(len, lit(0))))
+    val joined = parts.reduce((a, b) => zip_with(a, b,
+      (x, y) => concat_ws(" ", x, y)))
+    when(size(toks) >= n, joined).otherwise(array().cast("array<string>"))
   }
 
   /** Repetition score (Gopher-style quality gate): the fraction of
