@@ -215,7 +215,12 @@ object Bench {
           }
         } catch {
           case e: Throwable =>
-            best = (System.nanoTime() - t0) / 1e9
+            // record the failure, but never let a failed trial's wall
+            // time replace a SUCCESSFUL trial's measurement; only when
+            // no trial succeeded does the failure's elapsed time stand
+            // in (paired with the err marker, so it cannot read as a
+            // healthy timing)
+            if (best == Double.MaxValue) best = (System.nanoTime() - t0) / 1e9
             errs(name) = (e.getClass.getName + ": " +
               Option(e.getMessage).getOrElse("")).take(200)
         }

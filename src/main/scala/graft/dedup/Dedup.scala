@@ -372,54 +372,68 @@ object Dedup {
     * (and same localCheckpoint-vs-checkpoint trade-off) as
     * [[connectedComponentsJump]]. Returns (labels, rounds).
     */
+  /** localCheckpoint plus the precise ids of the RDD blocks it owns,
+    * read from the LogicalRDD the checkpointed Dataset wraps. Diffing
+    * sc.getPersistentRDDs around the action instead would also capture
+    * FOREIGN caches that happen to first materialize inside it (a
+    * caller-persisted input, a concurrent job's cache in the same
+    * session) and later unpersist blocks this algorithm does not own.
+    */
+  private[graft] def checkpointOwned(df: DataFrame): (DataFrame, Set[Int]) = {
+    val cp = df.localCheckpoint()
+    val ids = cp.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
+    }.toSet
+    (cp, ids)
+  }
+
+  private def unpersistOwned(sc: org.apache.spark.SparkContext, ids: Set[Int]): Unit =
+    sc.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (ids(id)) rdd.unpersist(blocking = false)
+    }
+
   private[graft] def connectedComponentsStar(pairs: DataFrame,
       idA: String = "id_a", idB: String = "id_b",
       maxIters: Int = 25): (DataFrame, Int) = {
     val sc = pairs.sparkSession.sparkContext
-    def persisted: Set[Int] = sc.getPersistentRDDs.keySet.toSet
-    def unpersist(ids: Set[Int]): Unit =
-      sc.getPersistentRDDs.foreach { case (id, rdd) =>
-        if (ids(id)) rdd.unpersist(blocking = false)
-      }
+    // ONE materialization of the (potentially expensive) upstream pair
+    // pipeline; the node universe and the edge set both derive from it
+    // — deriving each straight from `pairs` would execute the whole
+    // candidate-generation lineage twice
+    val (base, baseIds) = checkpointOwned(
+      pairs.select(col(idA).cast("long").as("a"), col(idB).cast("long").as("b")))
     // node universe up front: self-loop-only nodes never enter the edge
     // iteration but still label themselves in the output
-    val beforeNodes = persisted
-    val nodes = pairs.select(col(idA).cast("long").as("id"))
-      .union(pairs.select(col(idB).cast("long").as("id")))
-      .distinct()
-      .localCheckpoint()
-    val nodeIds = persisted -- beforeNodes
-    var edges = pairs
-      .select(col(idA).cast("long").as("a"), col(idB).cast("long").as("b"))
-      .filter(col("a") =!= col("b"))
-      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
-      .distinct()
-      .localCheckpoint()
-    var frontierIds = persisted -- beforeNodes -- nodeIds
+    val (nodes, _) = checkpointOwned(
+      base.select(col("a").as("id"))
+        .union(base.select(col("b").as("id")))
+        .distinct())
+    var (edges, frontierIds) = checkpointOwned(
+      base.filter(col("a") =!= col("b"))
+        .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+        .distinct())
+    unpersistOwned(sc, baseIds)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
-      val beforeRound = persisted
       // large-star over the symmetrized neighborhood; emitted (v, m) has
       // v > u >= m, so output is canonical-downhill and self-loop-free
       val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
       val lmins = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
-      val large = sym.join(lmins, "u")
-        .filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
-        .localCheckpoint()
-      val largeIds = persisted -- beforeRound
+      val (large, largeIds) = checkpointOwned(
+        sym.join(lmins, "u")
+          .filter(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .distinct())
       // small-star: canonical edges already key each u to its smaller
       // neighbors; m = their min, re-link u and every other neighbor
       val smins = large.groupBy("u").agg(min(col("v")).as("m"))
-      val next = large.join(smins, "u")
-        .filter(col("v") =!= col("m"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .union(smins.select(col("u"), col("m").as("v")))
-        .distinct()
-        .localCheckpoint()
-      val smallIds = persisted -- beforeRound -- largeIds
+      val (next, smallIds) = checkpointOwned(
+        large.join(smins, "u")
+          .filter(col("v") =!= col("m"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .union(smins.select(col("u"), col("m").as("v")))
+          .distinct())
       // path-halving, fused into the round: relink every edge's head to
       // the head's own min parent, KEEPING the (head, parent) witness
       // edge so the rewrite stays connectivity-safe on multi-parent
@@ -429,18 +443,17 @@ object Dedup {
       // count beat plain pointer jumping on high-diameter graphs
       // (ClusterSpec measures both).
       val parents = next.groupBy(col("u")).agg(min(col("v")).as("p"))
-      val halved = next
-        .join(parents.select(col("u").as("v"), col("p")), Seq("v"), "left")
-        .select(col("u"), coalesce(col("p"), col("v")).as("v"))
-        .union(parents.select(col("u"), col("p").as("v")))
-        .distinct()
-        .localCheckpoint()
-      val nextIds = persisted -- beforeRound -- largeIds -- smallIds
-      unpersist(largeIds ++ smallIds)
+      val (halved, nextIds) = checkpointOwned(
+        next
+          .join(parents.select(col("u").as("v"), col("p")), Seq("v"), "left")
+          .select(col("u"), coalesce(col("p"), col("v")).as("v"))
+          .union(parents.select(col("u"), col("p").as("v")))
+          .distinct())
+      unpersistOwned(sc, largeIds ++ smallIds)
       // fixed point: the round reproduced its input edge set
       // (|halved \ edges| = 0 and equal counts => set equality)
       converged = halved.except(edges).isEmpty && halved.count() == edges.count()
-      unpersist(frontierIds)
+      unpersistOwned(sc, frontierIds)
       frontierIds = nextIds
       edges = halved
       iter += 1
@@ -484,70 +497,56 @@ object Dedup {
   private[graft] def connectedComponentsJump(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIters: Int = 25): (DataFrame, Int) = {
     val sc = pairs.sparkSession.sparkContext
-    // localCheckpoint registers its backing RDD in the context's
-    // persistent-RDD map; id-set diffs around each checkpoint identify
-    // exactly the blocks each frame owns, so superseded frames can be
-    // dropped without holding RDD handles through Dataset internals
-    def persisted: Set[Int] = sc.getPersistentRDDs.keySet.toSet
-    def unpersist(ids: Set[Int]): Unit =
-      sc.getPersistentRDDs.foreach { case (id, rdd) =>
-        if (ids(id)) rdd.unpersist(blocking = false)
-      }
     // one materialization of the (potentially expensive) upstream pair
     // pipeline — the symmetrizing union below reads `half` twice, and
     // without this checkpoint each branch would re-execute the whole
     // candidate-generation lineage (measured: the single largest cost
-    // of the round-2 driver bench's q_dedup_cluster)
-    val beforeHalf = persisted
-    val half = pairs.select(col(idA).cast("long").as("u"), col(idB).cast("long").as("v"))
-      .localCheckpoint()
-    val halfIds = persisted -- beforeHalf
+    // of the round-2 driver bench's q_dedup_cluster). Each checkpoint's
+    // own block ids come from checkpointOwned, so superseded frames are
+    // dropped without sweeping foreign caches.
+    val (half, halfIds) = checkpointOwned(
+      pairs.select(col(idA).cast("long").as("u"), col(idB).cast("long").as("v")))
     // edges hash-partitioned on the probe key v once, BEFORE the
     // checkpoint (localCheckpoint preserves outputPartitioning): every
     // round's neighbor join then reuses this layout and only the label
     // frontier — never the edge set — shuffles per round
-    val edges = half.union(half.select(col("v").as("u"), col("u").as("v")))
-      .repartition(col("v"))
-      .localCheckpoint()
+    val (edges, _) = checkpointOwned(
+      half.union(half.select(col("v").as("u"), col("u").as("v")))
+        .repartition(col("v")))
     // edges is materialized; half's blocks are no longer referenced
-    unpersist(halfIds)
-    val afterEdges = persisted
+    unpersistOwned(sc, halfIds)
     // seed labels with round 1's relax fused in: label(u) = min(u, N(u))
-    // comes free from the same groupBy that enumerates the nodes
-    var labels = edges.groupBy(col("u"))
-      .agg(least(min(col("v")), col("u")).as("label"))
-      .select(col("u").as("id"), col("label"))
-      .localCheckpoint()
-    // blocks backing the CURRENT labels frontier — superseded (and
-    // dropped) when the next round's frontier materializes
-    var frontierIds = persisted -- afterEdges
+    // comes free from the same groupBy that enumerates the nodes.
+    // frontierIds = blocks backing the CURRENT labels frontier —
+    // superseded (and dropped) when the next round's materializes
+    var (labels, frontierIds) = checkpointOwned(
+      edges.groupBy(col("u"))
+        .agg(least(min(col("v")), col("u")).as("label"))
+        .select(col("u").as("id"), col("label")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
-      val beforeRound = persisted
       val nbrMin = edges.join(labels.withColumnRenamed("id", "v"), "v")
         .groupBy(col("u").as("id")).agg(min("label").as("nb_label"))
       // materialized once per round: both sides of the pointer-jump
       // self-join read it, which would otherwise recompute the relax
       // join (and the neighbor join underneath it) twice
-      val relaxed = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("label").as("prev"),
-          least(col("label"), coalesce(col("nb_label"), col("label"))).as("label"))
-        .localCheckpoint()
-      val relaxedIds = persisted -- beforeRound
+      val (relaxed, relaxedIds) = checkpointOwned(
+        labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"), col("label").as("prev"),
+            least(col("label"), coalesce(col("nb_label"), col("label"))).as("label")))
       // pointer jumping: follow the label one hop (labels are node ids,
       // so every label value has a row; left join guards the root case).
       // The previous round's label rides along so convergence detection
       // is a filter+count on the checkpointed frontier, not another join.
-      val next = relaxed.as("x")
-        .join(relaxed.select(col("id").as("label"), col("label").as("ll")).as("y"),
-          Seq("label"), "left")
-        .select(col("id"), col("prev"), coalesce(col("ll"), col("label")).as("label"))
-        .localCheckpoint()
-      val nextIds = persisted -- beforeRound -- relaxedIds
+      val (next, nextIds) = checkpointOwned(
+        relaxed.as("x")
+          .join(relaxed.select(col("id").as("label"), col("label").as("ll")).as("y"),
+            Seq("label"), "left")
+          .select(col("id"), col("prev"), coalesce(col("ll"), col("label")).as("label")))
       // next is materialized: the round's relaxed intermediate and the
       // previous frontier are superseded — drop their blocks now
-      unpersist(relaxedIds ++ frontierIds)
+      unpersistOwned(sc, relaxedIds ++ frontierIds)
       frontierIds = nextIds
       converged = next.filter(col("label") =!= col("prev")).isEmpty
       labels = next.select(col("id"), col("label"))

@@ -69,24 +69,37 @@ object Lineage {
   private def resumeBucket(buckets: Int) =
     pmod(xxhash64(col("doc_id"), lit(16)), lit(buckets))
 
-  /** Buckets NOT fully completed: per-bucket completed-doc counts from
-    * the metrics table vs per-bucket input counts (both one cheap
-    * column-pruned scan + map-side-combined agg into <= `buckets`
-    * rows). A bucket whose distinct ok count equals its input count is
-    * wholly done — valid because committed doc_ids are a subset of the
-    * input's (resume always replays the same input table).
+  /** Buckets NOT fully completed, decided by per-bucket SET fingerprints
+    * (count plus two independent mod-p hash sums of the doc_ids — mod-p
+    * keeps the running sums overflow-free at 10^8 docs/bucket under
+    * ANSI arithmetic), each side one column-pruned scan + map-side-
+    * combined agg into <= `buckets` rows. A bucket is wholly done only
+    * when the completed-id set equals the input-id set exactly, so the
+    * pruning stays CORRECT when the metrics table holds doc_ids not in
+    * the current input (a replaced/renamed doc sharing a bucket with a
+    * completed one): any asymmetry fails the fingerprint and the bucket
+    * falls through to the per-doc anti-join, which handles extras
+    * natively. False "equal" needs a simultaneous collision of both
+    * independent sums (~p^-2 ~ 2.5e-19 per bucket).
     */
   def incompleteBuckets(spark: SparkSession, input: Dataset[Doc],
       metricsPath: String, buckets: Int,
       catalog: TableCatalog = ParquetCatalog): DataFrame = {
     val b = resumeBucket(buckets)
-    val inCnt = input.toDF().select(b.as("bucket"))
-      .groupBy("bucket").agg(count(lit(1)).as("n_in"))
-    val doneCnt = completedDocIds(spark, metricsPath, catalog)
-      .select(b.as("bucket"))
-      .groupBy("bucket").agg(count(lit(1)).as("n_done"))
-    inCnt.join(doneCnt, Seq("bucket"), "left")
-      .filter(coalesce(col("n_done"), lit(0)) < col("n_in"))
+    val P = 2000000011L
+    def fp(df: DataFrame, suffix: String): DataFrame =
+      df.select(b.as("bucket"),
+          pmod(xxhash64(col("doc_id"), lit(71)), lit(P)).as("h1"),
+          pmod(xxhash64(col("doc_id"), lit(1213)), lit(P)).as("h2"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as(s"n_$suffix"),
+          sum(col("h1")).as(s"s1_$suffix"),
+          sum(col("h2")).as(s"s2_$suffix"))
+    val inFp = fp(input.toDF(), "in")
+    val doneFp = fp(completedDocIds(spark, metricsPath, catalog), "done")
+    inFp.join(doneFp, Seq("bucket"), "left")
+      .filter(!(col("n_done") <=> col("n_in") &&
+        col("s1_done") <=> col("s1_in") && col("s2_done") <=> col("s2_in")))
       .select(col("bucket"))
   }
 

@@ -67,8 +67,33 @@ object ParquetCatalog extends TableCatalog {
     out.toSet
   }
 
+  private def manifestFiles(spark: SparkSession, table: String, id: Long): Seq[String] = {
+    val fs = fsFor(spark, new Path(table))
+    val root = fs.makeQualified(new Path(table))
+    val in = fs.open(new Path(root, f"$SnapDir/snap-$id%09d"))
+    val body =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    body.split("\n").toSeq.filter(_.nonEmpty)
+  }
+
+  /** Every data file some committed manifest owns. */
+  private def committedFiles(spark: SparkSession, table: String): Set[String] =
+    snapshots(spark, table).flatMap(id => manifestFiles(spark, table, id)).toSet
+
+  /** The "before" set is the union of COMMITTED manifests, not a
+    * directory listing: a crash between a parquet append and its
+    * manifest write leaves orphan data files, and a listing-based diff
+    * would exclude them from every future manifest — permanently
+    * desynchronizing readAsOf(latest) from read(). Manifest-based
+    * diffing instead attributes orphans to the NEXT successful commit
+    * (the Iceberg retry semantics); until that commit, raw read() may
+    * see orphan rows that readAsOf excludes, which is exactly the
+    * crash-window contract Lineage.readCommitted already enforces at
+    * the row level.
+    */
   private def commitSnapshot(spark: SparkSession, table: String)(write: => Unit): Unit = {
-    val before = listDataFiles(spark, table)
+    val before = committedFiles(spark, table)
     write
     val added = (listDataFiles(spark, table) -- before).toSeq.sorted
     val fs = fsFor(spark, new Path(table))
@@ -112,13 +137,8 @@ object ParquetCatalog extends TableCatalog {
       s"unknown snapshot $snapshotId for $table (committed: ${ids.mkString(", ")})")
     val fs = fsFor(spark, new Path(table))
     val root = fs.makeQualified(new Path(table))
-    val files = ids.filter(_ <= snapshotId).flatMap { id =>
-      val in = fs.open(new Path(root, f"$SnapDir/snap-$id%09d"))
-      val body =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      body.split("\n").toSeq.filter(_.nonEmpty)
-    }
+    val files = ids.filter(_ <= snapshotId)
+      .flatMap(id => manifestFiles(spark, table, id))
     if (files.isEmpty) read(spark, table).limit(0)
     else
       spark.read

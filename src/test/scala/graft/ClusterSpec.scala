@@ -71,6 +71,28 @@ class ClusterSpec extends AnyFunSuite {
     assert(Dedup.connectedComponents(pairsDf()).count() == 0)
   }
 
+  test("checkpointOwned pins exactly its own blocks (foreign caches untouched)") {
+    import spark.implicits._
+    // the CC rounds unpersist by these ids; if Spark ever stops exposing
+    // the checkpoint RDD through LogicalRDD this must fail loudly, not
+    // silently leak every round's frontier
+    val (cp, ids) = Dedup.checkpointOwned(Seq((1L, 2L)).toDF("a", "b"))
+    assert(ids.nonEmpty, "no checkpoint RDD id extracted")
+    assert(cp.count() == 1)
+    // ownership comes from the checkpointed plan, never from diffing the
+    // context's persistent-RDD map — so a foreign cache materializing
+    // concurrently can never land in another checkpoint's id set
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val foreign = Seq(10L).toDF("x").persist()
+    try {
+      foreign.count()
+      val foreignIds = spark.sparkContext.getPersistentRDDs.keySet -- before
+      assert(foreignIds.nonEmpty)
+      val (_, ids2) = Dedup.checkpointOwned(Seq((2L, 3L)).toDF("a", "b"))
+      assert((ids2 & foreignIds).isEmpty, "foreign cache swept into ownership")
+    } finally foreign.unpersist()
+  }
+
   test("random graph matches union-find ground truth") {
     val rng = new Random(7)
     val pairs = Vector.fill(60)((rng.nextInt(30).toLong, rng.nextInt(30).toLong))

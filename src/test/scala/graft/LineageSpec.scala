@@ -141,6 +141,27 @@ class LineageSpec extends AnyFunSuite {
     assert(fast.contains(straggler))
   }
 
+  test("bucketed resume stays correct when metrics holds docs not in the input") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // run 1 completed {A, B}; the input then replaces B with a new doc E.
+    // buckets = 1 forces everything into one bucket: a count-equality
+    // prune would see n_in = 2 = n_done, declare the bucket done, and
+    // silently never extract E — the set fingerprint must catch it
+    val fixtures = SpanGen.genDocs(3, seed = 51L)
+    val Seq(a, bDoc, e) = fixtures.map(_._1)
+    val metrics = tmp() + "/metrics"
+    Seq(a.doc_id, bDoc.doc_id).toDF("doc_id")
+      .withColumn("status", lit("ok")).write.parquet(metrics)
+    val input = spark.createDataset(Seq(a, e))
+    val pending = Lineage.filterPendingBucketed(spark, input, metrics, buckets = 1)
+      .select("doc_id").as[String].collect().toSeq
+    assert(pending == Seq(e.doc_id))
+    // and the unchanged-input steady case still prunes to empty
+    val same = spark.createDataset(Seq(a, bDoc))
+    assert(Lineage.filterPendingBucketed(spark, same, metrics, buckets = 1).isEmpty)
+  }
+
   test("snapshot time travel: readAsOf replays the table as of a prior append") {
     import spark.implicits._
     import graft.lineage.ParquetCatalog
@@ -176,6 +197,24 @@ class LineageSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       ParquetCatalog.readAsOf(spark, metrics, 99L)
     }
+  }
+
+  test("orphan files from a crashed append are published by the next commit") {
+    import spark.implicits._
+    import graft.lineage.ParquetCatalog
+    val table = tmp() + "/t"
+    ParquetCatalog.append(Seq((1L, "a")).toDF("id", "v"), table) // snap 1
+    // crash simulation: data lands but the manifest write never runs
+    Seq((2L, "orphan")).toDF("id", "v")
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(table)
+    assert(ParquetCatalog.snapshots(spark, table) == Seq(1L))
+    // the orphan is invisible to time travel until a commit adopts it
+    assert(ParquetCatalog.readAsOf(spark, table, 1L).count() == 1)
+    // the next successful append adopts the orphan (Iceberg retry
+    // semantics): readAsOf(latest) re-synchronizes with read()
+    ParquetCatalog.append(Seq((3L, "b")).toDF("id", "v"), table) // snap 2
+    assert(ParquetCatalog.readAsOf(spark, table, 2L).count() == 3)
+    assert(ParquetCatalog.read(spark, table).count() == 3)
   }
 
   test("filterPending on a fresh metrics path passes everything through") {
