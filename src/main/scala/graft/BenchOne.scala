@@ -45,10 +45,14 @@ object BenchOne {
     val peakMb = new AtomicLong(memStart)
     val sampler = new Thread(() => {
       val rt = Runtime.getRuntime
-      while (!Thread.currentThread().isInterrupted) {
+      // no `return` in this lambda: it would compile to a
+      // NonLocalReturnControl thrown on the sampler thread with no
+      // frame to land in (uncaught-handler noise on every run)
+      var live = true
+      while (live && !Thread.currentThread().isInterrupted) {
         val used = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
         peakMb.getAndUpdate(p => math.max(p, used))
-        try Thread.sleep(250) catch { case _: InterruptedException => return }
+        try Thread.sleep(250) catch { case _: InterruptedException => live = false }
       }
     })
     sampler.setDaemon(true)

@@ -79,14 +79,20 @@ object SparkEntry {
 
   private def t(dir: String, name: String): String = s"$dir/$name.parquet"
 
-  /** One stream landing zone (in/out/cp temp tree) per input dir per
-    * JVM, with a single shutdown hook reclaiming all of them. The
-    * synthesis + drain run inside computeIfAbsent, so concurrent first
-    * callers for the same dir serialize and later callers reuse the
-    * drained sink.
+  /** One stream landing-zone ROOT (the materialized `in` corpus copy —
+    * the big part) per input dir per JVM, with a single shutdown hook
+    * reclaiming all of them. The streaming drain itself is NOT cached:
+    * every invocation runs a real AvailableNow pass into a fresh
+    * out/cp under the shared root, so a repeated call (bench warmup +
+    * best-of-2 trials) times actual streaming execution rather than a
+    * parquet re-read of a previously drained sink. Per-invocation
+    * out/cp trees are output-sized (not corpus-sized) and are reclaimed
+    * with the root on JVM exit — the returned DataFrame reads its own
+    * run's sink lazily, so earlier runs' frames stay valid too.
     */
   private val streamLandingDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val streamRunSeq = new java.util.concurrent.atomic.AtomicLong()
   private lazy val streamCleanupHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
@@ -94,15 +100,18 @@ object SparkEntry {
       }
       streamLandingDirs.values.forEach(d => rm(new java.io.File(d)))
     }))
-  private def streamLanding(s: SparkSession, dir: String): String = {
+  /** Runs one streaming drain; returns the fresh sink path. */
+  private def streamDrain(s: SparkSession, dir: String): String = {
     streamCleanupHook
-    streamLandingDirs.computeIfAbsent(dir, _ => {
+    val root = streamLandingDirs.computeIfAbsent(dir, _ => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
-      val in = s"$tmp/in"
-      SpanGen.fromDocuments(s, dir).toDF().coalesce(8).write.parquet(in)
-      graft.streaming.StreamingExtract.runOnce(s, in, s"$tmp/out", s"$tmp/cp")
+      SpanGen.fromDocuments(s, dir).toDF().coalesce(8).write.parquet(s"$tmp/in")
       tmp
     })
+    val run = streamRunSeq.incrementAndGet()
+    val out = s"$root/out$run"
+    graft.streaming.StreamingExtract.runOnce(s, s"$root/in", out, s"$root/cp$run")
+    out
   }
 
   /** One trained BPE codec per corpus dir per JVM: training is a pure
@@ -140,20 +149,14 @@ object SparkEntry {
     // Structured Streaming job — AvailableNow drain over a file source,
     // checkpointed exactly-once parquet sink — read back and flattened.
     // The core is one stateless Project, so streaming == batch and the
-    // batch oracle verifies the streaming path externally. The timed
-    // cost deliberately includes materializing the corpus as the
-    // stream's landing zone on first call (the query is self-contained),
-    // so the timed number runs ~2x the batch path partly for that
-    // reason. The landing zone is cached PER INPUT DIR for the JVM's
-    // lifetime (one temp tree + one shutdown hook per dir, not per
-    // invocation — repeated calls in one JVM, e.g. bench warmup + timed
-    // pass, reuse it; the drained checkpoint makes the rerun a no-op
-    // re-read of the sink). The temp trees are reclaimed on JVM exit —
-    // the result DataFrame still reads from them lazily, so they cannot
-    // be deleted earlier.
+    // batch oracle verifies the streaming path externally. The corpus
+    // landing-zone copy is cached per input dir (first call pays it),
+    // but EVERY invocation runs a real AvailableNow drain into a fresh
+    // checkpointed sink — a repeated/timed call measures streaming
+    // execution, never a re-read of a previously drained sink.
     "extract_stream_spans" -> ((s, dir) => {
-      val tmp = streamLanding(s, dir)
-      s.read.parquet(s"$tmp/out")
+      val out = streamDrain(s, dir)
+      s.read.parquet(out)
         .select(col("doc_id"), col("n_tables"), col("n_cells"), col("status"),
           explode(col("spans")).as("span"))
         .select(col("doc_id"), col("span.offset").as("offset"),

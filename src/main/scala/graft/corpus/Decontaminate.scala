@@ -1,8 +1,5 @@
 package graft.corpus
 
-import graft.PortableHash
-import graft.textops.TextOps
-
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -35,17 +32,16 @@ import org.apache.spark.sql.functions._
 object Decontaminate {
 
   /** (doc_id, shash) for every n-token shingle occurrence; NOT deduped
-    * (see object doc — dedup after the join is the cheap side). The
-    * scan is spread across cores before the CPU-heavy md5 map, same
-    * posture as Substring.windows.
+    * (see object doc — dedup after the join is the cheap side). A
+    * projection of [[graft.dedup.Substring.windows]] — one shared
+    * fingerprint construction, so the tokenization/clamp/parallelize
+    * semantics cannot drift between the substring and decontamination
+    * operators.
     */
   def shingleHashes(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
-    graft.Parallelize.bySplits(
-        docs.select(col(idCol).as("doc_id"), col(textCol).as("__t")), "doc_id")
-      .select(col("doc_id"),
-        explode(TextOps.shingleArray(TextOps.tokens(col("__t")), n)).as("stext"))
-      .select(col("doc_id"), PortableHash.md5Hash60(col("stext")).as("shash"))
+    graft.dedup.Substring.windows(docs, idCol, textCol, n)
+      .select(col("doc_id"), col("whash").as("shash"))
 
   /** Corpus docs overlapping the benchmark: (doc_id, n_hits) with
     * n_hits = distinct shared shingles, filtered to >= minHits.

@@ -216,8 +216,21 @@ object Dedup {
     * until session end or LRU eviction.
     */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, k: Int = 64, bands: Int = 16, threshold: Double = 0.7): DataFrame =
-    minhashNearDupsWithSigs(docs, idCol, textCol, n, k, bands, threshold)._1
+      n: Int = 3, k: Int = 64, bands: Int = 16, threshold: Double = 0.7): DataFrame = {
+    // materialize the (small) pair set eagerly so the signature cache
+    // can be dropped HERE: the lazy form leaked one MEMORY_AND_DISK
+    // signature frame per invocation for the session lifetime (a lazy
+    // caller has no handle to unpersist it). The checkpointed pair
+    // frame that remains cached is a few rows per near-dup pair —
+    // negligible next to k-wide signatures for the whole corpus.
+    // Callers that want the lazy plan use minhashNearDupsWithSigs and
+    // own the cleanup (nearDupClusters does).
+    val (pairs, sigs) =
+      minhashNearDupsWithSigs(docs, idCol, textCol, n, k, bands, threshold)
+    val (out, _) = checkpointOwned(pairs)
+    sigs.unpersist(blocking = false)
+    out
+  }
 
   /** As minhashNearDups, also returning the persisted signature frame so
     * eager callers can unpersist it once the pairs are materialized.

@@ -214,15 +214,21 @@ object Media {
     blobs.flatMap { b =>
       // branch on the payload magic (bytes-only posture, as in resize /
       // decodeBytes): real image bytes pass through even when the
-      // metadata row mislabels them as video
-      val stub = isStubContainer(b.content)
-      val frames = if (stub) ByteBuffer.wrap(b.content, 12, 4).getInt else 1
-      (0 until frames by stride).map { fi =>
-        if (stub)
+      // metadata row mislabels them as video — and the synthesized
+      // frames take dims + format byte from the container HEADER, not
+      // the metadata row, so a mislabeled row cannot re-stamp stub
+      // content with a bogus format
+      if (isStubContainer(b.content)) {
+        val hdr = ByteBuffer.wrap(b.content, 4, 13)
+        val w = hdr.getInt
+        val h = hdr.getInt
+        val frames = hdr.getInt
+        val fmtByte = hdr.get()
+        (0 until frames by stride).map { fi =>
           FrameSample(b.doc_id, fi,
-            encodeBytes(b.doc_id * 131L + fi, b.width, b.height, 1, formatByte(b.format)))
-        else FrameSample(b.doc_id, fi, b.content)
-      }
+            encodeBytes(b.doc_id * 131L + fi, w, h, 1, fmtByte))
+        }
+      } else Seq(FrameSample(b.doc_id, 0, b.content))
     }
   }
 }

@@ -44,17 +44,44 @@ object Bpe {
     trainFromCounts(counts, numMerges, minPairFreq)
   }
 
-  /** The driver-side merge loop over a (word, count) vocabulary. */
+  /** The driver-side merge loop over a (word, count) vocabulary.
+    *
+    * Pair counts are maintained INCREMENTALLY: built once up front,
+    * then each merge only touches words containing the merged pair
+    * (their old adjacent-pair multiset is subtracted and the
+    * re-segmented one added back). A per-round full rebuild would cost
+    * O(numMerges x vocab x word-length) boxed map updates — minutes of
+    * driver latency at the 65536-word cap; the incremental form is
+    * O(corpus + affected) and arithmetically identical (the map always
+    * equals the exact pair total over the current segmentations).
+    */
   def trainFromCounts(wordCounts: Seq[(String, Long)], numMerges: Int,
       minPairFreq: Long): BpeCodec = {
-    var segs: Array[(Array[String], Long)] =
+    val segs: Array[(Array[String], Long)] =
       wordCounts.map { case (w, c) => (BpeCodec.codepoints(w), c) }.toArray
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    def tally(seg: Array[String], delta: Long): Unit = {
+      var i = 0
+      while (i < seg.length - 1) {
+        pc.updateWith((seg(i), seg(i + 1))) { v =>
+          val nv = v.getOrElse(0L) + delta
+          if (nv == 0L) None else Some(nv)
+        }
+        i += 1
+      }
+    }
+    def containsPair(seg: Array[String], p: (String, String)): Boolean = {
+      var i = 0
+      while (i < seg.length - 1) {
+        if (seg(i) == p._1 && seg(i + 1) == p._2) return true
+        i += 1
+      }
+      false
+    }
+    segs.foreach { case (seg, cnt) => tally(seg, cnt) }
     var go = true
     while (go && merges.length < numMerges) {
-      val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      for ((seg, cnt) <- segs; i <- 0 until seg.length - 1)
-        pc.updateWith((seg(i), seg(i + 1)))(v => Some(v.getOrElse(0L) + cnt))
       if (pc.isEmpty) go = false
       else {
         // most frequent pair, ties by lexicographic (left, right) in
@@ -68,7 +95,17 @@ object Bpe {
         if (bestCnt < minPairFreq) go = false
         else {
           merges += bestPair
-          segs = segs.map { case (seg, cnt) => (applyMergeAll(seg, bestPair), cnt) }
+          var i = 0
+          while (i < segs.length) {
+            val (seg, cnt) = segs(i)
+            if (containsPair(seg, bestPair)) {
+              tally(seg, -cnt)
+              val merged = applyMergeAll(seg, bestPair)
+              tally(merged, cnt)
+              segs(i) = (merged, cnt)
+            }
+            i += 1
+          }
         }
       }
     }

@@ -300,13 +300,26 @@ class OpsSpec extends AnyFunSuite {
     assert(after - before <= 3, s"leaked checkpointed frames: $before -> $after")
   }
 
-  test("minhash near-dups: signature frame is cached across its three reads") {
-    val df = Dedup.minhashNearDups(docsDf(
-      (1L, "aaaa bbbb cccc dddd"), (2L, "aaaa bbbb cccc eeee"), (3L, "zzzz yyyy")),
-      "doc_id", "text")
-    val plan = df.queryExecution.executedPlan.toString
+  test("minhash near-dups: sigs cached across reads, released by the eager wrapper") {
+    val docs = docsDf(
+      (1L, "aaaa bbbb cccc dddd"), (2L, "aaaa bbbb cccc eeee"), (3L, "zzzz yyyy"))
+    // lazy variant: the pair plan reads the cached signature frame at
+    // its three consumers (banding + both re-attach sides)
+    val (pairs, sigs) = Dedup.minhashNearDupsWithSigs(docs, "doc_id", "text")
+    val plan = pairs.queryExecution.executedPlan.toString
     val cachedReads = "InMemoryTableScan".r.findAllIn(plan).length
     assert(cachedReads >= 3, s"expected >=3 cached sig reads, got $cachedReads:\n$plan")
+    sigs.unpersist(blocking = false)
+    // eager wrapper: materializes the (small) pair set, then releases
+    // the signature cache — a lazy caller must not leak one
+    // corpus-sized cached frame per invocation
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val dupDocs = docsDf(
+      (1L, "aaaa bbbb cccc dddd"), (2L, "aaaa bbbb cccc dddd"), (3L, "zzzz yyyy"))
+    val df = Dedup.minhashNearDups(dupDocs, "doc_id", "text")
+    assert(df.count() == 1)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1, s"leaked ${leaked.size} persistent RDDs (want just the pair checkpoint)")
   }
 
   test("substring dedup: shared passage found at both offsets, merged maximal") {
