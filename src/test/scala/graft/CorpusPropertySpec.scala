@@ -1,0 +1,141 @@
+package graft
+
+import graft.corpus.{BudgetSelect, Chunking, Decontaminate}
+import graft.dedup.Winnow
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** Random-input invariants for the round-4 corpus operators, each
+  * checked against an independent local simulation — the same posture
+  * as GeomPropertySpec for the extraction geometry.
+  */
+class CorpusPropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-corpus-prop-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def word(rng: Random, alphabet: String): String =
+    (0 until 1 + rng.nextInt(4)).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+
+  test("property: chunking covers every token, overlaps exactly, reconstructs") {
+    import spark.implicits._
+    for (seed <- 1 to 10) {
+      val rng = new Random(seed * 104729L)
+      val m = 2 + rng.nextInt(20)
+      val v = rng.nextInt(m)
+      val stride = m - v
+      val docs = (0 until 6).map { id =>
+        val n = rng.nextInt(120)
+        (id.toLong, (0 until n).map(_ => word(rng, "abcde")).mkString(" "))
+      }
+      val got = Chunking.chunk(docs.toDF("doc_id", "text"), "doc_id", "text", m, v)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+        .groupBy(_._1)
+      for ((id, text) <- docs) {
+        val toks = text.split(" ", -1).toVector // matches TextOps.tokens
+        val chunks = got(id).sortBy(_._2).toVector
+        // local simulation of the start rule
+        val starts = 0 to math.max(toks.length - v - 1, 0) by stride
+        assert(chunks.map(_._2) == starts.indices.toVector, s"seed $seed doc $id")
+        for ((st, i) <- starts.zipWithIndex) {
+          val want = toks.slice(st, st + m)
+          assert(chunks(i)._3 == want.mkString(" "), s"seed $seed doc $id chunk $i")
+          assert(chunks(i)._4 == want.length)
+        }
+        // coverage + lossless reconstruction
+        val covered = chunks.flatMap(c => (c._2 * stride) until (c._2 * stride + c._4))
+        assert(covered.toSet == toks.indices.toSet, s"seed $seed doc $id coverage")
+        val rebuilt = chunks.head._3.split(" ", -1).toVector ++
+          chunks.tail.flatMap(_._3.split(" ", -1).drop(v))
+        assert(rebuilt == toks, s"seed $seed doc $id reconstruction")
+      }
+    }
+  }
+
+  test("property: winnowing guarantee holds for random shared passages") {
+    import spark.implicits._
+    for (seed <- 1 to 8) {
+      val rng = new Random(seed * 7919L)
+      val k = 2 + rng.nextInt(4)
+      val w = 2 + rng.nextInt(4)
+      // a shared run of exactly w + k - 1 tokens, embedded at random
+      // offsets in otherwise-disjoint docs (distinct alphabets)
+      val shared = (0 until (w + k - 1)).map(_ => word(rng, "pqr")).mkString(" ")
+      val docA = ((0 until rng.nextInt(20)).map(_ => word(rng, "abc")) :+ shared) ++
+        (0 until rng.nextInt(20)).map(_ => word(rng, "abc"))
+      val docB = ((0 until rng.nextInt(20)).map(_ => word(rng, "xyz")) :+ shared) ++
+        (0 until rng.nextInt(20)).map(_ => word(rng, "xyz"))
+      val df = Seq((1L, docA.mkString(" ")), (2L, docB.mkString(" ")))
+        .toDF("doc_id", "text")
+      val fps = Winnow.fingerprints(df, "doc_id", "text", k, w)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .groupBy(_._1)
+      val f1 = fps(1L).map(_._3).toSet
+      val f2 = fps(2L).map(_._3).toSet
+      assert((f1 & f2).nonEmpty, s"seed $seed (k=$k w=$w): guarantee violated")
+      // density: consecutive selected positions at most w apart
+      for ((_, rows) <- fps; ps = rows.map(_._2).distinct.sorted)
+        for (Array(a, b) <- ps.sliding(2))
+          assert(b - a <= w, s"seed $seed gap $a -> $b (w=$w)")
+    }
+  }
+
+  test("property: budget selection equals the local greedy prefix") {
+    import spark.implicits._
+    for (seed <- 1 to 10) {
+      val rng = new Random(seed * 6007L)
+      val rows = (0 until 40).map(i =>
+        (i.toLong, 1L + rng.nextInt(50), rng.nextInt(8).toLong))
+      val budget = 1L + rng.nextInt(800)
+      val want = {
+        var cum = 0L
+        rows.sortBy { case (id, _, s) => (-s, id) }.flatMap { case (id, tk, s) =>
+          cum += tk
+          if (cum <= budget) Some(id -> cum) else None
+        }.toMap // monotone cum: everything after the first overflow drops
+      }
+      // the local sim above keeps accumulating cum past overflow, which
+      // matches the window's inclusive running sum (monotone, so every
+      // post-overflow row fails the filter just like the operator)
+      val got = BudgetSelect.selectUnderBudget(
+          rows.toDF("doc_id", "n_tokens", "score"),
+          "doc_id", "n_tokens", "score", budget)
+        .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toMap
+      assert(got == want, s"seed $seed budget $budget")
+    }
+  }
+
+  test("property: decontamination hits equal local shingle-set intersection") {
+    import spark.implicits._
+    for (seed <- 1 to 8) {
+      val rng = new Random(seed * 3571L)
+      val n = 2 + rng.nextInt(3)
+      def doc(): Vector[String] =
+        (0 until rng.nextInt(40)).map(_ => word(rng, "abcd")).toVector
+      val bench = (0 until 3).map(i => (100L + i, doc()))
+      val corpus = (0 until 8).map(i => (i.toLong, doc()))
+      def shingles(toks: Vector[String]): Set[String] =
+        if (toks.length < n) Set.empty
+        else (0 to toks.length - n).map(j => toks.slice(j, j + n).mkString(" ")).toSet
+      val benchSet = bench.flatMap(b => shingles(b._2)).toSet
+      val want = corpus.map { case (id, toks) => id -> (shingles(toks) & benchSet).size.toLong }
+        .filter(_._2 >= 1).toMap
+      val got = Decontaminate.contaminationHits(
+          corpus.map { case (id, t) => (id, t.mkString(" ")) }.toDF("doc_id", "text"),
+          bench.map { case (id, t) => (id, t.mkString(" ")) }.toDF("doc_id", "text"),
+          "doc_id", "text", "doc_id", "text", n = n)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"seed $seed n=$n")
+    }
+  }
+}
