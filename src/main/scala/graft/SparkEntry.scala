@@ -578,6 +578,13 @@ object SparkEntry {
         "doc_id", "text", "doc_id", "text", n = 5, minHits = 1)
     }),
 
+    // ---- corpus analytics: top-k frequent trigrams per language
+    // (salted two-level top-k — the per-group window partition is
+    // bounded, never one language's full distinct-shingle set)
+    "q_ngram_topk" -> ((s, dir) =>
+      graft.corpus.CorpusStats.topShinglesPerGroup(
+        s.read.parquet(t(dir, "documents")), "lang", "text", n = 3, k = 20)),
+
     // ---- dedup family: winnowing fingerprints (SIGMOD 2003 local
     // fingerprinting — any shared run of >= w+k-1 tokens across docs
     // shares a fingerprint; ~1/w density, record-local selection)
@@ -1074,6 +1081,25 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE CAST('0x' || substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
         |  % 1000000 < 200000""".stripMargin,
+    "q_ngram_topk" ->
+      // trigram counts per language, row_number by (cnt desc, shingle)
+      // — the engine's two-level salted top-k emits identical rows
+      """WITH t AS (
+        |  SELECT lang, string_split(text, ' ') AS toks FROM documents
+        |), sh AS (
+        |  SELECT lang,
+        |    array_to_string(list_slice(toks, i, i + 2), ' ') AS shingle
+        |  FROM (SELECT lang, toks,
+        |          unnest(range(1, greatest(len(toks) - 3 + 1, 0) + 1)) AS i
+        |        FROM t)
+        |), c AS (
+        |  SELECT lang, shingle, count(*) AS cnt FROM sh GROUP BY lang, shingle
+        |), r AS (
+        |  SELECT lang, shingle, cnt,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, shingle) AS INTEGER) AS rank
+        |  FROM c
+        |)
+        |SELECT lang, shingle, cnt, rank FROM r WHERE rank <= 20""".stripMargin,
     "q_winnow" ->
       // k=4 shingle hashes, windows of w=4, min per window with
       // rightmost tiebreak (position from the end of the reversed slice)

@@ -115,6 +115,41 @@ class CorpusPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: salted top-k shingles equal the naive local top-k") {
+    import spark.implicits._
+    import graft.corpus.CorpusStats
+    for (seed <- 1 to 6) {
+      val rng = new Random(seed * 2741L)
+      val n = 2
+      val k = 1 + rng.nextInt(6)
+      val docs = (0 until 20).map { i =>
+        val lang = Seq("en", "de", "fr")(rng.nextInt(3))
+        (lang, (0 until rng.nextInt(30)).map(_ => word(rng, "ab")).mkString(" "))
+      }
+      // local ground truth: count shingles per (lang, shingle), rank by
+      // (cnt desc, shingle asc), keep rank <= k
+      val want = docs
+        .flatMap { case (lang, text) =>
+          val toks = text.split(" ", -1).toVector
+          if (toks.length < n) Nil
+          else (0 to toks.length - n).map(j => (lang, toks.slice(j, j + n).mkString(" ")))
+        }
+        .groupBy(identity).map { case ((lang, sh), occ) => (lang, sh, occ.size.toLong) }
+        .groupBy(_._1).flatMap { case (_, rows) =>
+          rows.toVector.sortBy { case (_, sh, c) => (-c, sh) }.take(k)
+            .zipWithIndex.map { case ((lang, sh, c), i) => (lang, sh, c, i + 1) }
+        }.toSet
+      // and the salt count must not change the output
+      for (salts <- Seq(1, 8)) {
+        val got = CorpusStats.topShinglesPerGroup(
+            docs.toDF("lang", "text"), "lang", "text", n, k, salts)
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+          .toSet
+        assert(got == want, s"seed $seed k=$k salts=$salts")
+      }
+    }
+  }
+
   test("property: decontamination hits equal local shingle-set intersection") {
     import spark.implicits._
     for (seed <- 1 to 8) {
