@@ -592,6 +592,14 @@ object SparkEntry {
       graft.dedup.Winnow.fingerprints(
         s.read.parquet(t(dir, "documents")), "doc_id", "text", k = 4, w = 4)),
 
+    // ---- dedup family: local-overlap candidate pairs from winnowing
+    // fingerprints (docs sharing passages, not whole-doc similarity)
+    "q_winnow_pairs" -> ((s, dir) =>
+      graft.dedup.Winnow.candidatePairs(
+        graft.dedup.Winnow.fingerprints(
+          s.read.parquet(t(dir, "documents")), "doc_id", "text", k = 4, w = 4),
+        minShared = 2)),
+
     // ---- corpus: token-budget selection (greedy quality-ranked prefix
     // under a total token budget — the "which tokens do we train on"
     // cut; one global sort + running sum). Score is floor(quality*1e4)
@@ -1122,6 +1130,30 @@ object SparkEntry {
         |  FROM wins
         |)
         |SELECT DISTINCT doc_id, CAST(pos AS INTEGER) AS pos, fp FROM sel""".stripMargin,
+    "q_winnow_pairs" ->
+      // winnow selection (as q_winnow) -> distinct postings -> fp
+      // equi-join -> pairs sharing >= 2 distinct fingerprints
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), h AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(len(toks) - 4 + 1, 0) + 1),
+        |      i -> CAST('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 3), ' ')), 1, 15) AS BIGINT)) AS hs
+        |  FROM t
+        |), wins AS (
+        |  SELECT doc_id, hs, unnest(range(0, greatest(len(hs) - 4, 0) + 1)) AS j
+        |  FROM h WHERE len(hs) > 0
+        |), sel AS (
+        |  SELECT DISTINCT doc_id,
+        |    list_min(list_slice(hs, j + 1, j + 4)) AS fp
+        |  FROM wins
+        |), pj AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.fp
+        |  FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |)
+        |SELECT id_a, id_b, count(DISTINCT fp) AS n_shared
+        |FROM pj GROUP BY id_a, id_b
+        |HAVING count(DISTINCT fp) >= 2""".stripMargin,
     "q_budget_select" -> {
       val allMarkers = TextOps.LangMarkers.flatMap(_._2)
         .map(m => s"'$m'").mkString("(", ", ", ")")

@@ -4,6 +4,7 @@ import graft.PortableHash
 import graft.textops.TextOps
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken, "Winnowing:
@@ -69,4 +70,44 @@ object Winnow {
       .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
       .distinct()
   }
+
+  /** Distinct (fp, doc_id) postings with ubiquitous fingerprints
+    * dropped whole: an fp selected by more than `maxFpFreq` docs (site
+    * chrome, license boilerplate) would fan the self-join below out
+    * quadratically in ONE reduce partition — same hot-key posture as
+    * every other candidate generator's cap.
+    */
+  private def postings(fps: DataFrame, maxFpFreq: Int): DataFrame =
+    fps.select(col("fp"), col("doc_id")).distinct()
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
+      .filter(col("df") <= maxFpFreq)
+      .drop("df")
+
+  /** Local-overlap candidate pairs: documents sharing at least
+    * `minShared` winnowing fingerprints — each shared fp witnesses a
+    * shared token run, so unlike MinHash (whole-doc similarity) the
+    * pairs surface documents that merely SHARE PASSAGES. Bucketed
+    * equi-join on fp (never all-pairs), capped + auditable via
+    * [[droppedFingerprints]]. Returns (id_a, id_b, n_shared).
+    */
+  def candidatePairs(fps: DataFrame, minShared: Int = 2,
+      maxFpFreq: Int = 10000): DataFrame = {
+    val p = postings(fps, maxFpFreq)
+    p.as("a").join(p.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"), col("a.fp").as("fp"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(countDistinct(col("fp")).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** No-silent-caps audit: the fingerprints candidatePairs' maxFpFreq
+    * drops, with their document frequency (the posture shared with the
+    * LSH / ngram / simhash / substring caps).
+    */
+  def droppedFingerprints(fps: DataFrame, maxFpFreq: Int = 10000): DataFrame =
+    fps.select(col("fp"), col("doc_id")).distinct()
+      .groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > maxFpFreq)
 }

@@ -433,6 +433,33 @@ class OpsSpec extends AnyFunSuite {
     assert(fps(5L).map(_._3).toSet.size == 1)
   }
 
+  test("winnow candidate pairs: passage-sharers found, cap drops hot fps") {
+    import graft.dedup.Winnow
+    // 20 shared tokens -> 17 run hashes -> 14 interior windows, whose
+    // sliding mins change several times: comfortably >= 2 distinct
+    // shared fingerprints per sharing pair
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    val df = docsDf(
+      (1L, s"one two three four $shared five six seven"),
+      (2L, s"nine eight $shared ten eleven twelve thirteen"),
+      (3L, "totally disjoint words with nothing in common here at all"),
+      (4L, s"more prose around $shared and then some"))
+    val fps = Winnow.fingerprints(df, "doc_id", "text", k = 4, w = 4)
+    val pairs = Winnow.candidatePairs(fps, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // all three passage-sharers pair with each other; the disjoint doc
+    // pairs with nobody
+    assert(pairs == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    // a cap of 2 drops the fingerprints shared by all three docs; the
+    // audit reports exactly those
+    val capped = Winnow.candidatePairs(fps, minShared = 2, maxFpFreq = 2)
+    assert(capped.isEmpty)
+    val dropped = Winnow.droppedFingerprints(fps, maxFpFreq = 2).collect()
+    assert(dropped.nonEmpty && dropped.forall(_.getLong(1) == 3L),
+      "dropped set must be exactly the fps selected by all three sharers")
+  }
+
   test("scrubPii phone and IP branches: formats hit, embedded digits spared") {
     val df = docsDf(
       (1L, "call +1 (555) 010-4477 or 555-010-4477 today"),
