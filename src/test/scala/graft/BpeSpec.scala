@@ -63,6 +63,50 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("property: incremental pair counting == full-rebuild reference training") {
+    // guards the incremental count maintenance: the merge table must be
+    // identical to the textbook per-round full rebuild on any corpus
+    def rebuildTrain(wordCounts: Seq[(String, Long)], numMerges: Int,
+        minPairFreq: Long): Seq[(String, String)] = {
+      var segs = wordCounts.map { case (w, c) => (BpeCodec.codepoints(w).toVector, c) }
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var go = true
+      while (go && merges.length < numMerges) {
+        val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        for ((seg, cnt) <- segs; i <- 0 until seg.length - 1)
+          pc.updateWith((seg(i), seg(i + 1)))(v => Some(v.getOrElse(0L) + cnt))
+        if (pc.isEmpty) go = false
+        else {
+          val (bp, bc) = pc.minBy { case ((l, r), c) => (-c, l, r) }
+          if (bc < minPairFreq) go = false
+          else {
+            merges += bp
+            segs = segs.map { case (seg, cnt) =>
+              val out = scala.collection.mutable.ArrayBuffer.empty[String]
+              var i = 0
+              while (i < seg.length) {
+                if (i < seg.length - 1 && seg(i) == bp._1 && seg(i + 1) == bp._2) {
+                  out += seg(i) + seg(i + 1); i += 2
+                } else { out += seg(i); i += 1 }
+              }
+              (out.toVector, cnt)
+            }
+          }
+        }
+      }
+      merges.toSeq
+    }
+    for (seed <- 1 to 10) {
+      val rng = new scala.util.Random(seed * 12347L)
+      val words = (0 until 100 + rng.nextInt(200)).map(_ =>
+        (0 until (1 + rng.nextInt(8))).map(_ => "abcde" (rng.nextInt(5))).mkString)
+      val counts = words.groupBy(identity).map { case (w, g) => (w, g.size.toLong) }.toSeq
+      val inc = Bpe.trainFromCounts(counts, numMerges = 40, minPairFreq = 2).merges.toSeq
+      val ref = rebuildTrain(counts, numMerges = 40, minPairFreq = 2)
+      assert(inc == ref, s"seed $seed: merge tables diverged")
+    }
+  }
+
   test("countText: single-space split, empties contribute zero") {
     val codec = Bpe.trainFromCounts(Seq(("ab", 5L)), 10, 2)
     assert(codec.countText("") == 0L)
