@@ -456,6 +456,14 @@ object SparkEntry {
         queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10,
         nList = 16, nProbe = 4, iters = 3)),
 
+    // ---- dedup: SemDeDup-style semantic dedup — IVF clusters bound
+    // the pairwise term (sum-of-cluster^2, never n^2), eps-connected
+    // groups keep their min-id representative
+    "q_semantic_dedup" -> ((s, dir) =>
+      graft.ann.Ivf.semanticDedup(s,
+        s.read.parquet(t(dir, "embeddings")), "vec_id", "embedding",
+        eps = 0.3, nList = 16, iters = 3)),
+
     // ---- dedup: embedding-cosine near-dup pairs (bounded exact)
     "q_ann_neardup" -> ((s, dir) =>
       Ann.cosineNearDupPairs(
@@ -895,6 +903,54 @@ object SparkEntry {
     * integer arithmetic in both engines. Ends at CTE `est`
     * (id_a, id_b, est_jaccard).
     */
+  /** IVF oracle building blocks, shared by q_ann_ivf and
+    * q_semantic_dedup: the deterministic training replay (lowest-id
+    * init, fixed-point centroid sums, lowest-c tie-breaks) ending in
+    * the final assignment CTE `af` over codebook `c<iters>`.
+    */
+  private val IvfDim = 64
+  private def ivfRng = s"range(1, ${IvfDim + 1})"
+  private def ivfDot(a: String, b: String) =
+    s"list_sum(list_transform($ivfRng, i -> $a.v[i] * $b.v[i]))"
+  private def ivfNrm(a: String) =
+    s"sqrt(list_sum(list_transform($ivfRng, i -> $a.v[i] * $a.v[i])))"
+  // assignment sim: both norms guarded (Ivf.assign); probe sim:
+  // centroid norm unguarded (Model.nearest) — replicated verbatim
+  private def ivfAssignCte(name: String, prev: String) =
+    s"""$name AS (
+       |  SELECT vec_id, c FROM (
+       |    SELECT v.vec_id, k.c, row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |      (${ivfDot("k", "v")} / (greatest(${ivfNrm("k")}, 1e-12) * greatest(${ivfNrm("v")}, 1e-12))) DESC,
+       |      k.c ASC) AS rn
+       |    FROM vecs v CROSS JOIN $prev k) WHERE rn = 1
+       |)""".stripMargin
+  private def ivfTrainCtes(nList: Int, iters: Int): String = {
+    val S = graft.ann.Ivf.FixedPointScale
+    def updateCtes(x: Int, prev: String) =
+      s"""m$x AS (
+         |  SELECT a.c, d.i,
+         |    CAST(sum(CAST(floor(vv.v[d.i] * $S + 0.5) AS BIGINT)) AS DOUBLE)
+         |      / ($S.0 * CAST(count(*) AS DOUBLE)) AS mean
+         |  FROM a$x a JOIN vecs vv ON vv.vec_id = a.vec_id CROSS JOIN dims d
+         |  GROUP BY a.c, d.i
+         |), c$x AS (
+         |  SELECT o.c, coalesce(n.v, o.v) AS v
+         |  FROM $prev o LEFT JOIN
+         |    (SELECT c, list(mean ORDER BY i) AS v FROM m$x GROUP BY c) n ON n.c = o.c
+         |)""".stripMargin
+    val iterations = (1 to iters).map { x =>
+      ivfAssignCte(s"a$x", s"c${x - 1}") + ", " + updateCtes(x, s"c${x - 1}")
+    }.mkString(", ")
+    s"""vecs AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+       |), dims AS (
+       |  SELECT unnest(range(1, ${IvfDim + 1})) AS i
+       |), c0 AS (
+       |  SELECT rn - 1 AS c, v FROM (
+       |    SELECT row_number() OVER (ORDER BY vec_id) AS rn, v FROM vecs) WHERE rn <= $nList
+       |), $iterations, ${ivfAssignCte("af", s"c$iters")}""".stripMargin
+  }
+
   private val minhashPairsCtes: String = {
     val k = 64; val bands = 16; val r = k / bands; val p = Dedup.MinhashP
     val minCols = (0 until k).map(i =>
@@ -1629,46 +1685,10 @@ object SparkEntry {
       // (order-independent integer accumulation -> identical doubles),
       // lowest-c tie-breaks, nProbe probing, exact rerank. Ivf.scala
       // documents why each step is engine-reproducible.
-      val nList = 16; val nProbe = 4; val iters = 3; val k = 10; val dim = 64
-      val S = graft.ann.Ivf.FixedPointScale
-      val rng = s"range(1, ${dim + 1})"
-      def dot(a: String, b: String) =
-        s"list_sum(list_transform($rng, i -> $a.v[i] * $b.v[i]))"
-      def nrm(a: String) =
-        s"sqrt(list_sum(list_transform($rng, i -> $a.v[i] * $a.v[i])))"
-      // assignment sim: both norms guarded (Ivf.assign); probe sim:
-      // centroid norm unguarded (Model.nearest) — replicated verbatim
-      def assignCte(name: String, prev: String) =
-        s"""$name AS (
-           |  SELECT vec_id, c FROM (
-           |    SELECT v.vec_id, k.c, row_number() OVER (PARTITION BY v.vec_id ORDER BY
-           |      (${dot("k", "v")} / (greatest(${nrm("k")}, 1e-12) * greatest(${nrm("v")}, 1e-12))) DESC,
-           |      k.c ASC) AS rn
-           |    FROM vecs v CROSS JOIN $prev k) WHERE rn = 1
-           |)""".stripMargin
-      def updateCtes(x: Int, prev: String) =
-        s"""m$x AS (
-           |  SELECT a.c, d.i,
-           |    CAST(sum(CAST(floor(vv.v[d.i] * $S + 0.5) AS BIGINT)) AS DOUBLE)
-           |      / ($S.0 * CAST(count(*) AS DOUBLE)) AS mean
-           |  FROM a$x a JOIN vecs vv ON vv.vec_id = a.vec_id CROSS JOIN dims d
-           |  GROUP BY a.c, d.i
-           |), c$x AS (
-           |  SELECT o.c, coalesce(n.v, o.v) AS v
-           |  FROM $prev o LEFT JOIN
-           |    (SELECT c, list(mean ORDER BY i) AS v FROM m$x GROUP BY c) n ON n.c = o.c
-           |)""".stripMargin
-      val iterations = (1 to iters).map { x =>
-        assignCte(s"a$x", s"c${x - 1}") + ", " + updateCtes(x, s"c${x - 1}")
-      }.mkString(", ")
-      s"""WITH vecs AS (
-         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
-         |), dims AS (
-         |  SELECT unnest(range(1, ${dim + 1})) AS i
-         |), c0 AS (
-         |  SELECT rn - 1 AS c, v FROM (
-         |    SELECT row_number() OVER (ORDER BY vec_id) AS rn, v FROM vecs) WHERE rn <= $nList
-         |), $iterations, ${assignCte("af", s"c$iters")}, probes AS (
+      val nList = 16; val nProbe = 4; val iters = 3; val k = 10
+      def dot(a: String, b: String) = ivfDot(a, b)
+      def nrm(a: String) = ivfNrm(a)
+      s"""WITH ${ivfTrainCtes(nList, iters)}, probes AS (
          |  SELECT query_id, c FROM (
          |    SELECT q.vec_id AS query_id, k.c, row_number() OVER (PARTITION BY q.vec_id ORDER BY
          |      (${dot("k", "q")} / (${nrm("k")} * greatest(${nrm("q")}, 1e-12))) DESC,
@@ -1692,6 +1712,25 @@ object SparkEntry {
          |SELECT query_id, item_id AS neighbor_id, CAST(rank AS BIGINT) AS rank, sim
          |FROM r WHERE rank <= $k""".stripMargin
     },
+    "q_semantic_dedup" ->
+      // IVF training replay -> within-cluster cosine pairs at eps=0.3
+      // -> recursive-CTE components -> min-id representative per group
+      s"""WITH RECURSIVE ${ivfTrainCtes(16, 3)}, wc AS (
+         |  SELECT a.vec_id, a.c, v.v, ${ivfNrm("v")} AS nrm
+         |  FROM af a JOIN vecs v ON v.vec_id = a.vec_id
+         |), pr AS (
+         |  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM wc x JOIN wc y ON x.c = y.c AND x.vec_id < y.vec_id
+         |  WHERE (${ivfDot("x", "y")}) / (x.nrm * y.nrm) >= 0.3
+         |), e2 AS (
+         |  SELECT id_a AS u, id_b AS v FROM pr UNION SELECT id_b, id_a FROM pr
+         |), reach AS (
+         |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM e2)
+         |  UNION
+         |  SELECT e2.u, reach.r FROM e2 JOIN reach ON reach.u = e2.v
+         |)
+         |SELECT u AS vec_id, min(r) AS group_id, min(r) = u AS keep
+         |FROM reach GROUP BY u""".stripMargin,
     "q_dedup_minhash" ->
       s"WITH $minhashPairsCtes\nSELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5",
     "q_dedup_cap_audit" ->

@@ -140,4 +140,59 @@ object Ivf {
     vecs.unpersist()
     out
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication", 2023): cluster embeddings with the deterministic
+    * IVF codebook, compute pairwise cosine ONLY within clusters — the
+    * published trick that shrinks the n^2 term to sum-of-cluster^2 —
+    * connect pairs with sim >= eps, and keep the minimum-id
+    * representative per connected semantic group. Returns
+    * (vec_id, group_id, keep) for every vector in a group of >= 2;
+    * singletons are absent (trivially their own group), mirroring
+    * Dedup.nearDupClusters.
+    *
+    * maxClusterSize is the hot-cluster guard for the within-cluster
+    * join (a degenerate codebook funneling everything into one list
+    * would resurrect the quadratic term in one partition): over-cap
+    * clusters drop whole and are auditable via [[droppedClusters]] —
+    * the no-silent-caps posture of every capped candidate generator.
+    */
+  def semanticDedup(spark: SparkSession, emb: DataFrame, idCol: String,
+      vecCol: String, eps: Double, nList: Int = 16, iters: Int = 3,
+      maxClusterSize: Int = 10000): DataFrame = {
+    val vecs = vecsDF(emb, idCol, vecCol).cache()
+    val model = train(spark, emb, idCol, vecCol, nList, iters)
+    val withC = assign(spark, vecs, model).join(vecs, "id")
+      .withColumn("csz", count(lit(1)).over(Window.partitionBy("cluster")))
+      .filter(col("csz") <= maxClusterSize)
+      .select(col("cluster"), col("id"), col("vec"), Ann.norm(col("vec")).as("nrm"))
+    val pairs = withC.as("a")
+      .join(withC.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+      .withColumn("sim",
+        Ann.dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")))
+      .filter(col("sim") >= eps)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // connectedComponents checkpoints the pair pipeline eagerly, so the
+    // vector cache has served all its reads by the time it returns
+    val cc = graft.dedup.Dedup.connectedComponents(pairs)
+    vecs.unpersist(blocking = false)
+    cc.select(col("doc_id").as("vec_id"), col("cluster_id").as("group_id"),
+      (col("doc_id") === col("cluster_id")).as("keep"))
+  }
+
+  /** No-silent-caps audit for semanticDedup: the clusters its
+    * maxClusterSize drops, with their sizes.
+    */
+  def droppedClusters(spark: SparkSession, emb: DataFrame, idCol: String,
+      vecCol: String, nList: Int = 16, iters: Int = 3,
+      maxClusterSize: Int = 10000): DataFrame = {
+    val vecs = vecsDF(emb, idCol, vecCol)
+    val model = train(spark, emb, idCol, vecCol, nList, iters)
+    assign(spark, vecs, model)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("csz"))
+      .filter(col("csz") > maxClusterSize)
+  }
 }

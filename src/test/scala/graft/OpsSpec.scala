@@ -433,6 +433,32 @@ class OpsSpec extends AnyFunSuite {
     assert(fps(5L).map(_._3).toSet.size == 1)
   }
 
+  test("semantic dedup: eps-groups keep min-id representative, cap audited") {
+    import spark.implicits._
+    import graft.ann.Ivf
+    // two tight pairs along different axes plus two far-off singletons
+    val emb = Seq(
+      (0L, Seq(1.0, 0.01, 0.0, 0.0)),
+      (1L, Seq(0.99, 0.0, 0.01, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0, 0.01)),
+      (3L, Seq(0.01, 0.99, 0.0, 0.0)),
+      (4L, Seq(0.0, 0.0, 1.0, 0.0)),
+      (5L, Seq(0.0, 0.0, 0.0, 1.0))).toDF("vec_id", "embedding")
+    val got = Ivf.semanticDedup(spark, emb, "vec_id", "embedding",
+        eps = 0.9, nList = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == Set((0L, 0L, true), (1L, 0L, false), (2L, 2L, true), (3L, 2L, false)))
+    // an over-cap cluster drops whole (no pairs survive) and the audit
+    // reports its size
+    val capped = Ivf.semanticDedup(spark, emb, "vec_id", "embedding",
+      eps = 0.9, nList = 1, iters = 1, maxClusterSize = 5)
+    assert(capped.isEmpty)
+    val dropped = Ivf.droppedClusters(spark, emb, "vec_id", "embedding",
+        nList = 1, iters = 1, maxClusterSize = 5)
+      .collect().map(r => r.getLong(1))
+    assert(dropped.sameElements(Array(6L)))
+  }
+
   test("winnow candidate pairs: passage-sharers found, cap drops hot fps") {
     import graft.dedup.Winnow
     // 20 shared tokens -> 17 run hashes -> 14 interior windows, whose
