@@ -207,6 +207,49 @@ object Lineage {
     (processed, skipped)
   }
 
+  /** The bucket-slice of the input a batched run processes as batch
+    * `b` of `batches` — same stable doc_id hash as the resume buckets,
+    * so completed batches prune in filterPendingBucketed's fast path.
+    */
+  def batchSlice(input: Dataset[Doc], batches: Int, b: Int): Dataset[Doc] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[Doc]
+    input.filter(pmod(xxhash64(col("doc_id"), lit(16)), lit(batches)) === b)
+  }
+
+  /** Batched resumable run: the input is processed as `batches`
+    * sequential bucket-slices, each committing its output + metrics
+    * independently. The single-job form above commits NOTHING until the
+    * whole input succeeds — at 10^12 docs, where some failure is
+    * certain, that is an unusable blast radius; here a crash loses at
+    * most one in-flight batch, and the retry's per-batch resume prunes
+    * every completed batch with two bounded aggregations
+    * (filterPendingBucketed) before touching per-doc state. Each batch
+    * commits under run_id `<runId>-b<b>`; a retry needs a fresh base
+    * runId like any other attempt. Returns (processed this run,
+    * completed-doc count found in metrics at start), mirroring
+    * runResumable's contract.
+    */
+  def runResumableBatched(
+      spark: SparkSession,
+      input: Dataset[Doc],
+      outPath: String,
+      metricsPath: String,
+      runId: String,
+      strategy: Extract.Strategy = Extract.Strategy.RegionClustering,
+      batches: Int = 8,
+      numPartitions: Int = 0,
+      catalog: TableCatalog = ParquetCatalog): (Long, Long) = {
+    require(batches >= 1, s"batches must be positive: $batches")
+    val skipped = completedDocIds(spark, metricsPath, catalog).count()
+    var processed = 0L
+    for (b <- 0 until batches) {
+      val (p, _) = runResumable(spark, batchSlice(input, batches, b),
+        outPath, metricsPath, s"$runId-b$b", strategy, numPartitions, catalog)
+      processed += p
+    }
+    (processed, skipped)
+  }
+
   /** The full extracted output across all runs (resume-aware readers). */
   def readOutput(spark: SparkSession, outPath: String): DataFrame =
     spark.read.parquet(outPath)

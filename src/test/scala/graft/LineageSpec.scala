@@ -199,6 +199,37 @@ class LineageSpec extends AnyFunSuite {
     }
   }
 
+  test("batched run: a crash loses at most one batch, retry resumes the rest") {
+    import spark.implicits._
+    val fixtures = SpanGen.genDocs(80, seed = 61L)
+    val all = spark.createDataset(fixtures.map(_._1))
+    val out = tmp() + "/out"
+    val metrics = tmp() + "/metrics"
+    val batches = 6
+
+    // crashed attempt: only the first 3 batches committed
+    for (b <- 0 until 3)
+      Lineage.runResumable(spark, Lineage.batchSlice(all, batches, b),
+        out, metrics, s"crash-b$b")
+    val doneSoFar = spark.read.parquet(metrics).count()
+    assert(doneSoFar > 0 && doneSoFar < 80)
+
+    // retry under a new base run id: completed batches prune, only the
+    // remainder is processed, and the union is complete with no dupes
+    val (p, s) = Lineage.runResumableBatched(
+      spark, all, out, metrics, "retry", batches = batches)
+    assert(s == doneSoFar)
+    assert(p == 80 - doneSoFar)
+    val committed = Lineage.readCommitted(spark, out, metrics)
+    assert(committed.count() == 80)
+    assert(committed.select("doc_id").distinct().count() == 80)
+
+    // a further full retry is a no-op
+    val (p2, s2) = Lineage.runResumableBatched(
+      spark, all, out, metrics, "retry2", batches = batches)
+    assert(p2 == 0 && s2 == 80)
+  }
+
   test("orphan files from a crashed append are published by the next commit") {
     import spark.implicits._
     import graft.lineage.ParquetCatalog
