@@ -12,7 +12,7 @@ import org.apache.spark.sql.SparkSession
   * table resumably:
   *
   *   spark-submit --class graft.Run <jar> \
-  *     <inputPath> <outPath> <metricsPath> [runId] [strategy] [numPartitions]
+  *     <inputPath> <outPath> <metricsPath> [runId] [strategy] [numPartitions] [batches]
   *
   * - inputPath: parquet table of (doc_id string, spans array<struct<
   *   kind,text,media_ref,offset>>) — the BASELINE.json input_hint shape.
@@ -21,6 +21,9 @@ import org.apache.spark.sql.SparkSession
   *   id fails fast.
   * - strategy: e1 | e2 | e2mid (default e1, the reference's live path).
   * - numPartitions: 0 = auto (4x parallelism).
+  * - batches: 1 = one job (default); N > 1 = Lineage.runResumableBatched
+  *   sequential bucket-batches, so a crash loses at most one batch —
+  *   the right setting for any long-running corpus-scale run.
   *
   * Prints one JSON line with the run summary; exit code 0 only if the
   * run committed (output + metrics appends both done).
@@ -38,16 +41,21 @@ object Run {
   /** Separated from main so tests can drive it with their own session. */
   def run(spark: SparkSession, args: Array[String]): (Long, Long) = {
     require(args.length >= 3,
-      "usage: graft.Run <inputPath> <outPath> <metricsPath> [runId] [strategy] [numPartitions]")
+      "usage: graft.Run <inputPath> <outPath> <metricsPath> [runId] [strategy] [numPartitions] [batches]")
     val Array(inputPath, outPath, metricsPath) = args.take(3)
     val runId = if (args.length > 3) args(3) else s"run-${System.currentTimeMillis()}"
     val strategy = if (args.length > 4) parseStrategy(args(4)) else Extract.Strategy.RegionClustering
     val numPartitions = if (args.length > 5) args(5).toInt else 0
+    val batches = if (args.length > 6) args(6).toInt else 1
 
     implicit val enc = org.apache.spark.sql.Encoders.product[Doc]
     val input = spark.read.parquet(inputPath).as[Doc]
     val (processed, skipped) =
-      Lineage.runResumable(spark, input, outPath, metricsPath, runId, strategy, numPartitions)
+      if (batches > 1)
+        Lineage.runResumableBatched(spark, input, outPath, metricsPath, runId,
+          strategy, batches, numPartitions)
+      else
+        Lineage.runResumable(spark, input, outPath, metricsPath, runId, strategy, numPartitions)
     println(
       s"""{"run_id":"$runId","processed":$processed,"skipped":$skipped,""" +
         s""""out":"$outPath","metrics":"$metricsPath"}""")

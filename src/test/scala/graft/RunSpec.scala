@@ -48,6 +48,24 @@ class RunSpec extends AnyFunSuite {
     }
   }
 
+  test("batched mode via the CLI arg commits per batch and resumes") {
+    import spark.implicits._
+    val fixtures = SpanGen.genDocs(40, seed = 77L)
+    val base = tmp()
+    val full = s"$base/input"
+    spark.createDataset(fixtures.map(_._1)).write.parquet(full)
+    val out = s"$base/out"
+    val metrics = s"$base/metrics"
+    val (p1, s1) = Run.run(spark, Array(full, out, metrics, "a1", "e1", "0", "4"))
+    assert(p1 == 40 && s1 == 0)
+    // four per-batch commits landed, one run_id per batch
+    assert(spark.read.parquet(out).select("run_id").distinct().count() == 4)
+    // a rerun under a new base id is a no-op
+    val (p2, s2) = Run.run(spark, Array(full, out, metrics, "a2", "e1", "0", "4"))
+    assert(p2 == 0 && s2 == 40)
+    assert(Lineage.readCommitted(spark, out, metrics).count() == 40)
+  }
+
   test("strategy parsing and bad usage fail fast") {
     assert(Run.parseStrategy("e2mid") == graft.extract.Extract.Strategy.SplitMidpoint)
     intercept[IllegalArgumentException] { Run.parseStrategy("bogus") }
