@@ -71,6 +71,10 @@ object Substring {
         PortableHash.md5Hash60(col("wtext")).as("whash"))
   }
 
+  /** Per-window document frequency: (whash, df). */
+  private def anchorFreq(w: DataFrame): DataFrame =
+    w.groupBy(col("whash")).agg(countDistinct(col("doc_id")).as("df"))
+
   /** No-silent-caps audit: the anchors duplicatePassages' maxDocFreq
     * drops, with their document frequency. A non-empty result is recall
     * loss on exactly the most-shared boilerplate — run it alongside
@@ -79,9 +83,7 @@ object Substring {
     */
   def droppedAnchors(docs: DataFrame, idCol: String, textCol: String,
       windowTokens: Int = 8, maxDocFreq: Int = 100000): DataFrame =
-    windows(docs, idCol, textCol, windowTokens)
-      .groupBy(col("whash"))
-      .agg(countDistinct(col("doc_id")).as("df"))
+    anchorFreq(windows(docs, idCol, textCol, windowTokens))
       .filter(col("df") > maxDocFreq)
 
   /** Maximal duplicated passages: one row per (doc, merged span of
@@ -94,8 +96,7 @@ object Substring {
       windowTokens: Int = 8, minDocFreq: Int = 2,
       maxDocFreq: Int = 100000): DataFrame = {
     val w = windows(docs, idCol, textCol, windowTokens)
-    val anchors = w.groupBy(col("whash"))
-      .agg(countDistinct(col("doc_id")).as("df"))
+    val anchors = anchorFreq(w)
       .filter(col("df") >= minDocFreq && col("df") <= maxDocFreq)
       .select(col("whash"))
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")

@@ -77,10 +77,6 @@ object ParquetCatalog extends TableCatalog {
     body.split("\n").toSeq.filter(_.nonEmpty)
   }
 
-  /** Every data file some committed manifest owns. */
-  private def committedFiles(spark: SparkSession, table: String): Set[String] =
-    snapshots(spark, table).flatMap(id => manifestFiles(spark, table, id)).toSet
-
   /** The "before" set is the union of COMMITTED manifests, not a
     * directory listing: a crash between a parquet append and its
     * manifest write leaves orphan data files, and a listing-based diff
@@ -93,12 +89,13 @@ object ParquetCatalog extends TableCatalog {
     * the row level.
     */
   private def commitSnapshot(spark: SparkSession, table: String)(write: => Unit): Unit = {
-    val before = committedFiles(spark, table)
+    val ids = snapshots(spark, table)
+    val before = ids.flatMap(id => manifestFiles(spark, table, id)).toSet
     write
     val added = (listDataFiles(spark, table) -- before).toSeq.sorted
     val fs = fsFor(spark, new Path(table))
     val root = fs.makeQualified(new Path(table))
-    val snapId = snapshots(spark, table).lastOption.getOrElse(0L) + 1
+    val snapId = ids.lastOption.getOrElse(0L) + 1
     fs.mkdirs(new Path(root, SnapDir))
     val os = fs.create(new Path(root, f"$SnapDir/snap-$snapId%09d"), false)
     try os.write(added.mkString("\n").getBytes(UTF_8)) finally os.close()
