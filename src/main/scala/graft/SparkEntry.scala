@@ -593,6 +593,13 @@ object SparkEntry {
       graft.corpus.CorpusStats.topShinglesPerGroup(
         s.read.parquet(t(dir, "documents")), "lang", "text", n = 3, k = 20)),
 
+    // ---- corpus analytics: TF-IDF term weights (rank-free projection
+    // — raw score values canonicalize safely; ranking is a consumer
+    // view via CorpusStats.topTermsPerDoc)
+    "q_tfidf" -> ((s, dir) =>
+      graft.corpus.CorpusStats.tfidf(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text", minTf = 3)),
+
     // ---- dedup family: winnowing fingerprints (SIGMOD 2003 local
     // fingerprinting — any shared run of >= w+k-1 tokens across docs
     // shares a fingerprint; ~1/w density, record-local selection)
@@ -1145,6 +1152,20 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE CAST('0x' || substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
         |  % 1000000 < 200000""".stripMargin,
+    "q_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+        |), dfr AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY term
+        |), n AS (
+        |  SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+        |)
+        |SELECT doc_id, term, tf, df,
+        |  tf * ln(CAST(n_docs AS DOUBLE) / df) AS tfidf
+        |FROM tf JOIN dfr USING (term) CROSS JOIN n
+        |WHERE tf >= 3""".stripMargin,
     "q_ngram_topk" ->
       // trigram counts per language, row_number by (cnt desc, shingle)
       // — the engine's two-level salted top-k emits identical rows

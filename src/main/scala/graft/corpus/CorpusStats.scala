@@ -50,4 +50,41 @@ object CorpusStats {
       .filter(col("rank") <= k)
       .select(col("grp").as(groupCol), col("shingle"), col("cnt"), col("rank"))
   }
+
+  /** TF-IDF term weights: (doc_id, term, tf, df, tfidf) with
+    * tfidf = tf * ln(n_docs / df), for terms with tf >= minTf. Two
+    * map-side-combined shuffles (term counts, document frequency) plus
+    * a broadcast 1-row corpus count — no window, no collect. The
+    * output is deliberately rank-free: scores are doubles, and a
+    * ranked oracle would hash-flip on a 1-ulp ln() divergence between
+    * engines, while raw score VALUES are canonicalized by the gate.
+    * Rank per doc with [[topTermsPerDoc]] when consuming.
+    */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String,
+      minTf: Int = 2): DataFrame = {
+    val tf = graft.Parallelize.bySplits(
+        docs.select(col(idCol).as("doc_id"), col(textCol).as("__t")), "doc_id")
+      .select(col("doc_id"), explode(TextOps.tokens(col("__t"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(countDistinct(col(idCol)).as("n_docs"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .filter(col("tf") >= minTf)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        (col("tf") * log(col("n_docs").cast("double") / col("df"))).as("tfidf"))
+  }
+
+  /** Top-m TF-IDF terms per document. The per-doc window partition is
+    * bounded by one document's vocabulary, so no salting is needed
+    * (unlike the per-GROUP top-k above).
+    */
+  def topTermsPerDoc(docs: DataFrame, idCol: String, textCol: String,
+      m: Int, minTf: Int = 2): DataFrame = {
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tfidf(docs, idCol, textCol, minTf)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= m)
+  }
 }

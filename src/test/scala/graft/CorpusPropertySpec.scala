@@ -150,6 +150,45 @@ class CorpusPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: tfidf and per-doc top terms equal the local computation") {
+    import spark.implicits._
+    import graft.corpus.CorpusStats
+    for (seed <- 1 to 6) {
+      val rng = new Random(seed * 911L)
+      val docs = (0 until 12).map(i =>
+        (i.toLong, (0 until 5 + rng.nextInt(40)).map(_ => word(rng, "abc")).mkString(" ")))
+      val tfLocal = docs.flatMap { case (id, text) =>
+        text.split(" ", -1).groupBy(identity).map { case (t, o) => (id, t, o.length.toLong) }
+      }
+      val dfLocal = tfLocal.groupBy(_._2).map { case (t, rows) => t -> rows.size.toLong }
+      val nDocs = docs.size.toDouble
+      val want = tfLocal.filter(_._3 >= 2).map { case (id, t, tf) =>
+        (id, t) -> (tf, dfLocal(t), tf * math.log(nDocs / dfLocal(t)))
+      }.toMap
+      val got = CorpusStats.tfidf(docs.toDF("doc_id", "text"), "doc_id", "text", minTf = 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .toMap
+      assert(got.keySet == want.keySet, s"seed $seed")
+      for ((k, (tf, df, s)) <- want) {
+        assert(got(k)._1 == tf && got(k)._2 == df, s"seed $seed $k")
+        assert(math.abs(got(k)._3 - s) < 1e-12, s"seed $seed $k score")
+      }
+      // ranked view: per-doc top-2 by (tfidf desc, term asc)
+      val wantTop = want.toSeq
+        .map { case ((id, t), (_, _, s)) => (id, t, s) }
+        .groupBy(_._1).flatMap { case (_, rows) =>
+          rows.sortBy { case (_, t, s) => (-s, t) }.take(2)
+            .zipWithIndex.map { case ((id, t, _), i) => (id, t, i + 1) }
+        }.toSet
+      val gotTop = CorpusStats.topTermsPerDoc(
+          docs.toDF("doc_id", "text"), "doc_id", "text", m = 2, minTf = 2)
+        .select("doc_id", "term", "rank")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      assert(gotTop == wantTop, s"seed $seed top terms")
+    }
+  }
+
   test("property: decontamination hits equal local shingle-set intersection") {
     import spark.implicits._
     for (seed <- 1 to 8) {
