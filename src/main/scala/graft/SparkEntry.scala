@@ -564,6 +564,13 @@ object SparkEntry {
         defaultRate = 0.05)
         .select(col("doc_id"), col("lang"))),
 
+    // ---- corpus: deterministic train/val/test split (disjoint hash
+    // ranges; a doc's membership never changes as the corpus grows)
+    "q_split" -> ((s, dir) =>
+      graft.corpus.Sampling.split(
+        s.read.parquet(t(dir, "documents")).select(col("doc_id"), col("lang")),
+        "doc_id", Seq("train", "val", "test"), Seq(0.8, 0.1, 0.1))),
+
     // ---- corpus: exact stratified sample (ceil(frac*|stratum|) per
     // lang, portable-hash order; one shuffle on the stratum key)
     "q_sample_stratified" -> ((s, dir) =>
@@ -1300,6 +1307,17 @@ object SparkEntry {
         |FROM cw JOIN bw USING (shash)
         |GROUP BY doc_id
         |HAVING count(DISTINCT shash) >= 1""".stripMargin,
+    "q_split" ->
+      // cut points (0.8, 0.1, 0.1) -> 800000 / 900000 of HashMod
+      """SELECT doc_id, lang,
+        |  CASE WHEN h >= 900000 THEN 'test'
+        |       WHEN h >= 800000 THEN 'val'
+        |       ELSE 'train' END AS split
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    CAST('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |      % 1000000 AS h
+        |  FROM documents)""".stripMargin,
     "q_sample_mixture" ->
       """SELECT doc_id, lang FROM documents
         |WHERE CAST('0x' || substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)

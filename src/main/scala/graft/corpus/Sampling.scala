@@ -73,4 +73,31 @@ object Sampling {
       .filter(col("__rn") <= ceil(lit(frac) * col("__n")))
       .drop("__rn", "__n")
   }
+
+  /** Deterministic multi-way split: labels each row train/val/test/...
+    * by disjoint hash ranges — the artifact step that fixes evaluation
+    * membership once and forever (a doc's split never changes when the
+    * corpus grows, because it depends only on its own id + salt).
+    * `weights` need not sum to 1 (they are normalized); the label
+    * column holds `labels(i)` where the id's hash falls in bucket i.
+    * Shuffle-free: one codegen'd CASE over the scan.
+    */
+  def split(df: DataFrame, idCol: String, labels: Seq[String],
+      weights: Seq[Double], salt: String = "split",
+      labelCol: String = "split"): DataFrame = {
+    require(labels.nonEmpty && labels.length == weights.length,
+      s"labels/weights must be same non-zero length: ${labels.length}/${weights.length}")
+    require(weights.forall(_ >= 0) && weights.sum > 0,
+      s"weights must be non-negative with positive sum: $weights")
+    val total = weights.sum
+    // integer cut points in [0, HashMod] — identical arithmetic on the
+    // oracle side, so boundaries cannot drift between engines
+    val cuts = weights.scanLeft(0.0)(_ + _)
+      .map(w => (w / total * HashMod).toLong)
+    val h = portableHash(col(idCol), salt)
+    val label = labels.zipWithIndex.tail.foldLeft(lit(labels.head)) {
+      case (acc, (l, i)) => when(h >= cuts(i), lit(l)).otherwise(acc)
+    }
+    df.withColumn(labelCol, label)
+  }
 }

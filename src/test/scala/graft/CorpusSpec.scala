@@ -155,6 +155,32 @@ class CorpusSpec extends AnyFunSuite {
       assert(math.abs(a - o) <= scale / 2 + 1e-12, s"vec $id: $a vs $o (scale $scale)")
   }
 
+  test("split: disjoint-exhaustive labels, stable under corpus growth") {
+    import spark.implicits._
+    val small = docs(500)
+    val big = docs(2000)
+    def labelsOf(d: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      Sampling.split(d, "doc_id", Seq("train", "val", "test"), Seq(0.8, 0.1, 0.1))
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val s1 = labelsOf(small)
+    val s2 = labelsOf(big)
+    // every row labeled, labels from the declared set
+    assert(s1.size == 500 && s1.values.toSet.subsetOf(Set("train", "val", "test")))
+    // membership stability: growing the corpus never relabels a doc
+    for ((id, l) <- s1) assert(s2(id) == l, s"doc $id relabeled")
+    // proportions near the weights on the larger corpus
+    val frac = s2.values.groupBy(identity).view.mapValues(_.size / 2000.0).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.05, frac.toString)
+    assert(math.abs(frac.getOrElse("val", 0.0) - 0.1) < 0.04)
+    assert(math.abs(frac.getOrElse("test", 0.0) - 0.1) < 0.04)
+    // un-normalized weights normalize: (2,1,1) == (0.5,0.25,0.25)
+    val a = Sampling.split(small, "doc_id", Seq("a", "b", "c"), Seq(2, 1, 1))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val b = Sampling.split(small, "doc_id", Seq("a", "b", "c"), Seq(0.5, 0.25, 0.25))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(a == b)
+  }
+
   test("budget selection keeps the greedy score-ranked prefix, no back-fill") {
     import spark.implicits._
     import graft.corpus.BudgetSelect
