@@ -114,6 +114,37 @@ object SparkEntry {
     out
   }
 
+  /** Streaming-dedup drain: a landing zone of (doc_id, checksum, ts)
+    * rows — the corpus plus one exact duplicate (same text, same event
+    * time) for every doc_id % 3 == 0 — drained once through
+    * StreamingState.dedupByChecksum into a fresh checkpointed sink.
+    * The landing copy is written as ONE file so the AvailableNow pass
+    * is a single deterministic micro-batch: every duplicate shares its
+    * original's event time, so watermark semantics can never let one
+    * through, and the surviving row set is exactly one row per
+    * distinct checksum — which the batch oracle states directly.
+    * Landing roots share the stream cleanup hook above (keyed
+    * dir#dedup); each invocation drains into its own out/cp.
+    */
+  private def streamDedupDrain(s: SparkSession, dir: String): String = {
+    streamCleanupHook
+    val root = streamLandingDirs.computeIfAbsent(s"$dir#dedup", _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
+      val base = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), sha2(col("text"), 256).as("checksum"),
+          timestamp_seconds(lit(1700000000L) + pmod(col("doc_id"), lit(3600L)))
+            .as("ts"))
+      base.union(base.filter(col("doc_id") % 3 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+        .coalesce(1).write.parquet(s"$tmp/in")
+      tmp
+    })
+    val run = streamRunSeq.incrementAndGet()
+    val out = s"$root/out$run"
+    graft.streaming.StreamingState.dedupRunOnce(s, s"$root/in", out, s"$root/cp$run")
+    out
+  }
+
   /** One trained BPE codec per corpus dir per JVM: training is a pure
     * deterministic function of the documents table (top-word sample ->
     * seeded merge loop), so the cache is sound and the merge-table dump
@@ -716,6 +747,74 @@ object SparkEntry {
         .select(col("doc_id"), explode(col("spans")).as("span"))
         .select(col("doc_id"), col("span.offset").as("offset"),
           col("span.kind").as("kind"), col("span.text").as("text"))
+    }),
+
+    // ---- corpus LM: the trained bigram model itself (type counts >= 2
+    // — the dumpable artifact the scoring join consumes)
+    "q_lm_bigrams" -> ((s, dir) =>
+      graft.textops.LangModel.bigramCounts(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text", minCount = 2)),
+
+    // ---- corpus LM: per-doc add-one-smoothed bigram log-likelihood in
+    // integer micro-nats (the perplexity-style junk filter; integer
+    // discretization before the sum keeps the aggregate order-immune)
+    "q_lm_score" -> ((s, dir) =>
+      graft.textops.LangModel.scoreDocs(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text")),
+
+    // ---- corpus LM: PMI collocations (rank-free double scores, same
+    // posture as q_tfidf)
+    "q_pmi" -> ((s, dir) =>
+      graft.textops.LangModel.pmiCollocations(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text", minCount = 3)),
+
+    // ---- order stats: exact per-language doc-length quantiles over
+    // the (group, value) count table — window over DISTINCT values,
+    // never raw rows
+    "q_quantiles" -> ((s, dir) =>
+      graft.corpus.Quantiles.discreteQuantiles(
+        s.read.parquet(t(dir, "documents")), "lang", "n_chars",
+        Seq(0.5, 0.9, 0.99))),
+
+    // ---- order stats: the deterministic hash-sample estimate (the
+    // mergeable sketch path; the oracle replays it bit-for-bit)
+    "q_quantile_sketch" -> ((s, dir) =>
+      graft.corpus.Quantiles.sampledQuantiles(
+        s.read.parquet(t(dir, "documents")), "lang", "n_chars", "doc_id",
+        Seq(0.5, 0.9), salt = "qsk", num = 1, den = 2)),
+
+    // ---- retrieval: inverted index with ordered positions, df band
+    // keeps stopword fan-in bounded
+    "q_inverted_index" -> ((s, dir) =>
+      graft.corpus.InvertedIndex.build(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text",
+        minDf = 3, maxDf = 400)),
+
+    // ---- featurization: hashing-trick bag-of-words (portable 60-bit
+    // md5 bucketing, fixed dim — no vocabulary to broadcast)
+    "q_feature_hash" -> ((s, dir) =>
+      graft.ann.FeatureHash.features(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text", dim = 64)),
+
+    // ---- graph: fixed-iteration PageRank (join-based power iteration)
+    // over the symmetrized customer<->nation bipartite graph; nation
+    // hubs concentrate rank, customers hold near-floor values
+    "q_pagerank" -> ((s, dir) => {
+      val c = s.read.parquet(t(dir, "customer"))
+      val fwd = c.select(col("c_custkey").cast("long").as("src"),
+        (lit(1000000L) + col("c_nationkey")).as("dst"))
+      graft.operators.PageRank.pageRank(
+        fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))),
+        "src", "dst", iters = 8, d = 0.85)
+    }),
+
+    // ---- streaming: exact-dedup drain (dropDuplicatesWithinWatermark
+    // over a landing zone seeded with same-event-time duplicates; the
+    // batch distinct oracle verifies the streaming path externally,
+    // like extract_stream_spans)
+    "stream_dedup" -> ((s, dir) => {
+      val out = streamDedupDrain(s, dir)
+      s.read.parquet(out).select(col("checksum"))
     })
   )
 
@@ -1883,6 +1982,132 @@ object SparkEntry {
         |  CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 10 ELSE 1 END AS INTEGER) AS n_frames,
         |  CASE WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 THEN 'jpg' ELSE 'mp4' END AS format,
         |  true AS decode_ok
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "q_lm_bigrams" -> (bigramCte +
+      "\nSELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2 HAVING count(*) >= 2"),
+    "q_lm_score" -> (bigramCte +
+      """, c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+        |), c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1
+        |), vc AS (
+        |  SELECT count(DISTINCT tok) AS v
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |), lp AS (
+        |  SELECT doc_id,
+        |    CAST(floor(ln((c12 + 1.0) / (c1 + v)) * 1000000.0) AS BIGINT) AS lp_micro
+        |  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vc
+        |)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(lp_micro) AS BIGINT) AS lp_micro_sum
+        |FROM lp GROUP BY doc_id""".stripMargin),
+    "q_pmi" -> (bigramCte +
+      """, c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+        |), c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1
+        |), c2 AS (SELECT w2, sum(c12) AS c2 FROM c12 GROUP BY w2
+        |), nb AS (SELECT count(*) AS n_bg FROM bg)
+        |SELECT w1, w2, c12,
+        |  ln(CAST(c12 AS DOUBLE) * n_bg / (CAST(c1 AS DOUBLE) * c2)) AS pmi
+        |FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN nb
+        |WHERE c12 >= 3""".stripMargin),
+    "q_quantiles" -> quantileOracle("documents", Seq(0.5, 0.9, 0.99)),
+    "q_quantile_sketch" -> quantileOracle(
+      "(SELECT * FROM documents WHERE " +
+        "CAST('0x' || substr(md5('qsk' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 2 < 1)",
+      Seq(0.5, 0.9)),
+    "q_inverted_index" ->
+      """WITH tok AS (
+        |  SELECT doc_id, i AS pos, toks[i] AS term
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+        |), p AS (
+        |  SELECT term, doc_id, count(*) AS tf,
+        |    string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS positions
+        |  FROM tok GROUP BY term, doc_id
+        |), b AS (
+        |  SELECT term FROM (SELECT term, count(*) AS df FROM p GROUP BY term)
+        |  WHERE df >= 3 AND df <= 400
+        |)
+        |SELECT term, doc_id, tf, positions FROM p JOIN b USING (term)""".stripMargin,
+    "q_feature_hash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST('0x' || substr(md5('feat' || tok), 1, 15) AS BIGINT) % 64 AS feat_idx,
+        |  count(*) AS weight
+        |FROM tok GROUP BY doc_id, feat_idx""".stripMargin,
+    "q_pagerank" -> pagerankOracle(iters = 8, d = 0.85),
+    // the streaming dedup drain keeps exactly one row per distinct
+    // checksum (duplicates share their original's event time, single
+    // micro-batch), so the batch distinct states the expected set
+    "stream_dedup" ->
+      "SELECT DISTINCT sha256(text) AS checksum FROM documents"
   )
+
+  /** Shared adjacent-token-pair CTE for the bigram LM oracles: 1-based
+    * list indexing, range(1, len) upper-exclusive, so docs with < 2
+    * tokens emit no pairs — mirroring LangModel.bigramPairs' shifted
+    * slices exactly.
+    */
+  private val bigramCte: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |), bg AS (
+      |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      |  FROM (SELECT doc_id, toks,
+      |          unnest(range(1, greatest(len(toks), 1))) AS i FROM t)
+      |)""".stripMargin
+
+  /** Discrete-quantile oracle over a documents-shaped relation: the
+    * cumulative-count-over-distinct-values form Quantiles uses, with
+    * the identical ceil(q*n) target.
+    */
+  private def quantileOracle(rel: String, qs: Seq[Double]): String = {
+    // ::DOUBLE[] is load-bearing: bare DuckDB literals are DECIMAL, and
+    // decimal ceil(0.9*500) = 450 while the engine's double math gives
+    // ceil(450.00000000000006) = 451 — both sides must multiply doubles
+    val qlist = qs.mkString("[", ", ", "]::DOUBLE[]")
+    s"""WITH c AS (
+       |  SELECT lang AS grp, n_chars AS v, count(*) AS c FROM $rel AS d GROUP BY 1, 2
+       |), w AS (
+       |  SELECT grp, v, c,
+       |    sum(c) OVER (PARTITION BY grp ORDER BY v
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    sum(c) OVER (PARTITION BY grp) AS n
+       |  FROM c
+       |), x AS (SELECT grp, v, cum, n, unnest($qlist) AS q FROM w)
+       |SELECT grp AS lang, q, min(v) AS q_value
+       |FROM x WHERE cum >= ceil(q * n) GROUP BY grp, q""".stripMargin
+  }
+
+  /** Fixed-iteration PageRank oracle: one chained CTE per power
+    * iteration over the symmetrized customer<->nation edge set,
+    * replaying PageRank.pageRank's normalized update r' = (1-d) +
+    * d*sum(r/deg). The base constant is rendered from the SAME Scala
+    * double (1.0 - d) the engine folds, so both engines iterate from
+    * bit-identical literals.
+    */
+  private def pagerankOracle(iters: Int, d: Double): String = {
+    val base = 1.0 - d
+    val head =
+      """WITH e AS (
+        |  SELECT DISTINCT CAST(c_custkey AS BIGINT) AS src,
+        |    CAST(1000000 + c_nationkey AS BIGINT) AS dst FROM customer
+        |  UNION
+        |  SELECT DISTINCT CAST(1000000 + c_nationkey AS BIGINT) AS src,
+        |    CAST(c_custkey AS BIGINT) AS dst FROM customer
+        |), deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src
+        |), nodes AS (SELECT DISTINCT src AS node FROM e
+        |), it0 AS (SELECT node, 1.0 AS r FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s""", it$k AS (
+         |  SELECT n.node,
+         |    CAST($base AS DOUBLE) + CAST($d AS DOUBLE) * coalesce(s.m, 0.0) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, sum(p.r / d.deg) AS m
+         |    FROM e JOIN it${k - 1} p ON p.node = e.src
+         |           JOIN deg d ON d.src = e.src
+         |    GROUP BY e.dst) s ON s.node = n.node
+         |)""".stripMargin
+    }.mkString
+    s"$head$steps\nSELECT node, r AS pr FROM it$iters"
+  }
 }

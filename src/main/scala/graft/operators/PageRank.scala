@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration PageRank as join-based power iteration — the
+  * iterative-graph operator (beyond connected components) that ranks
+  * entities by link centrality: source domains by co-duplication,
+  * documents in a citation graph, hosts in a crawl frontier.
+  *
+  * Semantics are the classic normalized form (the original Spark
+  * example): r0 = 1 for every node, r' = (1-d) + d * sum over in-edges
+  * of r_src/deg_src. Ranks sum to ~N (not 1); nodes with no in-edges
+  * hold the (1-d) floor. Dangling nodes (in-edges but no out-edges)
+  * absorb mass without redistributing it — the standard simplification;
+  * feed a symmetrized edge set (as the built-in query does) when mass
+  * conservation matters.
+  *
+  * Scale posture: the edge set joined with out-degrees is materialized
+  * ONCE (checkpointed, pre-partitioned on src), so every iteration
+  * reuses the same exchange on the big side and shuffles only the
+  * current rank vector — O(nodes) rows — plus one map-side-combined
+  * sum per iteration. Iterations checkpoint their rank frontier and
+  * drop the superseded one, the same discipline (and the same
+  * localCheckpoint-vs-reliable-checkpoint trade-off on a real cluster)
+  * as Dedup.connectedComponents. Nothing reaches the driver.
+  *
+  * Cross-engine posture: per-node contribution sums are IEEE doubles
+  * whose addition order is engine- and run-dependent; after k
+  * iterations the divergence stays ~1e-13 relative, far inside the
+  * gate's 4-decimal canonicalization, and the output is rank-free
+  * (values only) like CorpusStats.tfidf.
+  */
+object PageRank {
+
+  /** (node, pr): normalized PageRank after `iters` rounds with damping
+    * `d` over the directed edge list (duplicate edges count once).
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 8, d: Double = 0.85): DataFrame = {
+    require(iters >= 1 && d > 0.0 && d < 1.0, s"bad iters=$iters d=$d")
+    val sc = edges.sparkSession.sparkContext
+    val shuffleParts =
+      edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // one materialization of the (possibly expensive) upstream edge
+    // pipeline; dedupe, attach out-degrees, pre-partition on src so the
+    // per-iteration rank join reuses this exchange
+    val (e0, e0Ids) = graft.dedup.Dedup.checkpointOwned(
+      edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst")).distinct())
+    val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val (ew, ewIds) = graft.dedup.Dedup.checkpointOwned(
+      e0.join(deg, "src").repartition(shuffleParts, col("src")))
+    val (nodes, nodeIds) = graft.dedup.Dedup.checkpointOwned(
+      e0.select(col("src").as("node"))
+        .union(e0.select(col("dst").as("node")))
+        .distinct())
+    unpersistOwned(sc, e0Ids)
+    var (ranks, rankIds) = graft.dedup.Dedup.checkpointOwned(
+      nodes.select(col("node"), lit(1.0).as("r")))
+    for (_ <- 1 to iters) {
+      val contribs = ew
+        .join(ranks, ew("src") === ranks("node"))
+        .groupBy(col("dst")).agg(sum(col("r") / col("deg")).as("m"))
+      val (next, nextIds) = graft.dedup.Dedup.checkpointOwned(
+        nodes
+          .join(contribs, nodes("node") === contribs("dst"), "left")
+          .select(col("node"),
+            (lit(1.0 - d) + lit(d) * coalesce(col("m"), lit(0.0))).as("r")))
+      unpersistOwned(sc, rankIds)
+      ranks = next
+      rankIds = nextIds
+    }
+    // the final frontier is checkpointed/materialized, so the graph
+    // blocks can be released before handing the result to the caller
+    // (the last rank block stays persisted — the caller holds it)
+    unpersistOwned(sc, ewIds ++ nodeIds)
+    ranks.select(col("node"), col("r").as("pr"))
+  }
+
+  private def unpersistOwned(sc: org.apache.spark.SparkContext, ids: Set[Int]): Unit =
+    sc.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (ids(id)) rdd.unpersist(blocking = false)
+    }
+}

@@ -24,6 +24,26 @@ object StreamingState {
     docs.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("checksum")
 
+  /** One AvailableNow dedup drain over a parquet landing dir into a
+    * checkpointed exactly-once parquet sink — the dedup counterpart of
+    * StreamingExtract.runOnce, driver-oracled via `stream_dedup`.
+    */
+  def dedupRunOnce(spark: SparkSession, inputPath: String, outPath: String,
+      checkpoint: String, watermark: String = "1 hour"): Unit = {
+    val schema = spark.read.parquet(inputPath).schema
+    val src = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 64)
+      .parquet(inputPath)
+    val q = dedupByChecksum(src, watermark).writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp)
   final case class SessionState(start: Long, end: Long, n: Long)
   final case class Session(user_id: Long, s_start: Long, s_end: Long, n_events: Long)

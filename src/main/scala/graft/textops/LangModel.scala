@@ -1,0 +1,106 @@
+package graft.textops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-trained statistical language model operators: add-one-smoothed
+  * bigram log-likelihood scoring (the perplexity-style quality filter a
+  * CCNet-shaped pipeline runs where no external KenLM is available — the
+  * model IS the corpus's own bigram table) and PMI collocation mining.
+  *
+  * Scale posture: training is two map-side-combined count shuffles
+  * (bigram types, then left-unigram marginals); scoring re-joins each
+  * document's bigram occurrences against the count tables — plain
+  * equi-joins that AQE's skew-join split handles when a stopword left
+  * token ("the …") concentrates a probe partition. Nothing is collected
+  * to the driver; the single scalar (vocabulary size) rides along as a
+  * broadcast 1-row cross join, exactly like CorpusStats.tfidf.
+  *
+  * Cross-engine determinism: per-bigram log-probabilities are
+  * discretized to integer micro-nats (floor(lp*1e6) as BIGINT) BEFORE
+  * the per-document sum, so the aggregate is integer-exact and immune
+  * to float summation order — the DuckDB oracle replays the identical
+  * formula and hashes bit-equal (same trick as BudgetSelect's
+  * floor-discretized score).
+  */
+object LangModel {
+
+  /** (doc_id, w1, w2): one row per adjacent token pair occurrence.
+    * Built from two shifted slices zipped into a struct — `toks`
+    * appears only in row-level slice arguments (2 evaluations/row),
+    * never captured inside a per-element lambda (the HOF-CSE hazard:
+    * a captured split() re-evaluates on EVERY element).
+    */
+  def bigramPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spread = graft.Parallelize.bySplits(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("__t")), "doc_id")
+    val toks = TextOps.tokens(col("__t"))
+    val len = greatest(size(toks) - 1, lit(0))
+    val pairs = zip_with(
+      slice(toks, lit(1), len),
+      slice(toks, lit(2), len),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    spread
+      .select(col("doc_id"), explode(pairs).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+  }
+
+  /** The trained model: corpus-wide bigram type counts (w1, w2, c12),
+    * optionally thresholded. This is the dumpable model artifact — the
+    * scoring join consumes exactly these counts.
+    */
+  def bigramCounts(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 1L): DataFrame =
+    bigramPairs(docs, idCol, textCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+
+  /** Per-document add-one-smoothed bigram log-likelihood in integer
+    * micro-nats: for each adjacent pair, lp = ln((c12+1)/(c1+V)) with
+    * c1 = occurrences of w1 as a bigram left token and V = corpus
+    * distinct-token count; output (doc_id, n_bigrams,
+    * lp_micro_sum = sum floor(lp*1e6)). Low (more negative) mean
+    * scores flag out-of-distribution / junk documents — the filter
+    * consumer divides lp_micro_sum by n_bigrams.
+    */
+  def scoreDocs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pairs = bigramPairs(docs, idCol, textCol)
+    val c12 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val vocab = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    pairs
+      .join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        floor(log((col("c12") + lit(1.0)) / (col("c1") + col("v"))) * 1e6)
+          .cast("long").as("lp_micro"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_micro")).as("lp_micro_sum"))
+  }
+
+  /** PMI collocations: bigram types with c12 >= minCount scored by
+    * pointwise mutual information ln(c12*N / (c1*c2)), where c1/c2 are
+    * the token's occurrence counts as bigram left/right element and N
+    * the corpus bigram total. Output is deliberately rank-free
+    * (doubles hash safely as VALUES; ranking on them could flip on a
+    * 1-ulp ln() divergence — same posture as CorpusStats.tfidf).
+    */
+  def pmiCollocations(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 3L): DataFrame = {
+    val pairs = bigramPairs(docs, idCol, textCol)
+    val c12 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val c2 = c12.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
+    val n = pairs.agg(count(lit(1)).as("n_bg"))
+    c12.filter(col("c12") >= minCount)
+      .join(c1, Seq("w1"))
+      .join(c2, Seq("w2"))
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c12"),
+        log(col("c12").cast("double") * col("n_bg") /
+          (col("c1").cast("double") * col("c2"))).as("pmi"))
+  }
+}

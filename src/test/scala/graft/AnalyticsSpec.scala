@@ -1,0 +1,144 @@
+package graft
+
+import graft.ann.FeatureHash
+import graft.corpus.{InvertedIndex, Quantiles}
+import graft.operators.PageRank
+import graft.textops.LangModel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Corpus-analytics operators added round 4b: bigram LM scoring, PMI,
+  * order statistics, inverted index, feature hashing, PageRank, and the
+  * streaming dedup drain.
+  */
+class AnalyticsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-analytics-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def docsDf(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  test("bigramPairs: adjacent pairs in order, short docs emit none") {
+    val got = LangModel.bigramPairs(docsDf((1L, "a b c"), (2L, "x"), (3L, "")), "doc_id", "text")
+      .orderBy("doc_id", "w1").collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq((1L, "a", "b"), (1L, "b", "c")))
+  }
+
+  test("scoreDocs: add-one bigram log-likelihood in exact micro-nats") {
+    // corpus: (a b) x2, (a c) x1 -> c1(a)=3, V={a,b,c}=3
+    val got = LangModel.scoreDocs(
+      docsDf((1L, "a b"), (2L, "a b"), (3L, "a c")), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    def micro(lp: Double): Long = math.floor(lp * 1e6).toLong
+    val lpAB = micro(math.log((2 + 1.0) / (3 + 3))) // ln(1/2)
+    val lpAC = micro(math.log((1 + 1.0) / (3 + 3))) // ln(1/3)
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 1L, lpAB), (2L, 1L, lpAB), (3L, 1L, lpAC)))
+  }
+
+  test("pmiCollocations: repeated pair scores ln(c12*N/(c1*c2))") {
+    // "a b a b": pairs (a,b)x2, (b,a)x1; c1(a)=2 c2(b)=2 N=3
+    val got = LangModel.pmiCollocations(docsDf((1L, "a b a b")), "doc_id", "text",
+      minCount = 2).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getString(0), r.getString(1), r.getLong(2)) == ("a", "b", 2L))
+    assert(math.abs(r.getDouble(3) - math.log(2.0 * 3 / (2.0 * 2))) < 1e-12)
+  }
+
+  test("discreteQuantiles: smallest value whose cumulative count reaches ceil(q*n)") {
+    import spark.implicits._
+    val df = ((1 to 10).map(v => ("g", v.toLong)) ++ Seq(("h", 1L), ("h", 1L), ("h", 1L), ("h", 7L)))
+      .toDF("lang", "n_chars")
+    val got = Quantiles.discreteQuantiles(df, "lang", "n_chars", Seq(0.5, 0.9))
+      .orderBy("lang", "q").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    // g: n=10, ceil(.5*10)=5 -> 5; ceil(.9*10)=9 (0.9*10 is EXACTLY 9.0
+    //    in doubles — unlike 0.9*500 = 450.00000000000006) -> 9
+    // h: n=4,  ceil(2)=2 -> 1;     ceil(3.6)=4 -> 7
+    assert(got == Seq(("g", 0.5, 5L), ("g", 0.9, 9L), ("h", 0.5, 1L), ("h", 0.9, 7L)))
+  }
+
+  test("sampledQuantiles: deterministic and computed over the hash-sample only") {
+    import spark.implicits._
+    val df = (1 to 100).map(v => ("g", v.toLong, v.toLong)).toDF("lang", "n_chars", "doc_id")
+    val a = Quantiles.sampledQuantiles(df, "lang", "n_chars", "doc_id",
+      Seq(0.5), "s", 1, 2).collect()
+    val b = Quantiles.sampledQuantiles(df, "lang", "n_chars", "doc_id",
+      Seq(0.5), "s", 1, 2).collect()
+    assert(a.toSeq == b.toSeq && a.length == 1)
+    // full-rate sample must equal the exact quantile
+    val full = Quantiles.sampledQuantiles(df, "lang", "n_chars", "doc_id",
+      Seq(0.5), "s", 1, 1).collect()
+    val exact = Quantiles.discreteQuantiles(df, "lang", "n_chars", Seq(0.5)).collect()
+    assert(full.map(_.getLong(2)).toSeq == exact.map(_.getLong(2)).toSeq)
+  }
+
+  test("inverted index: ordered 1-based positions, df band enforced") {
+    val got = InvertedIndex.build(
+      docsDf((1L, "w x w"), (2L, "w y"), (3L, "w z only")),
+      "doc_id", "text", minDf = 2, maxDf = 2)
+    // df(w)=3 excluded by maxDf; only terms with df exactly 2 survive: none (x,y,z,only have df 1)
+    assert(got.count() == 0)
+    val got2 = InvertedIndex.build(
+      docsDf((1L, "w x w"), (2L, "w y"), (3L, "w z only")),
+      "doc_id", "text", minDf = 3, maxDf = 3)
+      .orderBy("doc_id").collect()
+    assert(got2.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq ==
+      Seq(("w", 1L, 2L, "1,3"), ("w", 2L, 1L, "1"), ("w", 3L, 1L, "1")))
+  }
+
+  test("feature hash: per-doc weights sum to token count, deterministic") {
+    val docs = docsDf((1L, "a b c d e a"), (2L, "z"))
+    val got = FeatureHash.features(docs, "doc_id", "text", dim = 8)
+    val sums = got.groupBy("doc_id").agg(sum("weight").as("s"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(sums == Seq((1L, 6L), (2L, 1L)))
+    assert(got.filter(col("feat_idx") < 0 || col("feat_idx") >= 8).count() == 0)
+    assert(got.collect().toSet == FeatureHash.features(docs, "doc_id", "text", dim = 8).collect().toSet)
+  }
+
+  test("pageRank matches a driver-side power iteration on a star graph") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 1L), (3L, 1L), (4L, 1L))
+      .toDF("src", "dst")
+    val got = PageRank.pageRank(edges, "src", "dst", iters = 8, d = 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // reference power iteration
+    val out = Map(1L -> Seq(2L, 3L, 4L), 2L -> Seq(1L), 3L -> Seq(1L), 4L -> Seq(1L))
+    var r = Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.0, 4L -> 1.0)
+    for (_ <- 1 to 8) {
+      val contrib = out.toSeq.flatMap { case (u, vs) => vs.map(v => v -> r(u) / vs.size) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      r = r.keys.map(n => n -> (0.15 + 0.85 * contrib.getOrElse(n, 0.0))).toMap
+    }
+    assert(got.keySet == r.keySet)
+    for ((n, v) <- r) assert(math.abs(got(n) - v) < 1e-9, s"node $n: ${got(n)} vs $v")
+    assert(got(1L) > got(2L)) // hub outranks leaves
+  }
+
+  test("streaming dedup drain keeps one row per checksum (same-event-time dups)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_sdedup_test").toString
+    val ts = new java.sql.Timestamp(1700000000000L)
+    Seq((1L, "h1", ts), (2L, "h2", ts), (3L, "h1", ts), (4L, "h3", ts), (5L, "h2", ts))
+      .toDF("doc_id", "checksum", "ts")
+      .coalesce(1).write.parquet(s"$root/in")
+    graft.streaming.StreamingState.dedupRunOnce(
+      spark, s"$root/in", s"$root/out", s"$root/cp")
+    val got = spark.read.parquet(s"$root/out").select("checksum").collect()
+      .map(_.getString(0))
+    assert(got.sorted.toSeq == Seq("h1", "h2", "h3"))
+  }
+}
