@@ -815,6 +815,49 @@ object SparkEntry {
     "stream_dedup" -> ((s, dir) => {
       val out = streamDedupDrain(s, dir)
       s.read.parquet(out).select(col("checksum"))
+    }),
+
+    // ---- order stats: robust MAD outlier gate (k=3) on doc length per
+    // language — integer-exact end to end. The synthetic corpus is
+    // uniform-length (nothing exceeds 3x MAD, which would gate on an
+    // always-empty result), so a deterministic heavy tail is seeded
+    // in-query — every 50th doc's length x100 — and the oracle replays
+    // the seeding, so the flagging path is actually exercised
+    "q_mad_outliers" -> ((s, dir) =>
+      graft.corpus.Quantiles.madOutliers(
+        s.read.parquet(t(dir, "documents"))
+          .select(col("lang"), col("doc_id"),
+            when(col("doc_id") % 50 === 0, col("n_chars") * 100)
+              .otherwise(col("n_chars")).as("n_chars")),
+        "lang", "n_chars", k = 3)),
+
+    // ---- order stats: per-language equi-width length histogram
+    "q_histogram" -> ((s, dir) =>
+      graft.corpus.Quantiles.histogram(
+        s.read.parquet(t(dir, "documents")), "lang", "n_chars", buckets = 10)),
+
+    // ---- embeddings: per-label centroid coordinates (the k-means
+    // E-step / class-prototype primitive as a standalone report;
+    // record-local posexplode + one (label, dim) shuffle)
+    "q_label_centroids" -> ((s, dir) =>
+      s.read.parquet(t(dir, "embeddings"))
+        .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy(col("label"), col("i"))
+        .agg(count(lit(1)).as("n"), avg(col("x").cast("double")).as("mean_x"))),
+
+    // ---- graph x dedup composition: duplication centrality — PageRank
+    // over the symmetrized winnowing local-overlap graph (docs sharing
+    // >= 2 fingerprints), ranking the docs that sit at the center of
+    // boilerplate-sharing clusters
+    "q_dup_centrality" -> ((s, dir) => {
+      val pairs = graft.dedup.Winnow.candidatePairs(
+        graft.dedup.Winnow.fingerprints(
+          s.read.parquet(t(dir, "documents")), "doc_id", "text", k = 4, w = 4),
+        minShared = 2)
+      val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      graft.operators.PageRank.pageRank(
+        fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))),
+        "src", "dst", iters = 4, d = 0.85)
     })
   )
 
@@ -1313,30 +1356,7 @@ object SparkEntry {
         |  FROM wins
         |)
         |SELECT DISTINCT doc_id, CAST(pos AS INTEGER) AS pos, fp FROM sel""".stripMargin,
-    "q_winnow_pairs" ->
-      // winnow selection (as q_winnow) -> distinct postings -> fp
-      // equi-join -> pairs sharing >= 2 distinct fingerprints
-      """WITH t AS (
-        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-        |), h AS (
-        |  SELECT doc_id,
-        |    list_transform(range(1, greatest(len(toks) - 4 + 1, 0) + 1),
-        |      i -> CAST('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 3), ' ')), 1, 15) AS BIGINT)) AS hs
-        |  FROM t
-        |), wins AS (
-        |  SELECT doc_id, hs, unnest(range(0, greatest(len(hs) - 4, 0) + 1)) AS j
-        |  FROM h WHERE len(hs) > 0
-        |), sel AS (
-        |  SELECT DISTINCT doc_id,
-        |    list_min(list_slice(hs, j + 1, j + 4)) AS fp
-        |  FROM wins
-        |), pj AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.fp
-        |  FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
-        |)
-        |SELECT id_a, id_b, count(DISTINCT fp) AS n_shared
-        |FROM pj GROUP BY id_a, id_b
-        |HAVING count(DISTINCT fp) >= 2""".stripMargin,
+    "q_winnow_pairs" -> winnowPairsSql,
     "q_budget_select" -> {
       val allMarkers = TextOps.LangMarkers.flatMap(_._2)
         .map(m => s"'$m'").mkString("(", ", ", ")")
@@ -2035,7 +2055,78 @@ object SparkEntry {
         |  CAST('0x' || substr(md5('feat' || tok), 1, 15) AS BIGINT) % 64 AS feat_idx,
         |  count(*) AS weight
         |FROM tok GROUP BY doc_id, feat_idx""".stripMargin,
-    "q_pagerank" -> pagerankOracle(iters = 8, d = 0.85),
+    "q_pagerank" ->
+      ("""WITH e AS (
+         |  SELECT DISTINCT CAST(c_custkey AS BIGINT) AS src,
+         |    CAST(1000000 + c_nationkey AS BIGINT) AS dst FROM customer
+         |  UNION
+         |  SELECT DISTINCT CAST(1000000 + c_nationkey AS BIGINT) AS src,
+         |    CAST(c_custkey AS BIGINT) AS dst FROM customer
+         |)""".stripMargin + pagerankTail(iters = 8, d = 0.85)),
+    // duplication centrality: the winnow local-overlap pair query as a
+    // nested CTE, symmetrized, then the shared power-iteration chain
+    "q_dup_centrality" ->
+      (s"""WITH wp AS (
+          |$winnowPairsSql
+          |), e AS (
+          |  SELECT id_a AS src, id_b AS dst FROM wp
+          |  UNION
+          |  SELECT id_b AS src, id_a AS dst FROM wp
+          |)""".stripMargin + pagerankTail(iters = 4, d = 0.85)),
+    "q_mad_outliers" ->
+      """WITH docs2 AS (
+        |  SELECT lang, doc_id,
+        |    CASE WHEN doc_id % 50 = 0 THEN n_chars * 100 ELSE n_chars END AS n_chars
+        |  FROM documents
+        |), c AS (
+        |  SELECT lang AS grp, n_chars AS v, count(*) AS c FROM docs2 GROUP BY 1, 2
+        |), w AS (
+        |  SELECT grp, v,
+        |    sum(c) OVER (PARTITION BY grp ORDER BY v
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY grp) AS n
+        |  FROM c
+        |), med AS (
+        |  SELECT grp, min(v) AS med FROM w
+        |  WHERE cum >= ceil(CAST(0.5 AS DOUBLE) * n) GROUP BY grp
+        |), d2 AS (
+        |  SELECT d.lang, d.doc_id, d.n_chars, m.med,
+        |    abs(d.n_chars - m.med) AS dev
+        |  FROM docs2 d JOIN med m ON m.grp = d.lang
+        |), c2 AS (
+        |  SELECT lang AS grp, dev AS v, count(*) AS c FROM d2 GROUP BY 1, 2
+        |), w2 AS (
+        |  SELECT grp, v,
+        |    sum(c) OVER (PARTITION BY grp ORDER BY v
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY grp) AS n
+        |  FROM c2
+        |), mad AS (
+        |  SELECT grp, min(v) AS mad FROM w2
+        |  WHERE cum >= ceil(CAST(0.5 AS DOUBLE) * n) GROUP BY grp
+        |)
+        |SELECT d2.lang, d2.doc_id, d2.n_chars, d2.med, a.mad
+        |FROM d2 JOIN mad a ON a.grp = d2.lang
+        |WHERE d2.dev > 3 * a.mad""".stripMargin,
+    "q_histogram" ->
+      """WITH ext AS (
+        |  SELECT lang, min(n_chars) AS mn, max(n_chars) AS mx
+        |  FROM documents GROUP BY lang
+        |), b AS (
+        |  SELECT d.lang,
+        |    least(CAST(floor(CAST((d.n_chars - mn) * 10 AS DOUBLE)
+        |                     / (mx - mn + 1)) AS BIGINT), 9) AS bucket
+        |  FROM documents d JOIN ext USING (lang)
+        |)
+        |SELECT lang, bucket, count(*) AS cnt FROM b GROUP BY lang, bucket""".stripMargin,
+    "q_label_centroids" ->
+      """WITH e AS (
+        |  SELECT label, unnest(range(len(embedding))) AS i,
+        |    unnest(embedding::DOUBLE[]) AS x
+        |  FROM embeddings
+        |)
+        |SELECT label, CAST(i AS INTEGER) AS i, count(*) AS n, avg(x) AS mean_x
+        |FROM e GROUP BY label, i""".stripMargin,
     // the streaming dedup drain keeps exactly one row per distinct
     // checksum (duplicates share their original's event time, single
     // micro-batch), so the batch distinct states the expected set
@@ -2078,23 +2169,45 @@ object SparkEntry {
        |FROM x WHERE cum >= ceil(q * n) GROUP BY grp, q""".stripMargin
   }
 
-  /** Fixed-iteration PageRank oracle: one chained CTE per power
-    * iteration over the symmetrized customer<->nation edge set,
-    * replaying PageRank.pageRank's normalized update r' = (1-d) +
-    * d*sum(r/deg). The base constant is rendered from the SAME Scala
-    * double (1.0 - d) the engine folds, so both engines iterate from
-    * bit-identical literals.
+  /** Winnow local-overlap candidate pairs in pure SQL (selection as
+    * q_winnow -> distinct postings -> fp equi-join -> pairs sharing
+    * >= 2 distinct fingerprints) — shared by q_winnow_pairs and, as a
+    * nested CTE, by q_dup_centrality's edge set.
     */
-  private def pagerankOracle(iters: Int, d: Double): String = {
+  private val winnowPairsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |), h AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, greatest(len(toks) - 4 + 1, 0) + 1),
+      |      i -> CAST('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 3), ' ')), 1, 15) AS BIGINT)) AS hs
+      |  FROM t
+      |), wins AS (
+      |  SELECT doc_id, hs, unnest(range(0, greatest(len(hs) - 4, 0) + 1)) AS j
+      |  FROM h WHERE len(hs) > 0
+      |), sel AS (
+      |  SELECT DISTINCT doc_id,
+      |    list_min(list_slice(hs, j + 1, j + 4)) AS fp
+      |  FROM wins
+      |), pj AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.fp
+      |  FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |)
+      |SELECT id_a, id_b, count(DISTINCT fp) AS n_shared
+      |FROM pj GROUP BY id_a, id_b
+      |HAVING count(DISTINCT fp) >= 2""".stripMargin
+
+  /** Fixed-iteration PageRank oracle tail: deg/nodes/base plus one
+    * chained CTE per power iteration, replaying PageRank.pageRank's
+    * normalized update r' = (1-d) + d*sum(r/deg) over a CTE `e(src,
+    * dst)` the caller prepends. The base constant is rendered from the
+    * SAME Scala double (1.0 - d) the engine folds, so both engines
+    * iterate from bit-identical literals.
+    */
+  private def pagerankTail(iters: Int, d: Double): String = {
     val base = 1.0 - d
     val head =
-      """WITH e AS (
-        |  SELECT DISTINCT CAST(c_custkey AS BIGINT) AS src,
-        |    CAST(1000000 + c_nationkey AS BIGINT) AS dst FROM customer
-        |  UNION
-        |  SELECT DISTINCT CAST(1000000 + c_nationkey AS BIGINT) AS src,
-        |    CAST(c_custkey AS BIGINT) AS dst FROM customer
-        |), deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src
+      """, deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src
         |), nodes AS (SELECT DISTINCT src AS node FROM e
         |), it0 AS (SELECT node, 1.0 AS r FROM nodes)""".stripMargin
     val steps = (1 to iters).map { k =>

@@ -61,4 +61,51 @@ object Quantiles {
       df.filter(pmod(graft.PortableHash.salted60(col(keyCol), salt), lit(den)) < num),
       groupCol, valCol, qs)
   }
+
+  /** Robust outlier gate: rows whose |value - group median| exceeds
+    * k x the group's MAD (median absolute deviation) — the
+    * length-outlier filter that survives the heavy-tailed document
+    * distributions a mean/stddev z-score gets wrecked by. Output is the
+    * input's columns plus (med, mad) for FLAGGED rows only. All
+    * arithmetic is integer-exact for integer value columns (discrete
+    * medians, |v-med|, k*mad), so the oracle hashes bit-equal.
+    *
+    * Scale posture: two discreteQuantiles passes (each a
+    * map-side-combined count shuffle + value-domain-bounded window)
+    * plus two broadcast joins of one-row-per-group median tables.
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valCol: String,
+      k: Long): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val med = broadcast(discreteQuantiles(df, groupCol, valCol, Seq(0.5))
+      .select(col(groupCol).as("__g"), col("q_value").as("med")))
+    val withMed = df.join(med, col(groupCol) === col("__g")).drop("__g")
+    val dev = withMed.withColumn("__dev", abs(col(valCol) - col("med")))
+    val mad = broadcast(discreteQuantiles(dev, groupCol, "__dev", Seq(0.5))
+      .select(col(groupCol).as("__g"), col("q_value").as("mad")))
+    dev.join(mad, col(groupCol) === col("__g")).drop("__g")
+      .filter(col("__dev") > lit(k) * col("mad"))
+      .drop("__dev")
+  }
+
+  /** Per-group equi-width histogram: value v lands in bucket
+    * floor((v-min)*buckets/(max-min+1)), clamped to buckets-1 — counts
+    * per (group, bucket). The divide is done in doubles on BOTH engine
+    * and oracle (products stay far below 2^53, so it is exact and
+    * portable). One extent shuffle broadcast back + one count shuffle.
+    */
+  def histogram(df: DataFrame, groupCol: String, valCol: String,
+      buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets must be positive: $buckets")
+    val ext = broadcast(df.groupBy(col(groupCol).as("__g"))
+      .agg(min(col(valCol)).as("__mn"), max(col(valCol)).as("__mx")))
+    df.join(ext, col(groupCol) === col("__g"))
+      .select(col(groupCol),
+        least(
+          floor(((col(valCol) - col("__mn")) * buckets).cast("double") /
+            (col("__mx") - col("__mn") + 1)),
+          lit(buckets - 1L)).as("bucket"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
 }

@@ -85,6 +85,31 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(full.map(_.getLong(2)).toSeq == exact.map(_.getLong(2)).toSeq)
   }
 
+  test("madOutliers: flags |v - median| > k*MAD, integer-exact, degenerate MAD=0") {
+    import spark.implicits._
+    // g: values 1,2,3,4,100 -> med=3, devs sorted 0,1,1,2,97 -> mad=1
+    //    -> only 100 exceeds 3*1
+    // h: four 10s and a 100 -> med=10, mad=0 -> anything above 10 flags
+    val df = (Seq(("g", 1L, 1L), ("g", 2L, 2L), ("g", 3L, 3L), ("g", 4L, 4L),
+      ("g", 5L, 100L)) ++ (1 to 4).map(i => ("h", 10L + i, 10L)) :+ ("h", 15L, 100L))
+      .toDF("lang", "doc_id", "n_chars")
+    val got = graft.corpus.Quantiles.madOutliers(df, "lang", "n_chars", k = 3)
+      .orderBy("lang")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(("g", 5L, 100L, 3L, 1L), ("h", 15L, 100L, 10L, 0L)))
+  }
+
+  test("histogram: equi-width buckets with max clamped into the last one") {
+    import spark.implicits._
+    val df = ((0 to 9).map(v => ("g", v.toLong)) :+ ("h", 7L)).toDF("lang", "n_chars")
+    val got = graft.corpus.Quantiles.histogram(df, "lang", "n_chars", buckets = 10)
+      .orderBy("lang", "bucket").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // g: mn=0 mx=9 width 10 -> bucket v each; h: single value -> bucket 0
+    assert(got == (0 to 9).map(v => ("g", v.toLong, 1L)) :+ ("h", 0L, 1L))
+  }
+
   test("inverted index: ordered 1-based positions, df band enforced") {
     val got = InvertedIndex.build(
       docsDf((1L, "w x w"), (2L, "w y"), (3L, "w z only")),
