@@ -145,6 +145,31 @@ object SparkEntry {
     out
   }
 
+  /** Streaming windowed-count drain over the events table (landing copy
+    * = one file, one deterministic micro-batch). Append-mode emission is
+    * watermark-gated: windows with end <= max(ts) - delay reach the
+    * sink (boundary equality EMITS — pinned by the AnalyticsSpec
+    * boundary test), which the batch oracle restates as a HAVING.
+    */
+  private def streamWindowDrain(s: SparkSession, dir: String): String = {
+    streamCleanupHook
+    val root = streamLandingDirs.computeIfAbsent(s"$dir#window", _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_swin").toString
+      s.read.parquet(t(dir, "events"))
+        // the raw table reads as TIMESTAMP_NTZ (parquet without tz);
+        // watermarks require TIMESTAMP — same instant under the UTC
+        // session, so the oracle's naive-timestamp epoch math matches
+        .select(col("ts").cast("timestamp").as("ts"), col("event_type"))
+        .coalesce(1).write.parquet(s"$tmp/in")
+      tmp
+    })
+    val run = streamRunSeq.incrementAndGet()
+    val out = s"$root/out$run"
+    graft.streaming.StreamingState.windowedCountsRunOnce(
+      s, s"$root/in", out, s"$root/cp$run", "ts", "event_type")
+    out
+  }
+
   /** One trained BPE codec per corpus dir per JVM: training is a pure
     * deterministic function of the documents table (top-word sample ->
     * seeded merge loop), so the cache is sound and the merge-table dump
@@ -817,6 +842,19 @@ object SparkEntry {
       s.read.parquet(out).select(col("checksum"))
     }),
 
+    // ---- streaming: watermarked tumbling-window counts (append mode —
+    // only watermark-closed windows reach the checkpointed sink; the
+    // batch oracle restates the emission rule as a HAVING on
+    // max(ts) - delay). Window bounds emitted as epoch seconds, the
+    // q_sessionize convention.
+    "stream_window_counts" -> ((s, dir) => {
+      val out = streamWindowDrain(s, dir)
+      s.read.parquet(out)
+        .select(col("w_start").cast("long").as("w_start"),
+          col("w_end").cast("long").as("w_end"),
+          col("event_type"), col("cnt"))
+    }),
+
     // ---- order stats: robust MAD outlier gate (k=3) on doc length per
     // language — integer-exact end to end. The synthetic corpus is
     // uniform-length (nothing exceeds 3x MAD, which would gate on an
@@ -844,6 +882,33 @@ object SparkEntry {
         .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
         .groupBy(col("label"), col("i"))
         .agg(count(lit(1)).as("n"), avg(col("x").cast("double")).as("mean_x"))),
+
+    // ---- runtime filter: Bloom-pruned equi-join (probe rows that
+    // cannot match are dropped before the join shuffle; output is
+    // byte-identical to the plain join, which is what the oracle
+    // states — the filter only cuts shuffle volume)
+    "q_bloom_join" -> ((s, dir) => {
+      val probe = s.read.parquet(t(dir, "orders"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val build = s.read.parquet(t(dir, "customer"))
+        .filter(col("c_acctbal") > 9000)
+        .select(col("c_custkey"), col("c_acctbal"))
+      graft.operators.BloomJoin.filteredJoin(probe, build,
+          "o_custkey", "c_custkey", mBits = 1024, k = 2, salt = "bloom")
+        .select(col("o_orderkey"), col("o_custkey"), col("c_acctbal"))
+    }),
+
+    // ---- runtime filter: the Bloom false-positive audit — DISTINCT
+    // probe keys that pass the filter but have no build match (the
+    // wasted shuffle rows), replayed relationally by the oracle via
+    // the "position set by any build key" DISTINCT + IN form
+    "q_bloom_prune_audit" -> ((s, dir) => {
+      val probe = s.read.parquet(t(dir, "orders")).select(col("o_custkey"))
+      val build = s.read.parquet(t(dir, "customer"))
+        .filter(col("c_acctbal") > 9000).select(col("c_custkey"))
+      graft.operators.BloomJoin.prunedNonMatches(probe, build,
+        "o_custkey", "c_custkey", mBits = 1024, k = 2, salt = "bloom")
+    }),
 
     // ---- graph x dedup composition: duplication centrality — PageRank
     // over the symmetrized winnowing local-overlap graph (docs sharing
@@ -2119,6 +2184,27 @@ object SparkEntry {
         |  FROM documents d JOIN ext USING (lang)
         |)
         |SELECT lang, bucket, count(*) AS cnt FROM b GROUP BY lang, bucket""".stripMargin,
+    "q_bloom_join" ->
+      """SELECT o_orderkey, o_custkey, c_acctbal
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_acctbal > 9000""".stripMargin,
+    "q_bloom_prune_audit" ->
+      """WITH bk AS (
+        |  SELECT c_custkey AS key FROM customer WHERE c_acctbal > 9000
+        |), bits AS (
+        |  SELECT DISTINCT
+        |    CAST('0x' || substr(md5('bloom' || CAST(j AS VARCHAR) || ':' || CAST(key AS VARCHAR)), 1, 15) AS BIGINT) % 1024 AS pos
+        |  FROM bk, (SELECT unnest(range(0, 2)) AS j) js
+        |), pk AS (SELECT DISTINCT o_custkey AS key FROM orders
+        |), pass AS (
+        |  SELECT key FROM pk
+        |  WHERE CAST('0x' || substr(md5('bloom0:' || CAST(key AS VARCHAR)), 1, 15) AS BIGINT) % 1024
+        |          IN (SELECT pos FROM bits)
+        |    AND CAST('0x' || substr(md5('bloom1:' || CAST(key AS VARCHAR)), 1, 15) AS BIGINT) % 1024
+        |          IN (SELECT pos FROM bits)
+        |)
+        |SELECT key AS o_custkey FROM pass
+        |WHERE key NOT IN (SELECT key FROM bk)""".stripMargin,
     "q_label_centroids" ->
       """WITH e AS (
         |  SELECT label, unnest(range(len(embedding))) AS i,
@@ -2131,7 +2217,18 @@ object SparkEntry {
     // checksum (duplicates share their original's event time, single
     // micro-batch), so the batch distinct states the expected set
     "stream_dedup" ->
-      "SELECT DISTINCT sha256(text) AS checksum FROM documents"
+      "SELECT DISTINCT sha256(text) AS checksum FROM documents",
+    "stream_window_counts" ->
+      """WITH mx AS (SELECT max(ts) AS m FROM events
+        |), b AS (
+        |  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w0, event_type FROM events
+        |)
+        |SELECT CAST(epoch(w0) AS BIGINT) AS w_start,
+        |  CAST(epoch(w0 + INTERVAL 1 HOUR) AS BIGINT) AS w_end,
+        |  event_type, count(*) AS cnt
+        |FROM b CROSS JOIN mx
+        |GROUP BY w0, event_type, m
+        |HAVING w0 + INTERVAL 1 HOUR <= m - INTERVAL 30 MINUTE""".stripMargin
   )
 
   /** Shared adjacent-token-pair CTE for the bigram LM oracles: 1-based

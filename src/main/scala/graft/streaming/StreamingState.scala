@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit, window}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Stateful streaming operators over the continuously-arriving span /
@@ -36,6 +37,36 @@ object StreamingState {
       .option("maxFilesPerTrigger", 64)
       .parquet(inputPath)
     val q = dedupByChecksum(src, watermark).writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** One AvailableNow drain of a watermarked tumbling-window count —
+    * the windowed-aggregation third of the streaming surface (dedup
+    * and sessionization above). Append mode: only windows the final
+    * watermark (max event time - delay) has closed reach the sink;
+    * still-open windows stay in state and are simply absent from this
+    * drain, which is what the batch oracle states. State is bounded by
+    * windows inside the watermark horizon.
+    */
+  def windowedCountsRunOnce(spark: SparkSession, inputPath: String,
+      outPath: String, checkpoint: String, tsCol: String, keyCol: String,
+      windowDur: String = "1 hour", delay: String = "30 minutes"): Unit = {
+    val schema = spark.read.parquet(inputPath).schema
+    val src = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 64)
+      .parquet(inputPath)
+    val agg = src.withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), windowDur), col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col(keyCol), col("cnt"))
+    val q = agg.writeStream
       .format("parquet")
       .option("path", outPath)
       .option("checkpointLocation", checkpoint)

@@ -153,6 +153,61 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got(1L) > got(2L)) // hub outranks leaves
   }
 
+  test("bloom join: output equals the plain join, no false negatives") {
+    import spark.implicits._
+    val probe = (1L to 200L).map(i => (i, i % 40)).toDF("row_id", "key")
+    val build = Seq(3L, 7L, 11L, 13L).map(k => (k, s"v$k")).toDF("bkey", "payload")
+    val plain = probe.join(build, col("key") === col("bkey"))
+      .select("row_id", "key", "payload").collect().toSet
+    val bloomed = graft.operators.BloomJoin.filteredJoin(
+        probe, build, "key", "bkey", mBits = 256, k = 2, salt = "t")
+      .select("row_id", "key", "payload").collect().toSet
+    assert(bloomed == plain && plain.size == 20)
+    // no false negatives: every build key passes the membership test
+    val words = graft.operators.BloomJoin.bloomWords(build, "bkey", 256, 2, "t")
+    assert(build.filter(
+      graft.operators.BloomJoin.mightContain(col("bkey"), words, 256, 2, "t"))
+      .count() == 4)
+  }
+
+  test("bloom prune audit: exactly the passing-but-unmatched keys") {
+    import spark.implicits._
+    val probe = (0L until 64L).map(k => Tuple1(k)).toDF("key")
+    val build = Seq(1L, 2L, 3L).map(Tuple1(_)).toDF("bkey")
+    // tiny saturated-ish filter (64 bits, k=1) forces false positives
+    val words = graft.operators.BloomJoin.bloomWords(build, "bkey", 64, 1, "fp")
+    val passing = probe.filter(
+      graft.operators.BloomJoin.mightContain(col("key"), words, 64, 1, "fp"))
+      .collect().map(_.getLong(0)).toSet
+    val audit = graft.operators.BloomJoin.prunedNonMatches(
+      probe, build, "key", "bkey", 64, 1, "fp")
+      .collect().map(_.getLong(0)).toSet
+    assert(passing.intersect(Set(1L, 2L, 3L)) == Set(1L, 2L, 3L))
+    assert(audit == passing -- Set(1L, 2L, 3L))
+  }
+
+  test("streaming windowed counts: only watermark-closed windows are emitted") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_swin_test").toString
+    def ts(h: Int, m: Int) = java.sql.Timestamp.from(
+      java.time.LocalDateTime.of(2024, 1, 1, h, m)
+        .toInstant(java.time.ZoneOffset.UTC))
+    // max ts 02:30, delay 30m -> final watermark 02:00: window
+    // [00:00,01:00) closes; [01:00,02:00) sits ON the boundary;
+    // [02:00,03:00) stays open
+    Seq((ts(0, 30), "a"), (ts(1, 30), "a"), (ts(1, 45), "b"), (ts(2, 30), "a"))
+      .toDF("ts", "event_type").coalesce(1).write.parquet(s"$root/in")
+    graft.streaming.StreamingState.windowedCountsRunOnce(
+      spark, s"$root/in", s"$root/out", s"$root/cp", "ts", "event_type")
+    val got = spark.read.parquet(s"$root/out")
+      .orderBy("w_start", "event_type").collect()
+      .map(r => (r.getTimestamp(0), r.getString(2), r.getLong(3))).toSeq
+    info(s"emitted: $got")
+    assert(got.map(t => (t._1.toInstant.toString, t._2, t._3)) ==
+      Seq(("2024-01-01T00:00:00Z", "a", 1L),
+        ("2024-01-01T01:00:00Z", "a", 1L), ("2024-01-01T01:00:00Z", "b", 1L)))
+  }
+
   test("streaming dedup drain keeps one row per checksum (same-event-time dups)") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_sdedup_test").toString
