@@ -910,6 +910,33 @@ object SparkEntry {
         "o_custkey", "c_custkey", mBits = 1024, k = 2, salt = "bloom")
     }),
 
+    // ---- corpus drift: per-token KL(en||de) contributions — which
+    // tokens make one slice diverge from another (add-one smoothing
+    // over the union vocabulary; rank-free rows, q_tfidf posture)
+    "q_corpus_divergence" -> ((s, dir) =>
+      graft.corpus.CorpusStats.tokenKlContribs(
+        s.read.parquet(t(dir, "documents")), "lang", "text", "en", "de")),
+
+    // ---- ANN: hard-negative mining — top-k most-similar items with a
+    // DIFFERENT label (contrastive-training negative sampler)
+    "q_hard_negatives" -> ((s, dir) =>
+      Ann.hardNegatives(
+        s.read.parquet(t(dir, "embeddings")), "vec_id", "embedding", "label",
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
+
+    // ---- tokenizer analytics: BPE fertility per language (trained-BPE
+    // tokens per whitespace token — the tokenizer-efficiency report)
+    "q_bpe_fertility" -> ((s, dir) =>
+      s.read.parquet(t(dir, "documents"))
+        .select(col("lang"),
+          graft.functions.GraftFunctions.bpeCount(
+            s, col("text"), bpeModel(s, dir)).as("nb"),
+          TextOps.tokenCount(col("text")).as("nw"))
+        .groupBy(col("lang"))
+        .agg(sum(col("nb")).as("bpe_tokens"), sum(col("nw")).as("ws_tokens"))
+        .select(col("lang"), col("bpe_tokens"), col("ws_tokens"),
+          (col("bpe_tokens").cast("double") / col("ws_tokens")).as("fertility"))),
+
     // ---- graph x dedup composition: duplication centrality — PageRank
     // over the symmetrized winnowing local-overlap graph (docs sharing
     // >= 2 fingerprints), ranking the docs that sit at the center of
@@ -2205,6 +2232,51 @@ object SparkEntry {
         |)
         |SELECT key AS o_custkey FROM pass
         |WHERE key NOT IN (SELECT key FROM bk)""".stripMargin,
+    "q_corpus_divergence" ->
+      """WITH tk AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE lang IN ('en', 'de')
+        |), c AS (
+        |  SELECT tok,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+        |    CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+        |  FROM tk GROUP BY tok
+        |), t AS (
+        |  SELECT CAST(sum(c_a) AS BIGINT) AS tot_a,
+        |    CAST(sum(c_b) AS BIGINT) AS tot_b, count(*) AS v FROM c
+        |)
+        |SELECT tok, c_a, c_b,
+        |  ((c_a + 1.0) / (tot_a + v)) *
+        |    ln(((c_a + 1.0) / (tot_a + v)) / ((c_b + 1.0) / (tot_b + v))) AS kl_contrib
+        |FROM c CROSS JOIN t""".stripMargin,
+    "q_hard_negatives" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS query_id, label AS qlabel, e AS qe
+        |  FROM v WHERE vec_id IN (0, 1, 2, 3, 4)
+        |), s AS (
+        |  SELECT q.query_id, v.vec_id AS neighbor_id, v.label AS neighbor_label,
+        |    list_sum(list_transform(range(1, len(v.e) + 1), i -> q.qe[i] * v.e[i])) /
+        |    (sqrt(list_sum(list_transform(range(1, len(q.qe) + 1), i -> q.qe[i] * q.qe[i]))) *
+        |     sqrt(list_sum(list_transform(range(1, len(v.e) + 1), i -> v.e[i] * v.e[i])))) AS sim
+        |  FROM v CROSS JOIN q WHERE v.label <> q.qlabel
+        |), r AS (
+        |  SELECT query_id, neighbor_id, neighbor_label, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM s
+        |)
+        |SELECT query_id, neighbor_id, neighbor_label, rank, sim
+        |FROM r WHERE rank <= 10""".stripMargin,
+    "q_bpe_fertility" ->
+      (s"WITH RECURSIVE $bpeApplyCtes, " +
+        """d AS (
+          |  SELECT doc_id, lang, len(string_split(text, ' ')) AS nws FROM documents
+          |)
+          |SELECT lang, CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+          |  CAST(sum(nws) AS BIGINT) AS ws_tokens,
+          |  CAST(sum(n_bpe) AS DOUBLE) / sum(nws) AS fertility
+          |FROM doctok JOIN d USING (doc_id) GROUP BY lang""".stripMargin),
     "q_label_centroids" ->
       """WITH e AS (
         |  SELECT label, unnest(range(len(embedding))) AS i,

@@ -54,6 +54,40 @@ object Ann {
         col("rank").cast("bigint").as("rank"), col("sim"))
   }
 
+  /** Brute-force hard-negative mining: the top-k most-similar items
+    * carrying a DIFFERENT label than the query — the contrastive-
+    * training negative sampler ("hard" = high-similarity wrong-label).
+    * Same broadcast-query-set shape (and the same explicitly bounded
+    * exact-baseline posture) as [[bruteForceTopK]]; the LSH/IVF bucket
+    * paths are the scale route when the query set itself is large.
+    */
+  def hardNegatives(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      queryIds: Seq[Long],
+      k: Int): DataFrame = {
+    val items = emb.select(col(idCol).cast("long").as("item_id"),
+      col(labelCol).as("item_label"), asDouble(col(vecCol)).as("item_vec"))
+    val queries = items
+      .filter(col("item_id").isin(queryIds: _*))
+      .select(col("item_id").as("query_id"), col("item_label").as("query_label"),
+        col("item_vec").as("query_vec"))
+    val joined = items.crossJoin(broadcast(queries))
+      .filter(col("item_label") =!= col("query_label"))
+      .withColumn("sim",
+        dot(col("query_vec"), col("item_vec")) /
+          (norm(col("query_vec")) * norm(col("item_vec"))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("item_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("item_id").as("neighbor_id"),
+        col("item_label").as("neighbor_label"),
+        col("rank").cast("bigint").as("rank"), col("sim"))
+  }
+
   /** One portable hyperplane weight: md5("seed:t:b:i") -> 60-bit int ->
     * uniform in [-1, 1] via exact integer arithmetic + one IEEE divide.
     * Engine-reproducible (the DuckDB oracle replays the same formula),

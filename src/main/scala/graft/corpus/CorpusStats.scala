@@ -75,6 +75,35 @@ object CorpusStats {
         (col("tf") * log(col("n_docs").cast("double") / col("df"))).as("tfidf"))
   }
 
+  /** Per-token KL(A||B) contributions between two corpus slices — the
+    * domain-shift / drift report: which tokens make slice A diverge
+    * from slice B (sums to the full KL divergence under add-one
+    * smoothing over the UNION vocabulary, so absent-in-B tokens are
+    * finite). Output is rank-free per-token rows (counts exact,
+    * contribution a row-level IEEE formula — the q_tfidf posture).
+    *
+    * Scale posture: one map-side-combined token-count shuffle with the
+    * two slice counts as conditional sums (single pass, no join of two
+    * count tables), plus a broadcast 1-row totals cross join.
+    */
+  def tokenKlContribs(docs: DataFrame, sliceCol: String, textCol: String,
+      sliceA: String, sliceB: String): DataFrame = {
+    val c = docs
+      .filter(col(sliceCol).isin(sliceA, sliceB))
+      .select(col(sliceCol).as("__s"),
+        explode(TextOps.tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(sum(when(col("__s") === sliceA, 1L).otherwise(0L)).as("c_a"),
+        sum(when(col("__s") === sliceB, 1L).otherwise(0L)).as("c_b"))
+    val tot = c.agg(sum(col("c_a")).as("tot_a"), sum(col("c_b")).as("tot_b"),
+      count(lit(1)).as("v"))
+    val pA = (col("c_a") + lit(1.0)) / (col("tot_a") + col("v"))
+    val pB = (col("c_b") + lit(1.0)) / (col("tot_b") + col("v"))
+    c.crossJoin(broadcast(tot))
+      .select(col("tok"), col("c_a"), col("c_b"),
+        (pA * log(pA / pB)).as("kl_contrib"))
+  }
+
   /** Top-m TF-IDF terms per document. The per-doc window partition is
     * bounded by one document's vocabulary, so no salting is needed
     * (unlike the per-GROUP top-k above).

@@ -153,6 +153,37 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got(1L) > got(2L)) // hub outranks leaves
   }
 
+  test("tokenKlContribs: add-one-smoothed per-token KL terms, exact counts") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b", "en"), (2L, "a c", "de"))
+      .toDF("doc_id", "text", "lang")
+    val got = graft.corpus.CorpusStats.tokenKlContribs(docs, "lang", "text", "en", "de")
+      .orderBy("tok").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // c: a(2,1) b(1,0) c(0,1); tot_a=3 tot_b=2 v=3
+    def contrib(ca: Long, cb: Long): Double = {
+      val pA = (ca + 1.0) / 6.0; val pB = (cb + 1.0) / 5.0
+      pA * math.log(pA / pB)
+    }
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq(("a", 2L, 1L), ("b", 1L, 0L), ("c", 0L, 1L)))
+    val exp = Seq(contrib(2, 1), contrib(1, 0), contrib(0, 1))
+    got.map(_._4).zip(exp).foreach { case (g, e) => assert(math.abs(g - e) < 1e-12) }
+  }
+
+  test("hardNegatives: same-label items excluded, similarity-ranked") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, 0, Seq(1f, 0f)), (1L, 0, Seq(0.99f, 0.01f)), // same label: excluded
+      (2L, 1, Seq(0.9f, 0.1f)), (3L, 1, Seq(0f, 1f)), (4L, 2, Seq(0.5f, 0.5f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = graft.ann.Ann.hardNegatives(emb, "vec_id", "embedding", "label",
+      queryIds = Seq(0L), k = 3).orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getInt(2), r.getLong(3))).toSeq
+    // cosine vs (1,0): id2 ~.994, id4 ~.707, id3 = 0; id1 excluded
+    assert(got == Seq((2L, 1, 1L), (4L, 2, 2L), (3L, 1, 3L)))
+  }
+
   test("bloom join: output equals the plain join, no false negatives") {
     import spark.implicits._
     val probe = (1L to 200L).map(i => (i, i % 40)).toDF("row_id", "key")
