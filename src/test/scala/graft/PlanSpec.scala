@@ -189,4 +189,34 @@ class PlanSpec extends AnyFunSuite {
     assert(bandExchanges.forall(!_.contains("sig")),
       s"sig arrays ride the banded shuffle:\n${bandExchanges.mkString("\n")}")
   }
+
+  test("feature hashing: one deliberate spread, zero extra shuffles") {
+    // the (doc_id, feat_idx) aggregation is satisfied by the doc_id
+    // spread partitioning (subset clustering), so the only exchange is
+    // Parallelize.bySplits' REPARTITION — the op scans 100 TB once
+    val p = plan("q_feature_hash")
+    val nonBroadcast = p.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
+      .toVector
+    assert(nonBroadcast.size == 1 && nonBroadcast.head.contains("REPARTITION"),
+      s"expected only the spread exchange:\n${nonBroadcast.mkString("\n")}")
+  }
+
+  test("bloom join: membership filter sits on the probe side before the join") {
+    val p = plan("q_bloom_join")
+    // the pre-filter is the shiftleft/element_at membership test; it
+    // must appear as a Filter, and a join must still do the exact work
+    assert(p.contains("shiftleft"), s"no bloom membership filter:\n${p.take(2000)}")
+    val filterIdx = p.indexOf("shiftleft")
+    val joinIdx = math.max(p.indexOf("HashJoin"), p.indexOf("SortMergeJoin"))
+    assert(joinIdx >= 0, s"no join operator:\n${p.take(2000)}")
+    assert(filterIdx > joinIdx, // deeper in the tree = later in the string
+      "bloom filter is not below the join in the plan tree")
+  }
+
+  test("LM scoring: equi-joins only, the sole nested-loop is the 1-row vocab broadcast") {
+    val p = plan("q_lm_score")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1, p.take(2000))
+  }
 }
