@@ -876,12 +876,20 @@ object SparkEntry {
 
     // ---- embeddings: per-label centroid coordinates (the k-means
     // E-step / class-prototype primitive as a standalone report;
-    // record-local posexplode + one (label, dim) shuffle)
+    // record-local posexplode + one (label, dim) shuffle). Coordinates
+    // are discretized to integer micro-units BEFORE the sum so the
+    // aggregate is summation-order-immune under the gate's .12g
+    // hashing (raw double avg would be exact only while per-group
+    // sums fit the float quantum — a scale-dependent accident)
     "q_label_centroids" -> ((s, dir) =>
       s.read.parquet(t(dir, "embeddings"))
         .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("label"), col("i"),
+          floor(col("x").cast("double") * lit(1e6)).cast("long").as("xm"))
         .groupBy(col("label"), col("i"))
-        .agg(count(lit(1)).as("n"), avg(col("x").cast("double")).as("mean_x"))),
+        .agg(count(lit(1)).as("n"), sum(col("xm")).as("sum_micro"))
+        .select(col("label"), col("i"), col("n"),
+          (col("sum_micro").cast("double") / lit(1e6) / col("n")).as("mean_x"))),
 
     // ---- runtime filter: Bloom-pruned equi-join (probe rows that
     // cannot match are dropped before the join shuffle; output is
@@ -2280,10 +2288,11 @@ object SparkEntry {
     "q_label_centroids" ->
       """WITH e AS (
         |  SELECT label, unnest(range(len(embedding))) AS i,
-        |    unnest(embedding::DOUBLE[]) AS x
+        |    CAST(floor(unnest(embedding::DOUBLE[]) * 1000000.0) AS BIGINT) AS xm
         |  FROM embeddings
         |)
-        |SELECT label, CAST(i AS INTEGER) AS i, count(*) AS n, avg(x) AS mean_x
+        |SELECT label, CAST(i AS INTEGER) AS i, count(*) AS n,
+        |  CAST(sum(xm) AS DOUBLE) / 1000000.0 / count(*) AS mean_x
         |FROM e GROUP BY label, i""".stripMargin,
     // the streaming dedup drain keeps exactly one row per distinct
     // checksum (duplicates share their original's event time, single
@@ -2377,14 +2386,20 @@ object SparkEntry {
     val base = 1.0 - d
     val head =
       """, deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src
-        |), nodes AS (SELECT DISTINCT src AS node FROM e
+        |), nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e
         |), it0 AS (SELECT node, 1.0 AS r FROM nodes)""".stripMargin
+    // per-edge contributions discretized to integer picounits before
+    // the sum (PageRank.pageRank's order-immunity construction): the
+    // aggregate is integer-exact, so summation order cannot nudge the
+    // .12g-hashed doubles
     val steps = (1 to iters).map { k =>
       s""", it$k AS (
          |  SELECT n.node,
-         |    CAST($base AS DOUBLE) + CAST($d AS DOUBLE) * coalesce(s.m, 0.0) AS r
+         |    CAST($base AS DOUBLE) + CAST($d AS DOUBLE) *
+         |      (CAST(coalesce(s.m, 0) AS DOUBLE) / 1000000000000.0) AS r
          |  FROM nodes n LEFT JOIN (
-         |    SELECT e.dst AS node, sum(p.r / d.deg) AS m
+         |    SELECT e.dst AS node,
+         |      CAST(sum(CAST(floor(p.r / d.deg * 1000000000000.0) AS BIGINT)) AS BIGINT) AS m
          |    FROM e JOIN it${k - 1} p ON p.node = e.src
          |           JOIN deg d ON d.src = e.src
          |    GROUP BY e.dst) s ON s.node = n.node

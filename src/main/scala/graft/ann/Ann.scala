@@ -27,6 +27,43 @@ object Ann {
 
   private def asDouble(v: Column): Column = transform(v, _.cast("double"))
 
+  /** Shared brute-force core: broadcast query set, cosine against the
+    * full item set, per-query window rank to k — parameterized by an
+    * optional label column (carried through to queries/output) and the
+    * row-keep predicate ([[bruteForceTopK]] excludes self;
+    * [[hardNegatives]] excludes same-label).
+    */
+  private def rankedBySim(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: Option[String],
+      queryIds: Seq[Long],
+      k: Int): DataFrame = {
+    val itemCols = Seq(col(idCol).cast("long").as("item_id")) ++
+      labelCol.map(c => col(c).as("item_label")) :+
+      asDouble(col(vecCol)).as("item_vec")
+    val items = emb.select(itemCols: _*)
+    val queryCols = Seq(col("item_id").as("query_id")) ++
+      labelCol.map(_ => col("item_label").as("query_label")) :+
+      col("item_vec").as("query_vec")
+    val queries = items
+      .filter(col("item_id").isin(queryIds: _*))
+      .select(queryCols: _*)
+    val keep = labelCol
+      .map(_ => col("item_label") =!= col("query_label"))
+      .getOrElse(col("item_id") =!= col("query_id"))
+    val joined = items.crossJoin(broadcast(queries))
+      .filter(keep)
+      .withColumn("sim",
+        dot(col("query_vec"), col("item_vec")) /
+          (norm(col("query_vec")) * norm(col("item_vec"))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("item_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Exact cosine top-k for each query id. Output:
     * (query_id, neighbor_id, rank, sim). Self-matches excluded.
     */
@@ -35,24 +72,10 @@ object Ann {
       idCol: String,
       vecCol: String,
       queryIds: Seq[Long],
-      k: Int): DataFrame = {
-    val items = emb.select(col(idCol).cast("long").as("item_id"),
-      asDouble(col(vecCol)).as("item_vec"))
-    val queries = items
-      .filter(col("item_id").isin(queryIds: _*))
-      .select(col("item_id").as("query_id"), col("item_vec").as("query_vec"))
-    val joined = items.crossJoin(broadcast(queries))
-      .filter(col("item_id") =!= col("query_id"))
-      .withColumn("sim",
-        dot(col("query_vec"), col("item_vec")) /
-          (norm(col("query_vec")) * norm(col("item_vec"))))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("item_id"))
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      k: Int): DataFrame =
+    rankedBySim(emb, idCol, vecCol, None, queryIds, k)
       .select(col("query_id"), col("item_id").as("neighbor_id"),
         col("rank").cast("bigint").as("rank"), col("sim"))
-  }
 
   /** Brute-force hard-negative mining: the top-k most-similar items
     * carrying a DIFFERENT label than the query — the contrastive-
@@ -67,26 +90,11 @@ object Ann {
       vecCol: String,
       labelCol: String,
       queryIds: Seq[Long],
-      k: Int): DataFrame = {
-    val items = emb.select(col(idCol).cast("long").as("item_id"),
-      col(labelCol).as("item_label"), asDouble(col(vecCol)).as("item_vec"))
-    val queries = items
-      .filter(col("item_id").isin(queryIds: _*))
-      .select(col("item_id").as("query_id"), col("item_label").as("query_label"),
-        col("item_vec").as("query_vec"))
-    val joined = items.crossJoin(broadcast(queries))
-      .filter(col("item_label") =!= col("query_label"))
-      .withColumn("sim",
-        dot(col("query_vec"), col("item_vec")) /
-          (norm(col("query_vec")) * norm(col("item_vec"))))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("item_id"))
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      k: Int): DataFrame =
+    rankedBySim(emb, idCol, vecCol, Some(labelCol), queryIds, k)
       .select(col("query_id"), col("item_id").as("neighbor_id"),
         col("item_label").as("neighbor_label"),
         col("rank").cast("bigint").as("rank"), col("sim"))
-  }
 
   /** One portable hyperplane weight: md5("seed:t:b:i") -> 60-bit int ->
     * uniform in [-1, 1] via exact integer arithmetic + one IEEE divide.

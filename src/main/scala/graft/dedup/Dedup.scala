@@ -400,7 +400,7 @@ object Dedup {
     (cp, ids)
   }
 
-  private def unpersistOwned(sc: org.apache.spark.SparkContext, ids: Set[Int]): Unit =
+  private[graft] def unpersistOwned(sc: org.apache.spark.SparkContext, ids: Set[Int]): Unit =
     sc.getPersistentRDDs.foreach { case (id, rdd) =>
       if (ids(id)) rdd.unpersist(blocking = false)
     }

@@ -36,7 +36,10 @@ object BloomJoin {
     require(mBits > 0 && mBits % 64 == 0, s"mBits must be a positive multiple of 64: $mBits")
     require(k >= 1, s"k must be positive: $k")
     val pos = positions(col(keyCol), mBits, k, salt)
+    // NULL build keys can never equi-join, so they contribute no bits
+    // (without the filter their NULL positions would NPE the word fill)
     val rows = build
+      .filter(col(keyCol).isNotNull)
       .select(explode(array(pos: _*)).as("pos"))
       .select((col("pos") / 64).cast("long").as("w"),
         call_function("shiftleft", lit(1L), pmod(col("pos"), lit(64)).cast("int"))

@@ -25,11 +25,19 @@ import org.apache.spark.sql.functions._
   * localCheckpoint-vs-reliable-checkpoint trade-off on a real cluster)
   * as Dedup.connectedComponents. Nothing reaches the driver.
   *
-  * Cross-engine posture: per-node contribution sums are IEEE doubles
-  * whose addition order is engine- and run-dependent; after k
-  * iterations the divergence stays ~1e-13 relative, far inside the
-  * gate's 4-decimal canonicalization, and the output is rank-free
-  * (values only) like CorpusStats.tfidf.
+  * Cross-engine posture: per-edge contributions are discretized to
+  * integer picounits (floor(r/deg * 1e12) as BIGINT) BEFORE the
+  * per-node sum, so the aggregate is integer-exact and immune to
+  * float summation order — raw double sums would diverge ~1e-13
+  * relative between Spark's partial-aggregate order and a sequential
+  * oracle, inside the correctness gate's .12g hashing quantum (the
+  * same reason LangModel.scoreDocs sums micro-nats). The floor itself
+  * cannot flip cross-engine: both engines compute r/deg from
+  * bit-identical inputs. Truncation error is <= 1e-12 per in-edge per
+  * round — noise for a centrality score. Overflow bound: |r| * 1e12
+  * must stay below 2^63, i.e. ranks below ~9e6 — safe for any graph
+  * whose total mass N fits that (1e6+-node graphs in the worst
+  * star-shaped case; far beyond it, raise the quantum).
   */
 object PageRank {
 
@@ -55,31 +63,28 @@ object PageRank {
       e0.select(col("src").as("node"))
         .union(e0.select(col("dst").as("node")))
         .distinct())
-    unpersistOwned(sc, e0Ids)
+    graft.dedup.Dedup.unpersistOwned(sc, e0Ids)
     var (ranks, rankIds) = graft.dedup.Dedup.checkpointOwned(
       nodes.select(col("node"), lit(1.0).as("r")))
     for (_ <- 1 to iters) {
       val contribs = ew
         .join(ranks, ew("src") === ranks("node"))
-        .groupBy(col("dst")).agg(sum(col("r") / col("deg")).as("m"))
+        .groupBy(col("dst"))
+        .agg(sum(floor(col("r") / col("deg") * lit(1e12)).cast("long")).as("m"))
       val (next, nextIds) = graft.dedup.Dedup.checkpointOwned(
         nodes
           .join(contribs, nodes("node") === contribs("dst"), "left")
           .select(col("node"),
-            (lit(1.0 - d) + lit(d) * coalesce(col("m"), lit(0.0))).as("r")))
-      unpersistOwned(sc, rankIds)
+            (lit(1.0 - d) + lit(d) *
+              (coalesce(col("m"), lit(0L)).cast("double") / lit(1e12))).as("r")))
+      graft.dedup.Dedup.unpersistOwned(sc, rankIds)
       ranks = next
       rankIds = nextIds
     }
     // the final frontier is checkpointed/materialized, so the graph
     // blocks can be released before handing the result to the caller
     // (the last rank block stays persisted — the caller holds it)
-    unpersistOwned(sc, ewIds ++ nodeIds)
+    graft.dedup.Dedup.unpersistOwned(sc, ewIds ++ nodeIds)
     ranks.select(col("node"), col("r").as("pr"))
   }
-
-  private def unpersistOwned(sc: org.apache.spark.SparkContext, ids: Set[Int]): Unit =
-    sc.getPersistentRDDs.foreach { case (id, rdd) =>
-      if (ids(id)) rdd.unpersist(blocking = false)
-    }
 }

@@ -140,13 +140,15 @@ class AnalyticsSpec extends AnyFunSuite {
       .toDF("src", "dst")
     val got = PageRank.pageRank(edges, "src", "dst", iters = 8, d = 0.85)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    // reference power iteration
+    // reference power iteration with the same picounit discretization
     val out = Map(1L -> Seq(2L, 3L, 4L), 2L -> Seq(1L), 3L -> Seq(1L), 4L -> Seq(1L))
     var r = Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.0, 4L -> 1.0)
     for (_ <- 1 to 8) {
-      val contrib = out.toSeq.flatMap { case (u, vs) => vs.map(v => v -> r(u) / vs.size) }
-        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
-      r = r.keys.map(n => n -> (0.15 + 0.85 * contrib.getOrElse(n, 0.0))).toMap
+      val contrib = out.toSeq.flatMap { case (u, vs) =>
+        vs.map(v => v -> math.floor(r(u) / vs.size * 1e12).toLong)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      r = r.keys.map(n =>
+        n -> (0.15 + 0.85 * (contrib.getOrElse(n, 0L).toDouble / 1e12))).toMap
     }
     assert(got.keySet == r.keySet)
     for ((n, v) <- r) assert(math.abs(got(n) - v) < 1e-9, s"node $n: ${got(n)} vs $v")
