@@ -193,6 +193,9 @@ object Bench {
     }
     for (wd <- warmDir; (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1))
       try { fn(spark, wd).count() } catch { case _: Throwable => () }
+    // drop every block the warmup pass left persisted before timing
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
     // Per query: best of 2 timed trials (a single trial is a coin flip
     // on host weather — round 3's driver artifact measured 50.1s for a
     // 3.6s query under a noisy neighbor), per-trial task-CPU deltas for
@@ -228,6 +231,12 @@ object Bench {
       }
       results(name) = best
       cpuSecs(name) = bestCpu
+      // release blocks a query left persisted (checkpointed graph
+      // frontiers, cached signatures): across 87 queries x 3 passes
+      // the leftovers otherwise accumulate in executor storage and the
+      // suite's tail queries pay their GC bill
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
