@@ -918,6 +918,16 @@ object SparkEntry {
         "o_custkey", "c_custkey", mBits = 1024, k = 2, salt = "bloom")
     }),
 
+    // ---- sketch: KMV set-overlap estimate between the en and de
+    // vocabularies (jaccard + union/intersection estimates from one
+    // size-k union sketch; exact below k — engine-replayable like
+    // q_sketch_distinct)
+    "q_sketch_overlap" -> ((s, dir) =>
+      graft.operators.Kmv.overlapEstimate(
+        s.read.parquet(t(dir, "documents"))
+          .select(col("lang"), explode(TextOps.tokens(col("text"))).as("tok")),
+        "lang", "tok", "en", "de", k = 256)),
+
     // ---- corpus drift: per-token KL(en||de) contributions — which
     // tokens make one slice diverge from another (add-one smoothing
     // over the union vocabulary; rank-free rows, q_tfidf posture)
@@ -2240,6 +2250,24 @@ object SparkEntry {
         |)
         |SELECT key AS o_custkey FROM pass
         |WHERE key NOT IN (SELECT key FROM bk)""".stripMargin,
+    "q_sketch_overlap" ->
+      """WITH h AS (
+        |  SELECT CAST('0x' || substr(md5('kov' || tok), 1, 15) AS BIGINT) AS hv,
+        |    max(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS in_a,
+        |    max(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS in_b
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents WHERE lang IN ('en', 'de'))
+        |  GROUP BY hv
+        |), tk AS (SELECT * FROM h ORDER BY hv LIMIT 256)
+        |SELECT CAST(count(*) AS BIGINT) AS n_sketch,
+        |  CAST(sum(in_a * in_b) AS BIGINT) AS k_intersect,
+        |  CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+        |       ELSE 255.0 * 1152921504606846976.0 / max(hv) END AS est_union,
+        |  CAST(sum(in_a * in_b) AS DOUBLE) / count(*) AS jaccard,
+        |  (CAST(sum(in_a * in_b) AS DOUBLE) / count(*)) *
+        |    (CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+        |          ELSE 255.0 * 1152921504606846976.0 / max(hv) END) AS est_intersect
+        |FROM tk""".stripMargin,
     "q_corpus_divergence" ->
       """WITH tk AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS tok

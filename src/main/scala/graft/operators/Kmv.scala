@@ -34,6 +34,48 @@ object Kmv {
     */
   val HashSpace: Double = 1152921504606846976.0 // 2^60, exact in double
 
+  /** KMV set-overlap estimate between the `valueCol` sets of two
+    * slices (Beyer et al., SIGMOD 2007 multiset-operation synopses):
+    * build the size-k union sketch (k smallest distinct hashes over
+    * both slices, each hash tagged with per-slice membership), then
+    *   jaccard  = |sketch hashes present in BOTH| / |sketch|
+    *   est_union = (k-1)*M/h_k   (exact |sketch| below k)
+    *   est_intersect = jaccard * est_union.
+    * Deterministic and engine-replayable like the distinct sketch —
+    * and exact whenever the union has fewer than k distinct values.
+    * One row out: (n_sketch, k_intersect, est_union, jaccard,
+    * est_intersect).
+    *
+    * Scale shape: one distinct-hash shuffle with map-side membership
+    * ORs, then orderBy+limit(k) = TakeOrderedAndProject (per-partition
+    * top-k, driver merge of k rows) — the slice-overlap report costs
+    * one pass regardless of corpus size.
+    */
+  def overlapEstimate(df: DataFrame, sliceCol: String, valueCol: String,
+      sliceA: String, sliceB: String, k: Int,
+      salt: String = "kov"): DataFrame = {
+    require(k >= 3, s"k must be >= 3, got $k")
+    val hashed = df
+      .filter(col(sliceCol).isin(sliceA, sliceB))
+      .select(col(sliceCol).as("__s"),
+        graft.PortableHash.salted60(col(valueCol), salt).as("hv"))
+      .filter(col("hv").isNotNull)
+      .groupBy(col("hv"))
+      .agg(max(when(col("__s") === sliceA, 1L).otherwise(0L)).as("in_a"),
+        max(when(col("__s") === sliceB, 1L).otherwise(0L)).as("in_b"))
+    val sketch = hashed.orderBy(col("hv")).limit(k)
+    val estUnion = when(col("n_sketch") < k, col("n_sketch").cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(HashSpace) / col("hk"))
+    sketch
+      .agg(count(lit(1)).as("n_sketch"), max(col("hv")).as("hk"),
+        sum(col("in_a") * col("in_b")).as("k_intersect"))
+      .select(col("n_sketch"), col("k_intersect"),
+        estUnion.as("est_union"),
+        (col("k_intersect").cast("double") / col("n_sketch")).as("jaccard"),
+        ((col("k_intersect").cast("double") / col("n_sketch")) * estUnion)
+          .as("est_intersect"))
+  }
+
   /** (groupCol, est_distinct): estimated distinct `valueCol` per group.
     * Exact count when a group has fewer than k distinct values. NULL
     * values are excluded (SQL COUNT(DISTINCT) semantics; a null hash

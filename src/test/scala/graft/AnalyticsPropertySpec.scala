@@ -137,6 +137,36 @@ class AnalyticsPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: KMV overlap estimate matches a local sketch simulation") {
+    import spark.implicits._
+    def h60(salt: String, v: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest((salt + v).getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    for (seed <- 1 to 5) {
+      val rng = new Random(seed * 512927377L)
+      val vocab = (0 until 120).map(i => s"w${rng.nextInt(500)}_$i")
+      val setA = vocab.filter(_ => rng.nextBoolean()).toSet
+      val setB = vocab.filter(_ => rng.nextBoolean()).toSet
+      val k = 16 // far below |A u B| -> estimator path
+      val rows = setA.toSeq.map(("a", _)) ++ setB.toSeq.map(("b", _))
+      val got = graft.operators.Kmv.overlapEstimate(
+        rows.toDF("s", "v"), "s", "v", "a", "b", k, salt = s"p$seed")
+        .collect().head
+      // local simulation over the same portable hash
+      val sketch = (setA ++ setB).toSeq
+        .map(v => (h60(s"p$seed", v), v)).sortBy(_._1).take(k)
+      val hk = sketch.map(_._1).max
+      val kint = sketch.count { case (_, v) => setA(v) && setB(v) }
+      val estU = (k - 1).toDouble * graft.operators.Kmv.HashSpace / hk
+      val jac = kint.toDouble / k
+      assert(got.getLong(0) == k.toLong && got.getLong(1) == kint.toLong, s"seed $seed")
+      assert(got.getDouble(2) == estU && got.getDouble(3) == jac, s"seed $seed")
+      assert(got.getDouble(4) == jac * estU, s"seed $seed")
+    }
+  }
+
   test("property: scoreDocs matches a local bigram-LM simulation") {
     import spark.implicits._
     for (seed <- 1 to 6) {

@@ -186,6 +186,15 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got == Seq((2L, 1, 1L), (4L, 2, 2L), (3L, 1, 3L)))
   }
 
+  test("KMV overlap: exact below k — true jaccard and set sizes") {
+    import spark.implicits._
+    val rows = Seq("a", "b", "c").map(("en", _)) ++ Seq("b", "c", "d").map(("de", _))
+    val got = graft.operators.Kmv.overlapEstimate(
+      rows.toDF("lang", "tok"), "lang", "tok", "en", "de", k = 16).collect().head
+    assert(got.getLong(0) == 4L && got.getLong(1) == 2L)
+    assert(got.getDouble(2) == 4.0 && got.getDouble(3) == 0.5 && got.getDouble(4) == 2.0)
+  }
+
   test("bloom join: output equals the plain join, no false negatives") {
     import spark.implicits._
     val probe = (1L to 200L).map(i => (i, i % 40)).toDF("row_id", "key")
