@@ -928,6 +928,33 @@ object SparkEntry {
           .select(col("lang"), explode(TextOps.tokens(col("text"))).as("tok")),
         "lang", "tok", "en", "de", k = 256)),
 
+    // ---- composition: CCNet-style perplexity bucketing — per-language
+    // head/middle/tail terciles of the bigram-LM mean log-likelihood
+    // (head = most in-distribution third; CCNet trains preferentially
+    // on it). Composes scoreDocs + discreteQuantiles; cuts broadcast
+    // back as one row per (lang, q)
+    "q_ccnet_buckets" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+      val scores = graft.textops.LangModel.scoreDocs(docs, "doc_id", "text")
+        .filter(col("n_bigrams") > 0)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .select(col("doc_id"), col("lang"),
+          (col("lp_micro_sum").cast("double") / col("n_bigrams")).as("mean_lp"))
+      val cuts = graft.corpus.Quantiles.discreteQuantiles(
+        scores, "lang", "mean_lp", Seq(1.0 / 3, 2.0 / 3))
+      val c1 = cuts.filter(col("q") === 1.0 / 3)
+        .select(col("lang").as("__l1"), col("q_value").as("cut1"))
+      val c2 = cuts.filter(col("q") === 2.0 / 3)
+        .select(col("lang").as("__l2"), col("q_value").as("cut2"))
+      scores
+        .join(broadcast(c1), col("lang") === col("__l1"))
+        .join(broadcast(c2), col("lang") === col("__l2"))
+        .select(col("doc_id"), col("lang"),
+          when(col("mean_lp") <= col("cut1"), lit("tail"))
+            .when(col("mean_lp") <= col("cut2"), lit("middle"))
+            .otherwise(lit("head")).as("bucket"))
+    }),
+
     // ---- corpus drift: per-token KL(en||de) contributions — which
     // tokens make one slice diverge from another (add-one smoothing
     // over the union vocabulary; rank-free rows, q_tfidf posture)
@@ -2115,20 +2142,8 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "q_lm_bigrams" -> (bigramCte +
       "\nSELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2 HAVING count(*) >= 2"),
-    "q_lm_score" -> (bigramCte +
-      """, c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
-        |), c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1
-        |), vc AS (
-        |  SELECT count(DISTINCT tok) AS v
-        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
-        |), lp AS (
-        |  SELECT doc_id,
-        |    CAST(floor(ln((c12 + 1.0) / (c1 + v)) * 1000000.0) AS BIGINT) AS lp_micro
-        |  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vc
-        |)
-        |SELECT doc_id, count(*) AS n_bigrams,
-        |  CAST(sum(lp_micro) AS BIGINT) AS lp_micro_sum
-        |FROM lp GROUP BY doc_id""".stripMargin),
+    "q_lm_score" -> (bigramCte + lmScoreCtes +
+      "\nSELECT doc_id, n_bigrams, lp_micro_sum FROM lmscore"),
     "q_pmi" -> (bigramCte +
       """, c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
         |), c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1
@@ -2268,6 +2283,42 @@ object SparkEntry {
         |    (CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
         |          ELSE 255.0 * 1152921504606846976.0 / max(hv) END) AS est_intersect
         |FROM tk""".stripMargin,
+    // CCNet bucket composition: LM score CTEs -> per-lang mean -> the
+    // discrete-quantile form over the DOUBLE means (exact equality
+    // grouping: identical IEEE doubles both engines) -> tercile CASE.
+    // Tercile literals rendered from the SAME Scala doubles the engine
+    // folds, cast ::DOUBLE[] (bare literals would be DECIMAL)
+    "q_ccnet_buckets" -> (bigramCte + lmScoreCtes +
+      s""", sc AS (
+         |  SELECT l.doc_id, d.lang,
+         |    CAST(l.lp_micro_sum AS DOUBLE) / l.n_bigrams AS mean_lp
+         |  FROM lmscore l JOIN documents d USING (doc_id)
+         |  WHERE l.n_bigrams > 0
+         |), cq0 AS (
+         |  SELECT lang AS grp, mean_lp AS v, count(*) AS c FROM sc GROUP BY 1, 2
+         |), cqw AS (
+         |  SELECT grp, v,
+         |    sum(c) OVER (PARTITION BY grp ORDER BY v
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    sum(c) OVER (PARTITION BY grp) AS n
+         |  FROM cq0
+         |), cqx AS (
+         |  SELECT grp, v, cum, n,
+         |    unnest([${1.0 / 3}, ${2.0 / 3}]::DOUBLE[]) AS q FROM cqw
+         |), cq AS (
+         |  SELECT grp AS lang, q, min(v) AS q_value
+         |  FROM cqx WHERE cum >= ceil(q * n) GROUP BY 1, 2
+         |), cuts AS (
+         |  SELECT lang,
+         |    max(CASE WHEN q < 0.5 THEN q_value END) AS cut1,
+         |    max(CASE WHEN q > 0.5 THEN q_value END) AS cut2
+         |  FROM cq GROUP BY lang
+         |)
+         |SELECT doc_id, lang,
+         |  CASE WHEN mean_lp <= cut1 THEN 'tail'
+         |       WHEN mean_lp <= cut2 THEN 'middle'
+         |       ELSE 'head' END AS bucket
+         |FROM sc JOIN cuts USING (lang)""".stripMargin),
     "q_corpus_divergence" ->
       """WITH tk AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS tok
@@ -2351,6 +2402,26 @@ object SparkEntry {
       |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
       |  FROM (SELECT doc_id, toks,
       |          unnest(range(1, greatest(len(toks), 1))) AS i FROM t)
+      |)""".stripMargin
+
+  /** The bigram-LM scoring CTE chain (counts, marginals, vocabulary,
+    * per-pair micro-nats, per-doc sums as `lmscore`) — shared by
+    * q_lm_score and the CCNet-style bucket composition.
+    */
+  private val lmScoreCtes: String =
+    """, c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+      |), c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1
+      |), vc AS (
+      |  SELECT count(DISTINCT tok) AS v
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |), lp AS (
+      |  SELECT doc_id,
+      |    CAST(floor(ln((c12 + 1.0) / (c1 + v)) * 1000000.0) AS BIGINT) AS lp_micro
+      |  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vc
+      |), lmscore AS (
+      |  SELECT doc_id, count(*) AS n_bigrams,
+      |    CAST(sum(lp_micro) AS BIGINT) AS lp_micro_sum
+      |  FROM lp GROUP BY doc_id
       |)""".stripMargin
 
   /** Discrete-quantile oracle over a documents-shaped relation: the
