@@ -66,14 +66,18 @@ object Kmv {
     val sketch = hashed.orderBy(col("hv")).limit(k)
     val estUnion = when(col("n_sketch") < k, col("n_sketch").cast("double"))
       .otherwise(lit((k - 1).toDouble) * lit(HashSpace) / col("hk"))
+    // an EMPTY sketch (neither slice present) is a defined result —
+    // zero overlap of zero sets — not a row of NULLs: the zero-row
+    // aggregate's NULL sum is coalesced and the 0/0 jaccard pinned
+    val jaccard = when(col("n_sketch") === 0, lit(0.0))
+      .otherwise(col("k_intersect").cast("double") / col("n_sketch"))
     sketch
       .agg(count(lit(1)).as("n_sketch"), max(col("hv")).as("hk"),
-        sum(col("in_a") * col("in_b")).as("k_intersect"))
+        coalesce(sum(col("in_a") * col("in_b")), lit(0L)).as("k_intersect"))
       .select(col("n_sketch"), col("k_intersect"),
         estUnion.as("est_union"),
-        (col("k_intersect").cast("double") / col("n_sketch")).as("jaccard"),
-        ((col("k_intersect").cast("double") / col("n_sketch")) * estUnion)
-          .as("est_intersect"))
+        jaccard.as("jaccard"),
+        (jaccard * estUnion).as("est_intersect"))
   }
 
   /** (groupCol, est_distinct): estimated distinct `valueCol` per group.

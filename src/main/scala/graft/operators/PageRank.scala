@@ -33,11 +33,16 @@ import org.apache.spark.sql.functions._
   * oracle, inside the correctness gate's .12g hashing quantum (the
   * same reason LangModel.scoreDocs sums micro-nats). The floor itself
   * cannot flip cross-engine: both engines compute r/deg from
-  * bit-identical inputs. Truncation error is <= 1e-12 per in-edge per
-  * round — noise for a centrality score. Overflow bound: |r| * 1e12
-  * must stay below 2^63, i.e. ranks below ~9e6 — safe for any graph
-  * whose total mass N fits that (1e6+-node graphs in the worst
-  * star-shaped case; far beyond it, raise the quantum).
+  * bit-identical inputs. Truncation error is <= 1/quantum per in-edge
+  * per round — noise for a centrality score. Overflow bound: a node's
+  * incoming contribution sum times the quantum must stay below 2^63 —
+  * with the default 1e12 that is ~9.2e6 mass per node (1e6+-node
+  * graphs even star-shaped); pass a smaller `quantum` for bigger
+  * graphs (1e9 covers ~9e9 mass at nano precision). A wrapped sum
+  * would surface as a negative rank, so the final frontier is checked
+  * and the run fails fast instead of returning garbage (best-effort:
+  * a double wrap landing positive is not detectable, but crossing it
+  * means the bound was ignored by orders of magnitude).
   */
 object PageRank {
 
@@ -45,8 +50,10 @@ object PageRank {
     * `d` over the directed edge list (duplicate edges count once).
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 8, d: Double = 0.85): DataFrame = {
+      iters: Int = 8, d: Double = 0.85,
+      quantum: Double = 1e12): DataFrame = {
     require(iters >= 1 && d > 0.0 && d < 1.0, s"bad iters=$iters d=$d")
+    require(quantum >= 1e3, s"quantum too small to be meaningful: $quantum")
     val sc = edges.sparkSession.sparkContext
     val shuffleParts =
       edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
@@ -70,13 +77,13 @@ object PageRank {
       val contribs = ew
         .join(ranks, ew("src") === ranks("node"))
         .groupBy(col("dst"))
-        .agg(sum(floor(col("r") / col("deg") * lit(1e12)).cast("long")).as("m"))
+        .agg(sum(floor(col("r") / col("deg") * lit(quantum)).cast("long")).as("m"))
       val (next, nextIds) = graft.dedup.Dedup.checkpointOwned(
         nodes
           .join(contribs, nodes("node") === contribs("dst"), "left")
           .select(col("node"),
             (lit(1.0 - d) + lit(d) *
-              (coalesce(col("m"), lit(0L)).cast("double") / lit(1e12))).as("r")))
+              (coalesce(col("m"), lit(0L)).cast("double") / lit(quantum))).as("r")))
       graft.dedup.Dedup.unpersistOwned(sc, rankIds)
       ranks = next
       rankIds = nextIds
@@ -85,6 +92,11 @@ object PageRank {
     // blocks can be released before handing the result to the caller
     // (the last rank block stays persisted — the caller holds it)
     graft.dedup.Dedup.unpersistOwned(sc, ewIds ++ nodeIds)
+    // overflow tripwire on the (already materialized) final frontier:
+    // every update term is nonnegative, so a negative rank can only be
+    // a wrapped contribution sum
+    require(ranks.filter(col("r") < 0.0).isEmpty,
+      s"PageRank picounit sum overflowed Long — rerun with a smaller quantum (current $quantum)")
     ranks.select(col("node"), col("r").as("pr"))
   }
 }

@@ -195,6 +195,15 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.getDouble(2) == 4.0 && got.getDouble(3) == 0.5 && got.getDouble(4) == 2.0)
   }
 
+  test("KMV overlap: empty slices give defined zeros, not NULLs") {
+    import spark.implicits._
+    val got = graft.operators.Kmv.overlapEstimate(
+      Seq(("x", "a")).toDF("lang", "tok"), "lang", "tok", "en", "de", k = 8)
+      .collect().head
+    assert(got.getLong(0) == 0L && got.getLong(1) == 0L)
+    assert(got.getDouble(2) == 0.0 && got.getDouble(3) == 0.0 && got.getDouble(4) == 0.0)
+  }
+
   test("bloom join: output equals the plain join, no false negatives") {
     import spark.implicits._
     val probe = (1L to 200L).map(i => (i, i % 40)).toDF("row_id", "key")
