@@ -982,6 +982,17 @@ object SparkEntry {
         .select(col("lang"), col("bpe_tokens"), col("ws_tokens"),
           (col("bpe_tokens").cast("double") / col("ws_tokens")).as("fertility"))),
 
+    // ---- graph x dedup composition: triangles of the winnowing
+    // local-overlap graph — transitive boilerplate families (each
+    // triangle = three docs pairwise sharing passages)
+    "q_triangles" -> ((s, dir) =>
+      graft.operators.Triangles.triangles(
+        graft.dedup.Winnow.candidatePairs(
+          graft.dedup.Winnow.fingerprints(
+            s.read.parquet(t(dir, "documents")), "doc_id", "text", k = 4, w = 4),
+          minShared = 2),
+        "id_a", "id_b")),
+
     // ---- graph x dedup composition: duplication centrality — PageRank
     // over the symmetrized winnowing local-overlap graph (docs sharing
     // >= 2 fingerprints), ranking the docs that sit at the center of
@@ -2188,6 +2199,18 @@ object SparkEntry {
          |  SELECT DISTINCT CAST(1000000 + c_nationkey AS BIGINT) AS src,
          |    CAST(c_custkey AS BIGINT) AS dst FROM customer
          |)""".stripMargin + pagerankTail(iters = 8, d = 0.85)),
+    // triangles: the winnow pair query as a nested CTE, canonical
+    // orientation (pairs already satisfy id_a < id_b), wedge join +
+    // closing-edge join — the same two equi-joins the engine plans
+    "q_triangles" ->
+      (s"""WITH wp AS (
+          |$winnowPairsSql
+          |), e AS (SELECT DISTINCT id_a AS u, id_b AS v FROM wp
+          |), w AS (
+          |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+          |  FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+          |)
+          |SELECT a, b, c FROM w JOIN e e3 ON w.b = e3.u AND w.c = e3.v""".stripMargin),
     // duplication centrality: the winnow local-overlap pair query as a
     // nested CTE, symmetrized, then the shared power-iteration chain
     "q_dup_centrality" ->

@@ -195,6 +195,18 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.getDouble(2) == 4.0 && got.getDouble(3) == 0.5 && got.getDouble(4) == 2.0)
   }
 
+  test("triangles: each triangle once, duplicates/reversals/self-loops normalized") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} minus edge (3,4), plus noise: dup edge, reversed
+    // edge, self-loop, pendant 5 -> triangles (1,2,3) and (1,2,4) only
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L),
+      (1L, 2L), (3L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val got = graft.operators.Triangles.triangles(edges, "id_a", "id_b")
+      .orderBy("a", "b", "c").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 2L, 3L), (1L, 2L, 4L)))
+  }
+
   test("KMV overlap: empty slices give defined zeros, not NULLs") {
     import spark.implicits._
     val got = graft.operators.Kmv.overlapEstimate(
