@@ -928,6 +928,16 @@ object SparkEntry {
           .select(col("lang"), explode(TextOps.tokens(col("text"))).as("tok")),
         "lang", "tok", "en", "de", k = 256)),
 
+    // ---- corpus: deterministic weighted sampling without replacement
+    // (Efraimidis-Spirakis keys over the portable hash) — top-20 docs
+    // per language, weight = token count; salted two-level top-k
+    "q_sample_weighted" -> ((s, dir) =>
+      graft.corpus.Sampling.weightedSample(
+        s.read.parquet(t(dir, "documents"))
+          .select(col("lang"), col("doc_id"),
+            TextOps.tokenCount(col("text")).as("n_tokens")),
+        "lang", "doc_id", "n_tokens", k = 20, salt = "wsamp")),
+
     // ---- composition: CCNet-style perplexity bucketing — per-language
     // head/middle/tail terciles of the bigram-LM mean log-likelihood
     // (head = most in-distribution third; CCNet trains preferentially
@@ -2306,6 +2316,21 @@ object SparkEntry {
         |    (CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
         |          ELSE 255.0 * 1152921504606846976.0 / max(hv) END) AS est_intersect
         |FROM tk""".stripMargin,
+    "q_sample_weighted" ->
+      """WITH b AS (
+        |  SELECT lang, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    power(
+        |      (CAST('0x' || substr(md5('wsamp' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) + 1.0)
+        |        / 1152921504606846976.0,
+        |      1.0 / len(string_split(text, ' '))) AS key
+        |  FROM documents WHERE len(string_split(text, ' ')) > 0
+        |), r AS (
+        |  SELECT lang, doc_id, n_tokens, key,
+        |    row_number() OVER (PARTITION BY lang ORDER BY key DESC, doc_id) AS rank
+        |  FROM b
+        |)
+        |SELECT lang, doc_id, n_tokens, key, rank FROM r WHERE rank <= 20""".stripMargin,
     // CCNet bucket composition: LM score CTEs -> per-lang mean -> the
     // discrete-quantile form over the DOUBLE means (exact equality
     // grouping: identical IEEE doubles both engines) -> tercile CASE.

@@ -82,6 +82,46 @@ object Sampling {
     * column holds `labels(i)` where the id's hash falls in bucket i.
     * Shuffle-free: one codegen'd CASE over the scan.
     */
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis 2006): each row gets key = u^(1/w) with u = (h+1)/2^60
+    * from the salted portable hash and w its positive weight; the k
+    * largest keys per group are a weight-proportional sample. Fully
+    * deterministic given (id, salt) — reruns and engines agree — and
+    * the top-k is SALTED two-level like CorpusStats.topShinglesPerGroup
+    * (local per-salt windows bound every partition; the global window
+    * ranks only k x salts survivors), so no group's full row set ever
+    * crosses one task. Output (group, id, weight, key, rank), rank
+    * 1..k by (key desc, id asc).
+    */
+  def weightedSample(df: DataFrame, groupCol: String, idCol: String,
+      weightCol: String, k: Int, salt: String,
+      salts: Int = 64): DataFrame = {
+    require(k >= 1 && salts >= 1, s"k and salts must be positive: k=$k salts=$salts")
+    val keyed = df
+      .select(col(groupCol).as("grp"), col(idCol).as("id"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("w") > 0)
+      // full 60-bit hash, NOT the mod-1e6 portableHash reduction: u
+      // must be fine-grained so distinct ids virtually never tie
+      .withColumn("key",
+        pow((graft.PortableHash.salted60(col("id"), salt).cast("double") + lit(1.0)) /
+          lit(graft.operators.Kmv.HashSpace),
+          lit(1.0) / col("w")))
+    val localW = Window
+      .partitionBy(col("grp"), pmod(xxhash64(col("id")), lit(salts)))
+      .orderBy(col("key").desc, col("id").asc)
+    val globalW = Window.partitionBy(col("grp"))
+      .orderBy(col("key").desc, col("id").asc)
+    keyed
+      .withColumn("lr", row_number().over(localW))
+      .filter(col("lr") <= k)
+      .drop("lr")
+      .withColumn("rank", row_number().over(globalW))
+      .filter(col("rank") <= k)
+      .select(col("grp").as(groupCol), col("id").as(idCol),
+        col("w").as(weightCol), col("key"), col("rank").cast("bigint").as("rank"))
+  }
+
   def split(df: DataFrame, idCol: String, labels: Seq[String],
       weights: Seq[Double], salt: String = "split",
       labelCol: String = "split"): DataFrame = {

@@ -167,6 +167,36 @@ class AnalyticsPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: weighted sample matches naive Efraimidis-Spirakis selection") {
+    import spark.implicits._
+    def h60(salt: String, v: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest((salt + v).getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    for (seed <- 1 to 4; salts <- Seq(1, 8, 64)) {
+      val rng = new Random(seed * 2166136261L + salts)
+      val rows = (0 until 120).map(i =>
+        (s"g${rng.nextInt(3)}", i.toLong, 1L + rng.nextInt(500)))
+      val k = 5
+      val got = graft.corpus.Sampling.weightedSample(
+        rows.toDF("lang", "doc_id", "n_tokens"),
+        "lang", "doc_id", "n_tokens", k, s"ws$seed", salts)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(4)) -> (r.getLong(1), r.getDouble(3)))
+        .toMap
+      val expected = rows.groupBy(_._1).flatMap { case (g, rs) =>
+        rs.map { case (_, id, w) =>
+          val u = (h60(s"ws$seed", id.toString) + 1.0) / graft.operators.Kmv.HashSpace
+          (id, math.pow(u, 1.0 / w))
+        }.sortBy { case (id, key) => (-key, id) }.take(k).zipWithIndex.map {
+          case ((id, key), i) => (g, i + 1L) -> (id, key)
+        }
+      }
+      assert(got == expected, s"seed $seed salts $salts")
+    }
+  }
+
   test("property: scoreDocs matches a local bigram-LM simulation") {
     import spark.implicits._
     for (seed <- 1 to 6) {
