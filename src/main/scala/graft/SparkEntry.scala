@@ -1016,6 +1016,58 @@ object SparkEntry {
       graft.operators.PageRank.pageRank(
         fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))),
         "src", "dst", iters = 4, d = 0.85)
+    }),
+
+    // ---- sketch: HyperLogLog distinct 3-shingles per language —
+    // fixed 64-register mergeable state, no input dedup (vs KMV's
+    // distinct shuffle); integer-exact register sum so the oracle
+    // replays the harmonic estimate bit-for-bit (the sketched sets are
+    // thousands of distinct values, so every register is occupied and
+    // the libm-dependent linear-counting branch never fires here)
+    "q_sketch_hll" -> ((s, dir) =>
+      graft.operators.Hll.distinctPerGroup(
+        graft.Parallelize.bySplits(
+            s.read.parquet(t(dir, "documents"))
+              .select(col("doc_id"), col("lang"), col("text")), "doc_id")
+          .select(col("lang"),
+            explode(TextOps.shingleArray(TextOps.tokens(col("text")), 3)).as("sh")),
+        "lang", "sh")),
+
+    // ---- sketch: count-min heavy-hitter bigrams with the per-value
+    // overestimate audit (est >= exact always; the d x w cell table is
+    // input-size-independent and broadcast)
+    "q_cms_heavy" -> ((s, dir) =>
+      graft.operators.Cms.heavyHitters(
+        graft.Parallelize.bySplits(
+            s.read.parquet(t(dir, "documents"))
+              .select(col("doc_id"), col("text")), "doc_id")
+          .select(explode(TextOps.shingleArray(TextOps.tokens(col("text")), 2)).as("bigram")),
+        "bigram", d = 4, w = 1024, minCount = 30L)),
+
+    // ---- classify: corpus-self-trained multinomial Naive Bayes lang
+    // classifier on the 80/20 hash split (the in-engine stand-in for a
+    // fastText-style filter stage); micro-nat integer scores
+    "q_nb_classify" -> ((s, dir) =>
+      graft.textops.NaiveBayes.classifyHoldout(
+        s.read.parquet(t(dir, "documents")), "doc_id", "lang", "text")),
+
+    // ---- dedup: LSH estimator calibration — every banded candidate
+    // pair with estimated AND exact Jaccard plus the error, the
+    // evidence for tuning k/bands/threshold
+    "q_dedup_eval" -> ((s, dir) =>
+      Dedup.estimatorEval(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text",
+        n = 3, k = 64, bands = 16)),
+
+    // ---- dedup: incremental batch-vs-index near-dedup (continual
+    // ingestion: new docs pair against the index and earlier batch
+    // docs, never index-vs-index)
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+      graft.dedup.Incremental.dedupBatchAgainstIndex(
+        docs, "doc_id", "text",
+        graft.dedup.Incremental.isNewDoc(col("doc_id")),
+        n = 3, k = 64, bands = 16, threshold = 0.5)
     })
   )
 
@@ -1265,7 +1317,17 @@ object SparkEntry {
        |), $iterations, ${ivfAssignCte("af", s"c$iters")}""".stripMargin
   }
 
-  private val minhashPairsCtes: String = {
+  /** Signature-match sum over the oracle's per-component sig columns of
+    * aliases `sa`/`sb` — shared by the pair, eval and incremental CTEs.
+    */
+  private def minhashEqSum: String = (0 until 64)
+    .map(i => s"CASE WHEN sa.mh_$i = sb.mh_$i THEN 1 ELSE 0 END")
+    .mkString(" + ")
+
+  /** The shingle -> signature -> banded-keys replay (CTEs t, sh, hx,
+    * sig, bands_t) shared by every minhash-family oracle.
+    */
+  private val minhashSigCtes: String = {
     val k = 64; val bands = 16; val r = k / bands; val p = Dedup.MinhashP
     val minCols = (0 until k).map(i =>
       s"min((${Dedup.minhashA(i)} * x + ${Dedup.minhashB(i)}) % $p) AS mh_$i")
@@ -1275,9 +1337,6 @@ object SparkEntry {
         .mkString(" || ',' || ")
       s"SELECT id, $b AS band, $key AS bkey FROM sig"
     }.mkString(" UNION ALL ")
-    val eqSum = (0 until k)
-      .map(i => s"CASE WHEN sa.mh_$i = sb.mh_$i THEN 1 ELSE 0 END")
-      .mkString(" + ")
     s"""t AS (
        |  SELECT doc_id AS id, string_split(text, ' ') AS toks FROM documents
        |), sh AS (
@@ -1291,15 +1350,19 @@ object SparkEntry {
        |  SELECT id, $minCols FROM hx GROUP BY id
        |), bands_t AS (
        |  $bandSelects
-       |), cand AS (
+       |)""".stripMargin
+  }
+
+  private val minhashPairsCtes: String =
+    s"""$minhashSigCtes, cand AS (
        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
        |  FROM bands_t a JOIN bands_t b
        |    ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
        |), est AS (
-       |  SELECT id_a, id_b, CAST($eqSum AS DOUBLE) / $k AS est_jaccard
+       |  SELECT id_a, id_b, CAST($minhashEqSum AS BIGINT) AS n_match,
+       |    CAST($minhashEqSum AS DOUBLE) / 64 AS est_jaccard
        |  FROM cand JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b
        |)""".stripMargin
-  }
 
   /** Recursive replay of trained-BPE application from the dumped merge
     * table ('{OUT}/q_bpe_merges'): per distinct word, start from
@@ -2436,7 +2499,161 @@ object SparkEntry {
         |  event_type, count(*) AS cnt
         |FROM b CROSS JOIN mx
         |GROUP BY w0, event_type, m
-        |HAVING w0 + INTERVAL 1 HOUR <= m - INTERVAL 30 MINUTE""".stripMargin
+        |HAVING w0 + INTERVAL 1 HOUR <= m - INTERVAL 30 MINUTE""".stripMargin,
+    // HLL replay: identical register construction (bucket = top 6 hash
+    // bits, rho = 55 - bit_length of the low 54), integer-exact
+    // z_scaled = sum 2^(55 - M_j); bin() is leading-zero-free in both
+    // engines. The ln() branch exists on both sides but the sketched
+    // sets keep every register occupied, so it is never taken here.
+    "q_sketch_hll" ->
+      """WITH v AS (
+        |  SELECT lang, CAST('0x' || substr(md5('hll' || s), 1, 15) AS BIGINT) AS h
+        |  FROM (
+        |    SELECT lang, unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+        |    FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents))
+        |), r AS (
+        |  SELECT lang, h >> 54 AS bucket,
+        |    max(CASE WHEN (h & 18014398509481983) = 0 THEN 55
+        |         ELSE 55 - length(bin(h & 18014398509481983)) END) AS mj
+        |  FROM v GROUP BY 1, 2
+        |), g AS (
+        |  SELECT lang,
+        |    CAST(sum(CAST(1 AS BIGINT) << CAST(55 - mj AS INT))
+        |      + (64 - count(*)) * CAST(36028797018963968 AS BIGINT) AS BIGINT) AS z_scaled,
+        |    CAST(64 - count(*) AS BIGINT) AS v_zero
+        |  FROM r GROUP BY 1
+        |)
+        |SELECT lang, v_zero, z_scaled,
+        |  CASE WHEN CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) * CAST(36028797018963968 AS DOUBLE)
+        |              / CAST(z_scaled AS DOUBLE) <= 160.0
+        |            AND v_zero > 0
+        |       THEN CAST(64 AS DOUBLE) * ln(CAST(64 AS DOUBLE) / CAST(v_zero AS DOUBLE))
+        |       ELSE CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) * CAST(36028797018963968 AS DOUBLE)
+        |              / CAST(z_scaled AS DOUBLE) END
+        |    AS est_distinct
+        |FROM g""".stripMargin,
+    // CMS replay: exact integer cells and min-over-rows estimates
+    "q_cms_heavy" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS v
+        |  FROM (SELECT string_split(text, ' ') AS toks FROM documents)
+        |), vc AS (
+        |  SELECT v, count(*) AS exact_count FROM tok GROUP BY v
+        |), pr AS (
+        |  SELECT v, exact_count, i,
+        |    CAST('0x' || substr(md5('cms' || CAST(i AS VARCHAR) || v), 1, 15) AS BIGINT)
+        |      % 1024 AS c
+        |  FROM vc, unnest(range(0, 4)) AS u(i)
+        |), cells AS (
+        |  SELECT i, c, CAST(sum(exact_count) AS BIGINT) AS cnt FROM pr GROUP BY i, c
+        |), est AS (
+        |  SELECT v, min(cnt) AS est_count, max(exact_count) AS exact_count
+        |  FROM pr JOIN cells USING (i, c) GROUP BY v
+        |)
+        |SELECT v AS bigram, est_count, exact_count,
+        |  est_count - exact_count AS overestimate
+        |FROM est WHERE est_count >= 30""".stripMargin,
+    // Naive Bayes replay: 80/20 portable-hash split, add-one-smoothed
+    // per-token micro-nat log-probs (floor BEFORE summing — the
+    // LangModel recipe), argmax with cls-ascending tie-break
+    "q_nb_classify" ->
+      """WITH sp AS (
+        |  SELECT *, CAST('0x' || substr(md5('nbsplit' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |    AS BIGINT) % 100 < 80 AS is_train
+        |  FROM documents
+        |), tr AS (SELECT * FROM sp WHERE is_train
+        |), te AS (SELECT * FROM sp WHERE NOT is_train
+        |), trocc AS (
+        |  SELECT lang AS cls, unnest(string_split(text, ' ')) AS tok FROM tr
+        |), ct AS (
+        |  SELECT cls, tok, count(*) AS c_lt FROM trocc GROUP BY 1, 2
+        |), cl AS (
+        |  SELECT cls, CAST(sum(c_lt) AS BIGINT) AS c_l FROM ct GROUP BY 1
+        |), vv AS (
+        |  SELECT count(DISTINCT tok) AS v FROM trocc
+        |), pri AS (
+        |  SELECT lang AS cls,
+        |    CAST(floor(ln(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM tr)) * 1e6)
+        |      AS BIGINT) AS prior_micro
+        |  FROM tr GROUP BY lang
+        |), teocc AS (
+        |  SELECT doc_id, lang AS label, unnest(string_split(text, ' ')) AS tok FROM te
+        |), scored AS (
+        |  SELECT o.doc_id, o.label, c.cls,
+        |    CAST(floor(ln(CAST(coalesce(ct.c_lt, 0) + 1 AS DOUBLE)
+        |      / CAST(cl.c_l + vv.v AS DOUBLE)) * 1e6) AS BIGINT) AS lp_micro
+        |  FROM teocc o
+        |  CROSS JOIN (SELECT cls FROM cl) c
+        |  LEFT JOIN ct ON ct.cls = c.cls AND ct.tok = o.tok
+        |  JOIN cl ON cl.cls = c.cls
+        |  CROSS JOIN vv
+        |), agg AS (
+        |  SELECT doc_id, label, cls, sum(lp_micro) AS tok_micro
+        |  FROM scored GROUP BY 1, 2, 3
+        |), tot AS (
+        |  SELECT a.doc_id, a.label, a.cls,
+        |    CAST(a.tok_micro + p.prior_micro AS BIGINT) AS score_micro
+        |  FROM agg a JOIN pri p ON p.cls = a.cls
+        |), rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score_micro DESC, cls ASC) AS rn
+        |  FROM tot
+        |)
+        |SELECT doc_id, label, cls AS pred_label, score_micro,
+        |  cls = label AS correct
+        |FROM rk WHERE rn = 1""".stripMargin,
+    // estimator calibration: the pair CTEs' est (with n_match) joined
+    // to candidate-restricted exact shingle Jaccard
+    "q_dedup_eval" ->
+      s"""WITH $minhashPairsCtes, nc AS (
+         |  SELECT e.id_a, e.id_b, CAST(count(*) AS BIGINT) AS n_common
+         |  FROM est e
+         |  JOIN sh a ON a.id = e.id_a
+         |  JOIN sh b ON b.id = e.id_b AND b.shingle = a.shingle
+         |  GROUP BY 1, 2
+         |), cnts AS (
+         |  SELECT id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY id
+         |)
+         |SELECT e.id_a, e.id_b, e.n_match, e.est_jaccard,
+         |  coalesce(nc.n_common, 0) AS n_common,
+         |  ca.n_sh AS n_a, cb.n_sh AS n_b,
+         |  CAST(coalesce(nc.n_common, 0) AS DOUBLE)
+         |    / CAST(ca.n_sh + cb.n_sh - coalesce(nc.n_common, 0) AS DOUBLE)
+         |    AS exact_jaccard,
+         |  e.est_jaccard - CAST(coalesce(nc.n_common, 0) AS DOUBLE)
+         |    / CAST(ca.n_sh + cb.n_sh - coalesce(nc.n_common, 0) AS DOUBLE) AS err
+         |FROM est e
+         |LEFT JOIN nc ON nc.id_a = e.id_a AND nc.id_b = e.id_b
+         |JOIN cnts ca ON ca.id = e.id_a
+         |JOIN cnts cb ON cb.id = e.id_b""".stripMargin,
+    // incremental dedup: batch (20% hash split) probes index + earlier
+    // batch bands; smallest verified partner wins
+    "q_dedup_incremental" ->
+      s"""WITH $minhashSigCtes, side AS (
+         |  SELECT id, CAST('0x' || substr(md5('incr' || CAST(id AS VARCHAR)), 1, 15)
+         |    AS BIGINT) % 100 < 20 AS is_new
+         |  FROM (SELECT DISTINCT id FROM t)
+         |), cand AS (
+         |  SELECT DISTINCT a.id AS new_id, b.id AS partner, sb.is_new AS partner_new
+         |  FROM bands_t a
+         |  JOIN side sa ON sa.id = a.id AND sa.is_new
+         |  JOIN bands_t b ON a.band = b.band AND a.bkey = b.bkey AND a.id <> b.id
+         |  JOIN side sb ON sb.id = b.id
+         |  WHERE (NOT sb.is_new) OR b.id < a.id
+         |), ver AS (
+         |  SELECT new_id, partner, partner_new, CAST($minhashEqSum AS BIGINT) AS n_match
+         |  FROM cand JOIN sig sa ON sa.id = new_id JOIN sig sb ON sb.id = partner
+         |), hit AS (SELECT * FROM ver WHERE n_match >= 32
+         |), rk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY new_id ORDER BY partner ASC) AS rn
+         |  FROM hit
+         |)
+         |SELECT new_id AS doc_id, partner AS dup_of,
+         |  CASE WHEN partner_new THEN 'batch' ELSE 'index' END AS dup_source,
+         |  n_match, CAST(n_match AS DOUBLE) / 64 AS est_jaccard
+         |FROM rk WHERE rn = 1""".stripMargin
   )
 
   /** Shared adjacent-token-pair CTE for the bigram LM oracles: 1-based

@@ -129,7 +129,7 @@ object Dedup {
   /** (id, band, band_hash): the banded bucket keys per signature —
     * shared by candidate generation and the cap audit.
     */
-  private def bandedKeys(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+  private[dedup] def bandedKeys(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
     sigs.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         bIdx => concat_ws(",",
@@ -141,7 +141,7 @@ object Dedup {
   /** Banded keys with per-row bucket sizes attached (window count) —
     * the candidate path needs bsz on every row for the cap filter.
     */
-  private def bandedBuckets(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+  private[dedup] def bandedBuckets(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
     bandedKeys(sigs, bands, rowsPerBand)
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "band_hash")))
 
@@ -248,6 +248,60 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
     (pairs, sigs)
+  }
+
+  /** LSH estimator calibration: every banded candidate pair with BOTH
+    * the signature-estimated Jaccard (matching-component fraction) and
+    * the exact shingle Jaccard, plus their difference — the evidence a
+    * pipeline owner needs to TUNE k/bands/threshold instead of
+    * trusting defaults. Production flow: run this on a corpus sample,
+    * pick the threshold whose est-vs-exact error is acceptable, then
+    * run the capped minhashNearDups at full scale.
+    *
+    * A candidate pair can share zero shingles (two different shingles
+    * colliding under some band's hash components); the exact side is a
+    * left join with n_common coalesced to 0 so such pairs surface with
+    * their full estimation error instead of vanishing.
+    *
+    * Scale shape: candidates come from the same capped banding as
+    * minhashNearDups; the exact-Jaccard side joins shingles ONLY
+    * through the candidate pair list (never all-pairs), so its cost is
+    * (candidate pairs) x (shingles per doc).
+    */
+  def estimatorEval(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 64, bands: Int = 16,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol, n, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = minhashCandidates(sigs, bands, k / bands, maxBucketSize)
+      .withColumn("n_match",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
+          when(x === y, 1).otherwise(0)), _ === 1)).cast("long"))
+      .select(col("id_a"), col("id_b"), col("n_match"))
+    val sh = shingles(docs, idCol, textCol, n)
+    val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val common = pairs.select(col("id_a"), col("id_b"))
+      .join(sh.select(col("id").as("id_a"), col("shingle")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val est = col("n_match").cast("double") / k
+    val exact = col("n_common").cast("double") /
+      (col("n_a") + col("n_b") - col("n_common")).cast("double")
+    val out = pairs
+      .join(common, Seq("id_a", "id_b"), "left")
+      .join(counts.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(counts.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("n_match"), est.as("est_jaccard"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        col("n_a"), col("n_b"))
+      .select(col("id_a"), col("id_b"), col("n_match"), col("est_jaccard"),
+        col("n_common"), col("n_a"), col("n_b"),
+        exact.as("exact_jaccard"),
+        (col("est_jaccard") - exact).as("err"))
+    val (cp, _) = checkpointOwned(out)
+    sigs.unpersist(blocking = false)
+    cp
   }
 
   /** SimHash fingerprint width: 60 bits (15 hex chars of md5 per token —

@@ -1,0 +1,97 @@
+package graft.textops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Multinomial Naive Bayes text classifier, trained and applied
+  * in-engine — the corpus-self-trained stand-in for the linear
+  * fastText-style quality/language classifiers production pipelines
+  * run as a filter stage (GPT-3's LR quality filter, CCNet's lang
+  * gate) where no external model ships with the job.
+  *
+  * Train: on the deterministic 80% hash split (portable hash of the
+  * doc id, salt "nbsplit"), count token occurrences per class and
+  * class priors. Score: for each held-out doc and each class,
+  *   score = ln(n_class / n_train) + sum_tokens ln((c_tok,class + 1) /
+  *           (c_class + V))
+  * (add-one smoothing, V = train vocabulary size); predict the argmax
+  * class, ties broken by class name ascending.
+  *
+  * Cross-engine determinism: per-token log-probabilities are
+  * discretized to integer micro-nats (floor(lp * 1e6) as BIGINT)
+  * BEFORE the per-document sum — the same recipe as
+  * [[LangModel.scoreDocs]] — so aggregation order cannot flip a digit
+  * and the DuckDB oracle replays scores and argmax exactly.
+  *
+  * Scale shape: the model is (classes x vocabulary) rows — bounded by
+  * the vocabulary, independent of corpus size — so the scoring joins
+  * broadcast it; test documents stream through one explode, one
+  * broadcast-joined projection, one (doc, class) partial-agg shuffle
+  * and one per-doc argmax window. No driver-side collect anywhere.
+  */
+object NaiveBayes {
+
+  /** The deterministic train-membership predicate on a doc-id column. */
+  def isTrain(df: DataFrame, idCol: String, salt: String = "nbsplit",
+      trainPct: Int = 80) =
+    graft.PortableHash.salted60(col(idCol), salt) % 100 < trainPct
+
+  /** (doc_id, label, tok) token occurrences. */
+  private def occurrences(docs: DataFrame, idCol: String, labelCol: String,
+      textCol: String): DataFrame =
+    graft.Parallelize.bySplits(
+        docs.select(col(idCol).as("doc_id"), col(labelCol).as("label"),
+          col(textCol).as("__t")), "doc_id")
+      .select(col("doc_id"), col("label"),
+        explode(TextOps.tokens(col("__t"))).as("tok"))
+
+  /** Score + predict the held-out split: (doc_id, label, pred_label,
+    * score_micro, correct). `score_micro` is the argmax class's
+    * integer micro-nat score.
+    */
+  def classifyHoldout(docs: DataFrame, idCol: String, labelCol: String,
+      textCol: String, salt: String = "nbsplit"): DataFrame = {
+    val train = docs.filter(isTrain(docs, idCol, salt))
+    val test = docs.filter(!isTrain(docs, idCol, salt))
+
+    val trainOcc = occurrences(train, idCol, labelCol, textCol)
+    val classTok = trainOcc.groupBy(col("label").as("cls"), col("tok"))
+      .agg(count(lit(1)).as("c_lt"))
+    val classTotal = classTok.groupBy(col("cls")).agg(sum(col("c_lt")).as("c_l"))
+    val vocab = trainOcc.agg(countDistinct(col("tok")).as("v"))
+    val priors = train
+      .groupBy(col(labelCol).as("cls")).agg(count(lit(1)).as("n_l"))
+      .crossJoin(broadcast(train.agg(count(lit(1)).as("n_train"))))
+      .select(col("cls"),
+        floor(log(col("n_l").cast("double") / col("n_train")) * 1e6)
+          .cast("long").as("prior_micro"))
+
+    // every test token occurrence scored against every class: the
+    // class list is tiny, the (cls, tok) model bounded by vocabulary —
+    // both broadcast; unseen (cls, tok) falls to the smoothed floor
+    val testOcc = occurrences(test, idCol, labelCol, textCol)
+      .crossJoin(broadcast(classTotal.select(col("cls"))))
+    val scored = testOcc
+      .join(broadcast(classTok), Seq("cls", "tok"), "left")
+      .join(broadcast(classTotal), Seq("cls"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("label"), col("cls"),
+        floor(log((coalesce(col("c_lt"), lit(0L)) + lit(1L)).cast("double") /
+          (col("c_l") + col("v")).cast("double")) * 1e6).cast("long").as("lp_micro"))
+      .groupBy(col("doc_id"), col("label"), col("cls"))
+      .agg(sum(col("lp_micro")).as("tok_micro"))
+      .join(broadcast(priors), Seq("cls"))
+      .select(col("doc_id"), col("label"), col("cls"),
+        (col("tok_micro") + col("prior_micro")).as("score_micro"))
+
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_micro").desc, col("cls").asc)
+    scored
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("label"), col("cls").as("pred_label"),
+        col("score_micro"),
+        (col("cls") === col("label")).as("correct"))
+  }
+}
