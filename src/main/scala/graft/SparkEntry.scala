@@ -1068,7 +1068,17 @@ object SparkEntry {
         docs, "doc_id", "text",
         graft.dedup.Incremental.isNewDoc(col("doc_id")),
         n = 3, k = 64, bands = 16, threshold = 0.5)
-    })
+    }),
+
+    // ---- fuzzy match: bounded edit-distance similarity self-join on
+    // the 16-char doc prefix (the record-linkage primitive; lossless
+    // positional-q-gram prefix filtering, never a cartesian product —
+    // the oracle IS the brute-force cross join the plan avoids)
+    "q_edit_join" -> ((s, dir) =>
+      graft.operators.EditJoin.similarPairs(
+        s.read.parquet(t(dir, "documents"))
+          .select(col("doc_id"), substring(col("text"), 1, 16).as("head")),
+        "doc_id", "head", maxDist = 1))
   )
 
   /** Deterministic HTML fragment per document, exercising every branch
@@ -2653,7 +2663,15 @@ object SparkEntry {
          |SELECT new_id AS doc_id, partner AS dup_of,
          |  CASE WHEN partner_new THEN 'batch' ELSE 'index' END AS dup_source,
          |  n_match, CAST(n_match AS DOUBLE) / 64 AS est_jaccard
-         |FROM rk WHERE rn = 1""".stripMargin
+         |FROM rk WHERE rn = 1""".stripMargin,
+    // Brute-force reference for the filter-and-verify edit join:
+    // DuckDB's levenshtein is the same classic DP distance as Spark's.
+    "q_edit_join" ->
+      """WITH v AS (SELECT doc_id, substr(text, 1, 16) AS s FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.s, b.s) AS INT) AS dist
+        |FROM v a JOIN v b ON a.doc_id < b.doc_id
+        |WHERE abs(len(a.s) - len(b.s)) <= 1 AND levenshtein(a.s, b.s) <= 1""".stripMargin
   )
 
   /** Shared adjacent-token-pair CTE for the bigram LM oracles: 1-based
