@@ -1078,7 +1078,23 @@ object SparkEntry {
       graft.operators.EditJoin.similarPairs(
         s.read.parquet(t(dir, "documents"))
           .select(col("doc_id"), substring(col("text"), 1, 16).as("head")),
-        "doc_id", "head", maxDist = 1))
+        "doc_id", "head", maxDist = 1)),
+
+    // ---- scale infrastructure: shuffle-skew profile of the events
+    // key — the salting plan (ceil cnt/target sub-keys per hot key)
+    // computed before the shuffle it protects; integer-exact ppm
+    "q_skew_profile" -> ((s, dir) =>
+      graft.operators.Skew.profile(
+        s.read.parquet(t(dir, "events")), "user_id", targetPerTask = 50L)),
+
+    // ---- scale infrastructure: global stable ranking via band
+    // offsets — row_number over (n_chars, doc_id) with NO
+    // single-partition sort (the un-partitioned window Spark would
+    // otherwise plan); per-band windows run in parallel
+    "q_global_rank" -> ((s, dir) =>
+      graft.operators.GlobalRank.rankBy(
+        s.read.parquet(t(dir, "documents")).select(col("doc_id"), col("n_chars")),
+        "n_chars", "doc_id", bandWidth = 50.0))
   )
 
   /** Deterministic HTML fragment per document, exercising every branch
@@ -2671,7 +2687,21 @@ object SparkEntry {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(levenshtein(a.s, b.s) AS INT) AS dist
         |FROM v a JOIN v b ON a.doc_id < b.doc_id
-        |WHERE abs(len(a.s) - len(b.s)) <= 1 AND levenshtein(a.s, b.s) <= 1""".stripMargin
+        |WHERE abs(len(a.s) - len(b.s)) <= 1 AND levenshtein(a.s, b.s) <= 1""".stripMargin,
+    // Integer-exact skew profile: BIGINT floor-division on both
+    // engines (Spark `div` == DuckDB `//`), ceil via (+t-1) div t
+    "q_skew_profile" ->
+      """WITH c AS (SELECT user_id AS key, count(*) AS cnt FROM events GROUP BY 1),
+        |t AS (SELECT sum(cnt) AS total FROM c)
+        |SELECT key, cnt, cnt * 1000000 // total AS share_ppm,
+        |  (cnt + 49) // 50 AS salt_factor, cnt > 50 AS is_skewed
+        |FROM c, t""".stripMargin,
+    // The single-partition window the band-offset plan replaces — the
+    // oracle runs it, the engine must never
+    "q_global_rank" ->
+      """SELECT doc_id, n_chars,
+        |  row_number() OVER (ORDER BY n_chars, doc_id) AS global_rank
+        |FROM documents""".stripMargin
   )
 
   /** Shared adjacent-token-pair CTE for the bigram LM oracles: 1-based
