@@ -1094,8 +1094,61 @@ object SparkEntry {
     "q_global_rank" -> ((s, dir) =>
       graft.operators.GlobalRank.rankBy(
         s.read.parquet(t(dir, "documents")).select(col("doc_id"), col("n_chars")),
-        "n_chars", "doc_id", bandWidth = 50.0))
+        "n_chars", "doc_id", bandWidth = 50.0)),
+
+    // ---- web curation: per-registered-domain quality profile over
+    // deterministic synthesized URLs (cdn. subdomains every third doc
+    // exercise the host->domain fold); integer micro-quality sums
+    "q_url_domains" -> ((s, dir) =>
+      graft.html.Web.domainStats(
+        withUrl(s.read.parquet(t(dir, "documents"))), "url", "text")),
+
+    // ---- web curation: domain blocklist composition — block domains
+    // whose floor-average micro-quality sits below the global
+    // floor-average, then broadcast anti-join the corpus against the
+    // blocklist (the RefinedWeb-style domain cut)
+    "q_domain_filter" -> ((s, dir) => {
+      val docs = withUrl(s.read.parquet(t(dir, "documents")))
+      graft.html.Web.filterBlockedDomains(docs, "url",
+        graft.html.Web.lowQualityDomains(
+          graft.html.Web.domainStats(docs, "url", "text")))
+        .select(col("doc_id"), col("domain"))
+    }),
+
+    // ---- web graph: outlink harvest (regexp over synthesized anchor
+    // HTML, /doc/<id> targets from a deterministic 3-out digraph) ->
+    // edge list -> PageRank centrality; the crawl-graph flow end to end
+    "q_link_graph" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents")).select(col("doc_id"))
+      val withCnt = docs.crossJoin(broadcast(docs.agg(count(lit(1)).as("cnt"))))
+      val html = concat(
+        lit("<p>body</p><a href=\"/doc/"),
+        ((col("doc_id") * 31 + 97) % col("cnt")).cast("string"),
+        lit("\">a</a><a href=\"/doc/"),
+        ((col("doc_id") * 31 + 194) % col("cnt")).cast("string"),
+        lit("\">b</a><a href=\"/doc/"),
+        ((col("doc_id") * 31 + 291) % col("cnt")).cast("string"),
+        lit("\">c</a><a href=\"/about\">nav</a>"))
+      val edges = withCnt.withColumn("html", html)
+        .select(col("doc_id").as("src"),
+          explode(graft.html.Web.outlinks(col("html"))).as("link"))
+        .filter(col("link").rlike("^/doc/[0-9]+$"))
+        .select(col("src"),
+          regexp_extract(col("link"), "^/doc/([0-9]+)$", 1).cast("long").as("dst"))
+        .filter(col("src") =!= col("dst"))
+      graft.operators.PageRank.pageRank(edges, "src", "dst", iters = 4, d = 0.85)
+    })
   )
+
+  /** Deterministic absolute URL per document: every third doc gets a
+    * cdn. subdomain so registeredDomain must actually strip it.
+    */
+  private def withUrl(df: DataFrame): DataFrame =
+    df.withColumn("url", concat(
+      lit("https://"),
+      when(col("doc_id") % 3 === 0, lit("cdn.")).otherwise(lit("")),
+      col("source"), lit(".com/"), col("lang"), lit("/"),
+      col("doc_id").cast("string")))
 
   /** Deterministic HTML fragment per document, exercising every branch
     * of the strip heuristic: a <title> block (kept), a <script>
@@ -2701,8 +2754,93 @@ object SparkEntry {
     "q_global_rank" ->
       """SELECT doc_id, n_chars,
         |  row_number() OVER (ORDER BY n_chars, doc_id) AS global_rank
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // Full regex replay of the URL parse (host, registered domain)
+    // plus the micro-quality discretization, per-domain sums cast out
+    // of DuckDB's HUGEINT
+    "q_url_domains" ->
+      (urlDomainCtes +
+        """SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(q_micro) AS BIGINT) AS sum_q_micro,
+          |  CAST(CAST(sum(q_micro) AS BIGINT) AS DOUBLE) / 1000000.0
+          |    / CAST(count(*) AS DOUBLE) AS mean_q
+          |FROM dd GROUP BY domain""".stripMargin),
+    // Blocklist = domains with floor-average micro-quality below the
+    // global floor-average (integer divisions only), applied as NOT IN
+    "q_domain_filter" ->
+      (urlDomainCtes +
+        """, st AS (
+          |  SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+          |    CAST(sum(q_micro) AS BIGINT) AS s FROM dd GROUP BY domain
+          |), tot AS (
+          |  SELECT CAST(sum(n_docs) AS BIGINT) AS td,
+          |    CAST(sum(s) AS BIGINT) AS tm FROM st
+          |), blocked AS (
+          |  SELECT domain FROM st, tot WHERE s // n_docs < tm // td
+          |)
+          |SELECT doc_id, domain FROM dd
+          |WHERE domain NOT IN (SELECT domain FROM blocked)""".stripMargin),
+    // Outlink harvest replay: same synthesized anchor HTML, same
+    // href regex, same /doc/<id> filter, then the shared
+    // integer-picounit power iteration
+    "q_link_graph" ->
+      ("""WITH c AS (SELECT count(*) AS cnt FROM documents),
+         |hm AS (
+         |  SELECT doc_id,
+         |    '<p>body</p><a href="/doc/' || CAST((doc_id * 31 + 97) % cnt AS VARCHAR)
+         |    || '">a</a><a href="/doc/' || CAST((doc_id * 31 + 194) % cnt AS VARCHAR)
+         |    || '">b</a><a href="/doc/' || CAST((doc_id * 31 + 291) % cnt AS VARCHAR)
+         |    || '">c</a><a href="/about">nav</a>' AS html
+         |  FROM documents, c
+         |), l AS (
+         |  SELECT doc_id AS src,
+         |    unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS link
+         |  FROM hm
+         |), e0 AS (
+         |  SELECT src, TRY_CAST(regexp_extract(link, '^/doc/([0-9]+)$', 1) AS BIGINT) AS dst
+         |  FROM l WHERE regexp_matches(link, '^/doc/[0-9]+$')
+         |), e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst
+         |)""".stripMargin + pagerankTail(iters = 4, d = 0.85))
   )
+
+  /** Shared CTE chain for the URL-domain oracles: synthesized URL,
+    * regex host/domain parse, and per-doc micro-quality (`dd`:
+    * doc_id, domain, q_micro).
+    */
+  private def urlDomainCtes: String = {
+    val allMarkers = graft.textops.TextOps.LangMarkers.flatMap(_._2)
+      .map(m => s"'$m'").mkString("(", ", ", ")")
+    s"""WITH u AS (
+       |  SELECT doc_id, text,
+       |    'https://' || CASE WHEN doc_id % 3 = 0 THEN 'cdn.' ELSE '' END
+       |      || source || '.com/' || lang || '/' || CAST(doc_id AS VARCHAR) AS url
+       |  FROM documents
+       |), h AS (
+       |  SELECT doc_id, text,
+       |    regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host
+       |  FROM u
+       |), m AS (
+       |  SELECT doc_id, regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain,
+       |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+       |    CAST(length(text) AS DOUBLE) AS n_ch,
+       |    CAST(len(list_filter(string_split(lower(text), ' '),
+       |      x -> x IN $allMarkers)) AS DOUBLE) AS hits
+       |  FROM h
+       |), d2 AS (
+       |  SELECT doc_id, domain,
+       |    least(n_tok / 64.0, 1.0) AS len_score,
+       |    n_ch / greatest(n_tok, 1.0) AS mean_word,
+       |    least(hits / greatest(n_tok * 0.05, 1.0), 1.0) AS stop_score
+       |  FROM m
+       |), dd AS (
+       |  SELECT doc_id, domain,
+       |    CAST(floor((len_score * 0.4
+       |      + (CASE WHEN mean_word >= 3 AND mean_word <= 10 THEN 1.0
+       |              ELSE greatest(0.0, 1.0 - abs(mean_word - 6.5) / 10.0) END) * 0.3
+       |      + stop_score * 0.3) * 1000000.0) AS BIGINT) AS q_micro
+       |  FROM d2
+       |)""".stripMargin
+  }
 
   /** Shared adjacent-token-pair CTE for the bigram LM oracles: 1-based
     * list indexing, range(1, len) upper-exclusive, so docs with < 2

@@ -1,0 +1,80 @@
+package graft.html
+
+import graft.textops.TextOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Web-corpus URL operators — the domain-level curation stages a
+  * crawl-derived training pipeline runs between raw HTML and the text
+  * filters: parse URLs into host/path/registered-domain, aggregate
+  * document quality per domain, derive and apply a domain blocklist,
+  * and harvest outlinks into the edge list the crawl-graph analytics
+  * (PageRank, components) consume.
+  *
+  * All parsing is codegen'd `regexp_extract` over plain columns — no
+  * UDFs, no driver round-trips; the per-domain aggregation is one
+  * map-side-combined groupBy keyed by registered domain (domains are
+  * the canonical mild-skew key: the profile operator + salting guard
+  * the giants). Quality is carried as integer micro-units so the
+  * per-domain sums are immune to float summation order (the engine's
+  * standard cross-engine construction).
+  */
+object Web {
+
+  /** Host part of an absolute URL (empty string if no scheme). */
+  def urlHost(u: Column): Column =
+    regexp_extract(u, "^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+
+  /** Path part (leading slash; empty if none). */
+  def urlPath(u: Column): Column =
+    regexp_extract(u, "^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
+
+  /** Last two dot-labels of a host — the registered domain under
+    * single-label public suffixes (com/org/...); a full
+    * public-suffix-list variant is a lookup-table join away and shares
+    * this seam.
+    */
+  def registeredDomain(host: Column): Column =
+    regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+
+  /** All href="..." targets of an HTML fragment, document order. */
+  def outlinks(html: Column): Column =
+    regexp_extract_all(html, lit("href=\"([^\"]*)\""), lit(1))
+
+  /** Per-registered-domain (n_docs, sum_q_micro, mean_q) where
+    * quality is TextOps.qualityScore discretized to micro-units
+    * before summing. One shuffle.
+    */
+  def domainStats(df: DataFrame, urlCol: String, textCol: String): DataFrame =
+    df.select(
+        registeredDomain(urlHost(col(urlCol))).as("domain"),
+        floor(TextOps.qualityScore(col(textCol)) * 1e6).cast("long")
+          .as("q_micro"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"), sum(col("q_micro")).as("sum_q_micro"))
+      .withColumn("mean_q",
+        col("sum_q_micro").cast("double") / lit(1e6) / col("n_docs").cast("double"))
+
+  /** Domains whose floor-average micro-quality sits below the global
+    * floor-average — integer compares only, so the cut replays
+    * bit-for-bit on any engine and never overflows (no cross
+    * multiplication).
+    */
+  def lowQualityDomains(stats: DataFrame): DataFrame = {
+    val totals = stats.agg(
+      sum(col("n_docs")).as("t_docs"), sum(col("sum_q_micro")).as("t_micro"))
+    stats.crossJoin(broadcast(totals))
+      .filter(expr("sum_q_micro div n_docs") < expr("t_micro div t_docs"))
+      .select("domain")
+  }
+
+  /** Drop documents whose URL's registered domain is blocklisted —
+    * broadcast anti-join (blocklists are small relative to the
+    * corpus; a non-broadcastable blocklist would shuffle on the same
+    * domain key).
+    */
+  def filterBlockedDomains(
+      df: DataFrame, urlCol: String, blocked: DataFrame): DataFrame =
+    df.withColumn("domain", registeredDomain(urlHost(col(urlCol))))
+      .join(broadcast(blocked.select(col("domain"))), Seq("domain"), "left_anti")
+}
