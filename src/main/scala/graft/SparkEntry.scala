@@ -1137,8 +1137,63 @@ object SparkEntry {
           regexp_extract(col("link"), "^/doc/([0-9]+)$", 1).cast("long").as("dst"))
         .filter(col("src") =!= col("dst"))
       graft.operators.PageRank.pageRank(edges, "src", "dst", iters = 4, d = 0.85)
+    }),
+
+    // ---- line-level boilerplate: per-normalized-line document
+    // frequency over synthesized multi-line docs (case-varied header
+    // exercises the fold, blank line exercises the empty filter)
+    "q_line_stats" -> ((s, dir) =>
+      graft.dedup.LineDedup.lineStats(
+        withMultilineText(s.read.parquet(t(dir, "documents"))), "doc_id", "t")),
+
+    // ---- line-level boilerplate strip (CCNet-style): drop lines in
+    // >10 distinct docs (site header + per-source footer), rebuild
+    // text in order; unique body + ref lines survive
+    "q_line_dedup" -> ((s, dir) =>
+      graft.dedup.LineDedup.stripDuplicatedLines(
+        withMultilineText(s.read.parquet(t(dir, "documents"))), "doc_id", "t",
+        maxDocs = 10)),
+
+    // ---- URL canonicalization + URL-level dedup: four wire-form
+    // variants per canonical page (www./:443/utm+fragment, uppercase
+    // scheme+host/gclid, :80/double-slash, clean) collide pairwise;
+    // min-doc_id winner per canonical URL via one min_by shuffle
+    "q_url_dedup" -> ((s, dir) => {
+      val b = expr("doc_id div 2")
+      val docs = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), b.as("b"))
+        .withColumn("url",
+          when(col("doc_id") % 4 === 0, concat(
+            lit("https://www.site"), (col("b") % 7).cast("string"),
+            lit(".com:443/page/"), col("b").cast("string"),
+            lit("/?utm_source=feed&q=1#top")))
+          .when(col("doc_id") % 4 === 1, concat(
+            lit("HTTPS://SITE"), (col("b") % 7).cast("string"),
+            lit(".COM/page/"), col("b").cast("string"),
+            lit("?q=1&gclid=abc")))
+          .when(col("doc_id") % 4 === 2, concat(
+            lit("https://site"), (col("b") % 7).cast("string"),
+            lit(".com:80/page/"), col("b").cast("string"),
+            lit("//?q=1")))
+          .otherwise(concat(
+            lit("https://site"), (col("b") % 7).cast("string"),
+            lit(".com/page/"), col("b").cast("string"), lit("?q=1"))))
+        .select(col("doc_id"), col("url"))
+      graft.html.Web.dedupByUrl(docs, "url", "doc_id")
     })
   )
+
+  /** Deterministic multi-line text per document: a shared site header
+    * (case varies by parity — the normalized fold must still count it
+    * as ONE line), the doc body, a blank line, a per-source copyright
+    * footer, and a unique ref line.
+    */
+  private def withMultilineText(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), concat(
+      when(col("doc_id") % 2 === 0, lit("HOME | About | Contact"))
+        .otherwise(lit("home | about | contact")),
+      lit("\n"), col("text"), lit("\n\ncopyright "), col("source"),
+      lit("\nref "), col("doc_id").cast("string")).as("t"))
 
   /** Deterministic absolute URL per document: every third doc gets a
     * cdn. subdomain so registeredDomain must actually strip it.
@@ -2800,8 +2855,102 @@ object SparkEntry {
          |  SELECT src, TRY_CAST(regexp_extract(link, '^/doc/([0-9]+)$', 1) AS BIGINT) AS dst
          |  FROM l WHERE regexp_matches(link, '^/doc/[0-9]+$')
          |), e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst
-         |)""".stripMargin + pagerankTail(iters = 4, d = 0.85))
+         |)""".stripMargin + pagerankTail(iters = 4, d = 0.85)),
+    // Line-frequency replay: same synthesized multi-line text, same
+    // lower(trim(...)) normalization, distinct-doc counts, 60-bit
+    // portable hash emitted from the normalized key
+    "q_line_stats" ->
+      (lineDedupCtes +
+        """SELECT CAST('0x' || substr(md5(k), 1, 15) AS BIGINT) AS line_hash,
+          |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+          |FROM ne GROUP BY k""".stripMargin),
+    // Boilerplate strip replay: frequent-line cut at > 10 docs,
+    // order-preserving string_agg rebuild, all-dropped docs kept with
+    // empty text via the left join
+    "q_line_dedup" ->
+      (lineDedupCtes +
+        """, freq AS (
+          |  SELECT k FROM (
+          |    SELECT k, count(DISTINCT doc_id) AS nd FROM ne GROUP BY k
+          |  ) WHERE nd > 10
+          |), kept AS (
+          |  SELECT doc_id, pos, line FROM ne
+          |  WHERE k NOT IN (SELECT k FROM freq)
+          |), reb AS (
+          |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+          |    CAST(count(*) AS BIGINT) AS n_kept
+          |  FROM kept GROUP BY doc_id
+          |)
+          |SELECT d.doc_id, coalesce(r.text_clean, '') AS text_clean,
+          |  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
+          |FROM documents d LEFT JOIN reb r ON r.doc_id = d.doc_id""".stripMargin),
+    // URL canonicalization replay: same four wire variants, same
+    // scheme/host/path/query normalization regexes, same tracking-param
+    // filter, min-doc_id winner per canonical URL
+    "q_url_dedup" ->
+      """WITH v AS (
+        |  SELECT doc_id, doc_id // 2 AS b FROM documents
+        |), u AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN 'https://www.site' || CAST(b % 7 AS VARCHAR)
+        |        || '.com:443/page/' || CAST(b AS VARCHAR) || '/?utm_source=feed&q=1#top'
+        |      WHEN 1 THEN 'HTTPS://SITE' || CAST(b % 7 AS VARCHAR)
+        |        || '.COM/page/' || CAST(b AS VARCHAR) || '?q=1&gclid=abc'
+        |      WHEN 2 THEN 'https://site' || CAST(b % 7 AS VARCHAR)
+        |        || '.com:80/page/' || CAST(b AS VARCHAR) || '//?q=1'
+        |      ELSE 'https://site' || CAST(b % 7 AS VARCHAR)
+        |        || '.com/page/' || CAST(b AS VARCHAR) || '?q=1'
+        |    END AS url
+        |  FROM v
+        |), c AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(url, '(?i)^([a-z][a-z0-9+.-]*)://', 1)) AS scheme,
+        |    regexp_replace(regexp_replace(
+        |      lower(regexp_extract(url, '(?i)^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)),
+        |      '^www\.', ''), ':(80|443)$', '') AS host,
+        |    regexp_replace(
+        |      regexp_extract(url, '(?i)^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1),
+        |      '/+$', '') AS path,
+        |    array_to_string(list_filter(
+        |      string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+        |      p -> NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)=') AND p <> ''),
+        |      '&') AS q
+        |  FROM u
+        |), canon AS (
+        |  SELECT doc_id, url,
+        |    CASE WHEN scheme = '' THEN url
+        |         ELSE scheme || '://' || host || path ||
+        |              CASE WHEN q = '' THEN '' ELSE '?' || q END
+        |    END AS canon_url
+        |  FROM c
+        |), w AS (
+        |  SELECT canon_url, min(doc_id) AS doc_id FROM canon GROUP BY canon_url
+        |)
+        |SELECT w.canon_url, w.doc_id, c2.url
+        |FROM w JOIN canon c2 ON c2.doc_id = w.doc_id""".stripMargin
   )
+
+  /** Shared CTE chain for the line-dedup oracles: synthesized
+    * multi-line text and the exploded non-empty-line view (`ne`:
+    * doc_id, pos, line, k = lower(trim(line))).
+    */
+  private val lineDedupCtes: String =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 2 = 0 THEN 'HOME | About | Contact'
+      |         ELSE 'home | about | contact' END
+      |    || chr(10) || text || chr(10) || chr(10) || 'copyright ' || source
+      |    || chr(10) || 'ref ' || CAST(doc_id AS VARCHAR) AS t
+      |  FROM documents
+      |), parts AS (
+      |  SELECT doc_id, string_split(t, chr(10)) AS ls FROM raw
+      |), lines AS (
+      |  SELECT doc_id, unnest(range(len(ls))) AS pos, unnest(ls) AS line FROM parts
+      |), ne AS (
+      |  SELECT doc_id, pos, line, lower(trim(line)) AS k
+      |  FROM lines WHERE lower(trim(line)) <> ''
+      |)""".stripMargin
 
   /** Shared CTE chain for the URL-domain oracles: synthesized URL,
     * regex host/domain parse, and per-doc micro-quality (`dd`:

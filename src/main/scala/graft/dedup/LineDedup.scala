@@ -1,0 +1,93 @@
+package graft.dedup
+
+import graft.PortableHash
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Line-level boilerplate removal (the CCNet/RefinedWeb "paragraph
+  * dedup" stage): lines whose normalized form repeats across more than
+  * a threshold number of documents — navigation strings, cookie
+  * banners, copyright footers — are stripped from EVERY document, and
+  * each document's text is rebuilt from its surviving lines in the
+  * original order.
+  *
+  * Distinct from [[Substring]] (passage dedup): that finds long shared
+  * SPANS between document pairs; this counts exact normalized LINES
+  * across the whole corpus and cuts by global frequency — the cheap
+  * first-pass that deletes the web's structural boilerplate before the
+  * expensive near-dup machinery runs.
+  *
+  * Scale shape (10^12 docs): two shuffles total. (1) line-frequency
+  * count — groupBy on a 60-bit line hash with map-side partial
+  * aggregation; the key space is bounded by distinct lines, not docs.
+  * (2) doc reconstruction — groupBy doc_id over the kept lines. The
+  * frequent-line set itself (count > maxDocs) is tiny relative to the
+  * corpus — boilerplate is by definition few distinct strings — so it
+  * broadcasts and the strip is a broadcast anti-join, never a third
+  * full shuffle. Lines are carried as (hash, pos) pairs between
+  * stages; full line text only travels inside its own document's row.
+  */
+object LineDedup {
+
+  /** Normalized per-line key: case-folded, surrounding ASCII
+    * whitespace trimmed. Empty-after-trim lines are never counted
+    * (they are neither boilerplate nor content; they are preserved
+    * verbatim in reconstruction only through position gaps — i.e.
+    * dropped, matching the reference pipelines which re-join on
+    * single newlines).
+    */
+  def lineKey(line: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    lower(trim(line))
+
+  /** Exploded (id, pos, line, line_hash) view of a corpus, one row per
+    * non-empty normalized line. `pos` is the 0-based line index within
+    * the document, preserved for order-stable reconstruction.
+    */
+  def explodeLines(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .filter(lineKey(col("line")) =!= "")
+      .withColumn("line_hash", PortableHash.md5Hash60(lineKey(col("line"))))
+
+  /** Per-distinct-line document frequency: (line_hash, n_docs) where
+    * n_docs counts DISTINCT documents containing the normalized line
+    * (a line repeated inside one doc counts once). One shuffle,
+    * map-side-combined.
+    */
+  def lineStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    explodeLines(df, idCol, textCol)
+      .select(col("line_hash"), col(idCol))
+      .distinct()
+      .groupBy("line_hash")
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** Strip every line that appears in more than `maxDocs` distinct
+    * documents; rebuild each document's text from its surviving lines
+    * joined by '\n' in original order. Returns
+    * (id, text_clean, n_kept). Documents whose every line
+    * was boilerplate survive with empty text and n_kept = 0 — the
+    * caller decides whether to cut them (a length filter downstream).
+    */
+  def stripDuplicatedLines(
+      df: DataFrame, idCol: String, textCol: String, maxDocs: Long): DataFrame = {
+    val lines = explodeLines(df, idCol, textCol)
+    val frequent = lineStats(df, idCol, textCol)
+      .filter(col("n_docs") > maxDocs)
+      .select(col("line_hash"))
+    val kept = lines.join(broadcast(frequent), Seq("line_hash"), "left_anti")
+    val rebuilt = kept
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            e => e("line")),
+          "\n").as("text_clean"),
+        count(lit(1)).as("n_kept"))
+    // left join back to the corpus so all-boilerplate docs survive
+    df.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+}

@@ -41,6 +41,58 @@ object Web {
   def outlinks(html: Column): Column =
     regexp_extract_all(html, lit("href=\"([^\"]*)\""), lit(1))
 
+  /** Query string (text between '?' and '#', no '?'; empty if none). */
+  def urlQuery(u: Column): Column =
+    regexp_extract(u, "\\?([^#]*)", 1)
+
+  /** Canonical form of an absolute URL — the normalization a crawl
+    * dedup keys on, so that trivially-distinct fetches of one page
+    * collapse: scheme and host lowercased, leading `www.` and default
+    * ports `:80`/`:443` stripped from the host, fragment dropped,
+    * trailing slashes trimmed from the path, and tracking parameters
+    * (`utm_*`, `fbclid`, `gclid`) removed from the query (remaining
+    * params keep their original order). Pure codegen'd regex/array
+    * columns; the one higher-order `filter` lambda touches only its
+    * own element (no captured subtree — the CSE hazard doesn't apply).
+    */
+  def canonicalUrl(u: Column): Column = {
+    // scheme-case-insensitive parse (HTTPS:// is legal on the wire;
+    // urlHost/urlPath stay strict for already-normalized inputs)
+    val scheme = lower(regexp_extract(u, "(?i)^([a-z][a-z0-9+.-]*)://", 1))
+    val host = regexp_replace(
+      regexp_replace(
+        lower(regexp_extract(u, "(?i)^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)),
+        "^www\\.", ""),
+      ":(80|443)$", "")
+    val path = regexp_replace(
+      regexp_extract(u, "(?i)^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1),
+      "/+$", "")
+    val params = filter(
+      split(urlQuery(u), "&"),
+      p => !(p.rlike("^(utm_[^=]*|fbclid|gclid)=") || p === ""))
+    val query = array_join(params, "&")
+    when(scheme === "", u) // not an absolute URL: pass through untouched
+      .otherwise(concat(
+        scheme, lit("://"), host, path,
+        when(query === "", lit("")).otherwise(concat(lit("?"), query))))
+  }
+
+  /** Drop URL-duplicate documents: key on [[canonicalUrl]], keep the
+    * smallest-id row per key (deterministic winner — swap the
+    * ordering column for a quality score to keep-best instead).
+    * Exactly ONE shuffle: a map-side-combined `min_by(struct(*), id)`
+    * aggregation on the canonical URL — no window sort, no
+    * self-join. Output = input columns plus `canon_url`.
+    */
+  def dedupByUrl(df: DataFrame, urlCol: String, idCol: String): DataFrame = {
+    val keyed = df.withColumn("canon_url", canonicalUrl(col(urlCol)))
+    val payload = keyed.columns.filter(_ != "canon_url")
+    keyed
+      .groupBy(col("canon_url"))
+      .agg(min_by(struct(payload.map(col): _*), col(idCol)).as("w"))
+      .select(col("canon_url") +: payload.map(c => col(s"w.$c").as(c)): _*)
+  }
+
   /** Per-registered-domain (n_docs, sum_q_micro, mean_q) where
     * quality is TextOps.qualityScore discretized to micro-units
     * before summing. One shuffle.
