@@ -1180,8 +1180,74 @@ object SparkEntry {
             lit(".com/page/"), col("b").cast("string"), lit("?q=1"))))
         .select(col("doc_id"), col("url"))
       graft.html.Web.dedupByUrl(docs, "url", "doc_id")
-    })
+    }),
+
+    // ---- span-sequence regression diff: the engine's own invariant
+    // (kind/text/media_ref/order equality) as a distributed operator.
+    // A = the real E1 extraction; B = A with seeded divergences
+    // (uppercase at pos 1 for dn%7, last span dropped for dn%11, extra
+    // appended span for dn%13) so equal / value-diverged / shorter /
+    // longer paths all appear in the output
+    "q_span_diff" -> ((s, dir) => {
+      val a = extractExprFlat(s, dir)
+        .select("doc_id", "offset", "kind", "text", "media_ref")
+      val dn = regexp_extract(col("doc_id"), "([0-9]+)$", 1).cast("long")
+      val withMax = a.withColumn("__mx",
+        max(col("offset")).over(Window.partitionBy("doc_id")))
+      val mutated = withMax
+        .filter(!(dn % 11 === 0 && col("offset") === col("__mx")))
+        .withColumn("text",
+          when(dn % 7 === 0 && col("offset") === 1, upper(col("text")))
+            .otherwise(col("text")))
+        .drop("__mx")
+      val extra = withMax
+        .filter(dn % 13 === 0 && col("offset") === col("__mx"))
+        .select(col("doc_id"), (col("__mx") + 1).as("offset"),
+          lit("text").as("kind"), lit("EXTRA").as("text"),
+          lit("").as("media_ref"))
+      graft.operators.SpanDiff.diff(a, mutated.unionByName(extra),
+        "doc_id", "offset", Seq("kind", "text", "media_ref"))
+    }),
+
+    // ---- markdown table linearization (K1's training-side sibling):
+    // one GFM string per recovered table, from the extraction's own IR
+    "q_tables_markdown" -> ((s, dir) => extractMarkdown(s, dir)),
+
+    // ---- C4-style normalization over deliberately-dirty text: NFC
+    // (combining accent composes), control strip, NBSP fold, space-run
+    // collapse, trim — each branch exercised by a seeded decoration
+    "q_text_normalize" -> ((s, dir) =>
+      s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), dirtyText.as("t_raw"))
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.normalizeText(s, col("t_raw"))
+            .as("t_norm"))
+        .withColumn("n_chars", length(col("t_norm")).cast("bigint")))
   )
+
+  /** Deterministic dirt over documents.text: a combining-accent suffix
+    * (doc%3 — NFC must compose it), an NBSP + tab-run + trailing-space
+    * wrapper (doc%4), and a control character (doc%5).
+    */
+  private def dirtyText: Column = {
+    val t1 = when(col("doc_id") % 3 === 0,
+      concat(col("text"), lit(" caf"), lit("e\u0301"))).otherwise(col("text"))
+    val t2 = when(col("doc_id") % 4 === 0,
+      concat(lit("\u00a0x\t\t "), t1, lit("  "))).otherwise(t1)
+    when(col("doc_id") % 5 === 0, concat(t2, lit("\u0007z"))).otherwise(t2)
+  }
+
+  /** Markdown sibling of [[extractCsv]]: same table IR, GFM strings. */
+  private def extractMarkdown(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = SpanGen.fromDocuments(spark, dir)
+    docs.flatMap { d =>
+      val (_, tables) = Extract.extractDocTables(d)
+      tables.iterator.zipWithIndex.map { case (tb, i) =>
+        (d.doc_id, i, graft.sinks.Markdown.fromTable(tb))
+      }
+    }.toDF("doc_id", "table_idx", "md")
+  }
 
   /** Deterministic multi-line text per document: a shared site header
     * (case varies by parity — the normalized fold must still count it
@@ -1354,7 +1420,19 @@ object SparkEntry {
   /** Flat-span tail shared by every strategy (runs pass-through + cell
     * emission + renumbering + per-doc stats).
     */
-  private val spansOracleTail: String =
+  /** Span-assembly tail split in two so q_span_diff can wrap the final
+    * SELECT as a CTE (`spansTailCtes + ", a AS (" + spansFinalSelect +
+    * ")"`) and keep diffing ctes on top of the green E1 chain.
+    */
+  private val spansOracleTail: String = spansTailCtes + "\n" + spansFinalSelect
+
+  private lazy val spansFinalSelect: String =
+    """SELECT n.doc_id, n."offset", n.kind, n.text, n.media_ref,
+      |  coalesce(s.n_tables, 0) AS n_tables, coalesce(s.n_cells, 0) AS n_cells,
+      |  'ok' AS status
+      |FROM numbered n LEFT JOIN stats s USING (doc_id)""".stripMargin
+
+  private lazy val spansTailCtes: String =
     """, outsp AS (
       |  SELECT doc_id, rid, CAST("offset" AS BIGINT) AS s1, CAST(0 AS BIGINT) AS s2,
       |    kind, text, media_ref
@@ -1371,11 +1449,7 @@ object SparkEntry {
       |  SELECT doc_id, CAST(count(DISTINCT rid) AS INTEGER) AS n_tables,
       |    CAST(count(*) AS INTEGER) AS n_cells
       |  FROM cells GROUP BY doc_id
-      |)
-      |SELECT n.doc_id, n."offset", n.kind, n.text, n.media_ref,
-      |  coalesce(s.n_tables, 0) AS n_tables, coalesce(s.n_cells, 0) AS n_cells,
-      |  'ok' AS status
-      |FROM numbered n LEFT JOIN stats s USING (doc_id)""".stripMargin
+      |)""".stripMargin
 
   private def extractSpansOracle(src: String = "spans_input"): String =
     extractCommonCtes(src) + e1CellCtes + spansOracleTail
@@ -2928,8 +3002,110 @@ object SparkEntry {
         |  SELECT canon_url, min(doc_id) AS doc_id FROM canon GROUP BY canon_url
         |)
         |SELECT w.canon_url, w.doc_id, c2.url
-        |FROM w JOIN canon c2 ON c2.doc_id = w.doc_id""".stripMargin
+        |FROM w JOIN canon c2 ON c2.doc_id = w.doc_id""".stripMargin,
+    // Span-diff replay: the green E1 span chain wrapped as CTE `a`, the
+    // same seeded perturbations build `b`, then a positional full-outer
+    // diff with per-doc first-divergence / length accounting
+    "q_span_diff" -> spanDiffOracle,
+    // Markdown replay: per-(table,row) ordered string_agg with the same
+    // cell escaping, a separator line keyed between the first and second
+    // rows via the doubled sort key, tables renumbered per doc
+    "q_tables_markdown" -> markdownOracle,
+    // Normalization replay: same dirty decoration (chr-built combining
+    // accent / NBSP / tab / BEL), DuckDB's own UAX#15 nfc_normalize,
+    // then the identical RE2 regex chain with the 'g' flag
+    "q_text_normalize" ->
+      """WITH t1v AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN text || ' caf' || 'e' || chr(769)
+        |         ELSE text END AS t1
+        |  FROM documents
+        |), t2v AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0
+        |      THEN chr(160) || 'x' || chr(9) || chr(9) || ' ' || t1 || '  '
+        |      ELSE t1 END AS t2
+        |  FROM t1v
+        |), dirty AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN t2 || chr(7) || 'z' ELSE t2 END AS t_raw
+        |  FROM t2v
+        |), norm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(nfc_normalize(t_raw),
+        |          '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
+        |        '\x{00A0}', ' ', 'g'),
+        |      '[ \t]+', ' ', 'g')) AS t_norm
+        |  FROM dirty
+        |)
+        |SELECT doc_id, t_norm, CAST(length(t_norm) AS BIGINT) AS n_chars
+        |FROM norm""".stripMargin
   )
+
+  /** q_span_diff oracle: E1 chain -> CTE `a` -> perturbation -> diff. */
+  private def spanDiffOracle: String =
+    extractCommonCtes("spans_input") + e1CellCtes + spansTailCtes +
+      ", a AS (\n" + spansFinalSelect + "\n)" +
+      """, am AS (
+        |  SELECT doc_id, "offset", kind, text, media_ref,
+        |    CAST(regexp_extract(doc_id, '([0-9]+)$', 1) AS BIGINT) AS dn,
+        |    max("offset") OVER (PARTITION BY doc_id) AS mx
+        |  FROM a
+        |), bm AS (
+        |  SELECT doc_id, "offset", kind,
+        |    CASE WHEN dn % 7 = 0 AND "offset" = 1 THEN upper(text) ELSE text END AS text,
+        |    media_ref
+        |  FROM am WHERE NOT (dn % 11 = 0 AND "offset" = mx)
+        |  UNION ALL
+        |  SELECT doc_id, mx + 1, 'text', 'EXTRA', ''
+        |  FROM am WHERE dn % 13 = 0 AND "offset" = mx
+        |), dpairs AS (
+        |  SELECT coalesce(x.doc_id, y.doc_id) AS doc_id,
+        |    coalesce(x."offset", y."offset") AS pos,
+        |    x.kind IS NOT NULL AS pa, y.kind IS NOT NULL AS pb,
+        |    (x.kind IS DISTINCT FROM y.kind) OR (x.text IS DISTINCT FROM y.text)
+        |      OR (x.media_ref IS DISTINCT FROM y.media_ref) AS mism
+        |  FROM (SELECT doc_id, "offset", kind, text, media_ref FROM am) x
+        |  FULL OUTER JOIN bm y ON x.doc_id = y.doc_id AND x."offset" = y."offset"
+        |)
+        |SELECT doc_id,
+        |  min(CASE WHEN mism THEN pos END) AS first_diff_pos,
+        |  CAST(count(CASE WHEN pa THEN 1 END) AS BIGINT) AS n_a,
+        |  CAST(count(CASE WHEN pb THEN 1 END) AS BIGINT) AS n_b,
+        |  CASE WHEN min(CASE WHEN mism THEN pos END) IS NULL THEN 'equal'
+        |       ELSE 'diverged' END AS status
+        |FROM dpairs GROUP BY doc_id""".stripMargin
+
+  /** q_tables_markdown oracle: same cells CTE as the CSV oracle, GFM
+    * assembly.
+    */
+  private def markdownOracle: String =
+    extractCommonCtes("spans_input") + e1CellCtes +
+      """, mrow AS (
+        |  SELECT doc_id, rid, ri,
+        |    '| ' || string_agg(replace(replace(txt, '|', '\|'), chr(10), '<br>'),
+        |      ' | ' ORDER BY ci) || ' |' AS line,
+        |    CAST(count(*) AS INTEGER) AS ncol
+        |  FROM cells GROUP BY 1, 2, 3
+        |), mfirst AS (
+        |  SELECT doc_id, rid, min(ri) AS ri0 FROM mrow GROUP BY 1, 2
+        |), mall AS (
+        |  SELECT doc_id, rid, ri * 2 AS k, line FROM mrow
+        |  UNION ALL
+        |  SELECT m.doc_id, m.rid, f.ri0 * 2 + 1 AS k,
+        |    repeat('| --- ', m.ncol) || '|' AS line
+        |  FROM mrow m JOIN mfirst f
+        |    ON m.doc_id = f.doc_id AND m.rid = f.rid AND m.ri = f.ri0
+        |), mtab AS (
+        |  SELECT doc_id, rid, string_agg(line, chr(10) ORDER BY k) AS md
+        |  FROM mall GROUP BY 1, 2
+        |)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY rid) - 1 AS INTEGER) AS table_idx,
+        |  md
+        |FROM mtab""".stripMargin
 
   /** Shared CTE chain for the line-dedup oracles: synthesized
     * multi-line text and the exploded non-empty-line view (`ne`:

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.functions.{call_function, col, expr, regexp_replace, trim}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Registration and Column-level API for the engine's native Catalyst
@@ -17,6 +17,7 @@ object GraftFunctions {
     "extract_spans_split_mid" -> (exprs =>
       ExtractSpansExpr(exprs.head, useSplitHeuristic = true, useMidpoint = true)),
     "simhash60" -> (exprs => Simhash60Expr(exprs.head)),
+    "nfc_norm" -> (exprs => NfcNormalizeExpr(exprs.head)),
     "html_main_content" -> (exprs => HtmlMainContentExpr(exprs.head)),
     "bpe_count" -> (exprs => BpeCountExpr(exprs(0), exprs(1))))
 
@@ -28,6 +29,26 @@ object GraftFunctions {
     register(spark)
     org.apache.spark.sql.functions.call_function("bpe_count", text,
       org.apache.spark.sql.functions.typedLit(codec.packed))
+  }
+
+  /** Unicode NFC canonical composition (native expression). */
+  def nfcNorm(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    call_function("nfc_norm", text)
+  }
+
+  /** C4-style text normalization: NFC composition, control characters
+    * stripped (tab and newline survive as whitespace), NBSP folded to
+    * space, space/tab runs collapsed to one space, ends trimmed. Every
+    * step after the NFC expression is a codegen'd regexp_replace whose
+    * pattern is in the RE2-compatible subset the DuckDB oracle replays
+    * verbatim (same posture as TextOps.scrubPii).
+    */
+  def normalizeText(spark: SparkSession, text: Column): Column = {
+    val composed = nfcNorm(spark, text)
+    val noCtl = regexp_replace(composed, "[\\x00-\\x08\\x0B-\\x1F\\x7F]", "")
+    val noNbsp = regexp_replace(noCtl, "\\x{00A0}", " ")
+    trim(regexp_replace(noNbsp, "[ \\t]+", " "))
   }
 
   /** Session-scoped registration (tests, local jobs). */
