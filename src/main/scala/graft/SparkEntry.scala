@@ -1222,7 +1222,60 @@ object SparkEntry {
         .select(col("doc_id"),
           graft.functions.GraftFunctions.normalizeText(s, col("t_raw"))
             .as("t_norm"))
-        .withColumn("n_chars", length(col("t_norm")).cast("bigint")))
+        .withColumn("n_chars", length(col("t_norm")).cast("bigint"))),
+
+    // ---- interleaving profile over the raw span table: per-kind
+    // counts, modality-switch count, first/last kind — the shape stats
+    // a packing/filtering policy keys on for interleaved docs
+    "q_interleave_profile" -> ((s, dir) =>
+      graft.corpus.Interleave.profile(
+        SpanGen.fromDocuments(s, dir).toDF()
+          .select(col("doc_id"), explode(col("spans")).as("sp"))
+          .select(col("doc_id"), col("sp.offset").as("offset"),
+            col("sp.kind").as("kind")),
+        "doc_id", "offset", "kind")),
+
+    // ---- column-type inference over recovered tables, with a seeded
+    // per-(i,j) type overwrite so every classifier branch (int / num /
+    // date / bool / text) appears in the majority vote
+    "q_table_types" -> ((s, dir) => {
+      val cells = graft.extract.TableTypes.cellRows(SpanGen.fromDocuments(s, dir))
+      val sel = (col("i") * 7 + col("j")) % 5
+      val seeded = cells.withColumn("txt",
+        when(sel === 0, length(col("txt")).cast("string"))
+          .when(sel === 1, concat(length(col("txt")).cast("string"), lit(".5")))
+          .when(sel === 2, concat(lit("2024-01-"),
+            lpad((length(col("txt")) % 28 + 1).cast("string"), 2, "0")))
+          .when(sel === 3,
+            when(length(col("txt")) % 2 === 0, lit("true")).otherwise(lit("false")))
+          .otherwise(col("txt")))
+      graft.extract.TableTypes.inferColumnTypes(seeded)
+    }),
+
+    // ---- script-mix detection: Latin/Cyrillic/Han character counts +
+    // dominant-script vote over text decorated with seeded Cyrillic
+    // (doc%4==1), Han (==2), or both (==3)
+    "q_script_mix" -> ((s, dir) => {
+      val cyr = lit("\u0430\u0431 \u0432\u0433")
+      val han = lit("\u4e2d\u6587")
+      // %10==7/9: text fully replaced, so the dominant vote actually
+      // flips to cyrillic/han on real corpus rows, not just in units
+      val tt = when(col("doc_id") % 10 === 7, repeat(cyr, 20))
+        .when(col("doc_id") % 10 === 9, repeat(han, 20))
+        .when(col("doc_id") % 4 === 1, concat(col("text"), lit(" "), cyr))
+        .when(col("doc_id") % 4 === 2, concat(col("text"), lit(" "), han))
+        .when(col("doc_id") % 4 === 3,
+          concat(col("text"), lit(" "), cyr, lit(" "), han))
+        .otherwise(col("text"))
+      s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), tt.as("tt"))
+        .select(col("doc_id"),
+          TextOps.scriptCount(col("tt"), "Latin").as("n_latin"),
+          TextOps.scriptCount(col("tt"), "Cyrillic").as("n_cyrillic"),
+          TextOps.scriptCount(col("tt"), "Han").as("n_han"))
+        .withColumn("script", TextOps.dominantScript(
+          col("n_latin"), col("n_cyrillic"), col("n_han")))
+    })
   )
 
   /** Deterministic dirt over documents.text: a combining-accent suffix
@@ -3041,8 +3094,112 @@ object SparkEntry {
         |  FROM dirty
         |)
         |SELECT doc_id, t_norm, CAST(length(t_norm) AS BIGINT) AS n_chars
-        |FROM norm""".stripMargin
+        |FROM norm""".stripMargin,
+    // Interleave replay over the dumped span input: same lag-based
+    // switch detection, same min_by/max_by first/last kinds
+    "q_interleave_profile" ->
+      """WITH sp AS (
+        |  SELECT doc_id, "offset", kind FROM '{OUT}/spans_input/*.parquet'
+        |), lg AS (
+        |  SELECT doc_id, "offset", kind,
+        |    lag(kind) OVER (PARTITION BY doc_id ORDER BY "offset") AS prev
+        |  FROM sp
+        |)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(count(CASE WHEN kind = 'text' THEN 1 END) AS BIGINT) AS n_text,
+        |  CAST(count(CASE WHEN kind = 'word_box' THEN 1 END) AS BIGINT) AS n_word_box,
+        |  CAST(count(CASE WHEN kind = 'media' THEN 1 END) AS BIGINT) AS n_media,
+        |  CAST(count(CASE WHEN prev IS NOT NULL AND prev <> kind THEN 1 END) AS BIGINT) AS n_switches,
+        |  min_by(kind, "offset") AS first_kind,
+        |  max_by(kind, "offset") AS last_kind
+        |FROM lg GROUP BY doc_id""".stripMargin,
+    // Table-typing replay: dense (i, j) from the cells CTE, the same
+    // seeded overwrite, the same anchored-regex classifier, majority
+    // with (cnt DESC, type ASC) tie-break, header left-joined back
+    "q_table_types" -> tableTypesOracle,
+    // Script-mix replay: chr()-built Cyrillic/Han decoration, RE2
+    // script classes (`\p{X}` naming the same Unicode data as Java's
+    // `\p{IsX}`), identical dominant-script CASE chain
+    "q_script_mix" ->
+      """WITH dec AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN doc_id % 10 = 7 THEN repeat(chr(1072) || chr(1073) || ' ' || chr(1074) || chr(1075), 20)
+        |      WHEN doc_id % 10 = 9 THEN repeat(chr(20013) || chr(25991), 20)
+        |      WHEN doc_id % 4 = 1 THEN text || ' ' || chr(1072) || chr(1073) || ' ' || chr(1074) || chr(1075)
+        |      WHEN doc_id % 4 = 2 THEN text || ' ' || chr(20013) || chr(25991)
+        |      WHEN doc_id % 4 = 3 THEN text || ' ' || chr(1072) || chr(1073) || ' ' || chr(1074) || chr(1075)
+        |        || ' ' || chr(20013) || chr(25991)
+        |      ELSE text END AS tt
+        |  FROM documents
+        |), cnt AS (
+        |  SELECT doc_id,
+        |    CAST(length(regexp_replace(tt, '[^\p{Latin}]', '', 'g')) AS BIGINT) AS n_latin,
+        |    CAST(length(regexp_replace(tt, '[^\p{Cyrillic}]', '', 'g')) AS BIGINT) AS n_cyrillic,
+        |    CAST(length(regexp_replace(tt, '[^\p{Han}]', '', 'g')) AS BIGINT) AS n_han
+        |  FROM dec
+        |)
+        |SELECT doc_id, n_latin, n_cyrillic, n_han,
+        |  CASE WHEN n_cyrillic >= n_han AND n_cyrillic >= n_latin AND n_cyrillic > 0 THEN 'cyrillic'
+        |       WHEN n_han >= n_latin AND n_han > 0 THEN 'han'
+        |       WHEN n_latin > 0 THEN 'latin'
+        |       ELSE 'none' END AS script
+        |FROM cnt""".stripMargin
   )
+
+  /** q_table_types oracle: cells CTE -> dense (i,j) -> seeded overwrite
+    * -> classifier -> majority + header.
+    */
+  private def tableTypesOracle: String =
+    extractCommonCtes("spans_input") + e1CellCtes +
+      """, dense AS (
+        |  SELECT doc_id, rid,
+        |    dense_rank() OVER (PARTITION BY doc_id, rid ORDER BY ri) AS i,
+        |    row_number() OVER (PARTITION BY doc_id, rid, ri ORDER BY ci) AS j,
+        |    txt
+        |  FROM cells
+        |), tnum AS (
+        |  SELECT doc_id, rid,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY rid) - 1 AS INTEGER) AS table_idx
+        |  FROM (SELECT DISTINCT doc_id, rid FROM cells)
+        |), dcell AS (
+        |  SELECT d.doc_id, t.table_idx, CAST(d.i AS INTEGER) AS i, CAST(d.j AS INTEGER) AS j,
+        |    CASE (d.i * 7 + d.j) % 5
+        |      WHEN 0 THEN CAST(length(d.txt) AS VARCHAR)
+        |      WHEN 1 THEN CAST(length(d.txt) AS VARCHAR) || '.5'
+        |      WHEN 2 THEN '2024-01-' || lpad(CAST(length(d.txt) % 28 + 1 AS VARCHAR), 2, '0')
+        |      WHEN 3 THEN CASE WHEN length(d.txt) % 2 = 0 THEN 'true' ELSE 'false' END
+        |      ELSE d.txt END AS txt
+        |  FROM dense d JOIN tnum t ON d.doc_id = t.doc_id AND d.rid = t.rid
+        |), ctyp AS (
+        |  SELECT doc_id, table_idx, i, j,
+        |    CASE WHEN txt = '' THEN 'empty'
+        |         WHEN regexp_matches(txt, '^[+-]?[0-9]+$') THEN 'int'
+        |         WHEN regexp_matches(txt, '^[+-]?[0-9]+\.[0-9]+$') THEN 'num'
+        |         WHEN regexp_matches(txt, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$') THEN 'date'
+        |         WHEN txt IN ('true', 'false') THEN 'bool'
+        |         ELSE 'text' END AS ct
+        |  FROM dcell
+        |), hist AS (
+        |  SELECT doc_id, table_idx, j, ct, count(*) AS cnt
+        |  FROM ctyp WHERE i > 1 GROUP BY 1, 2, 3, 4
+        |), maj AS (
+        |  SELECT doc_id, table_idx, j,
+        |    max(CASE WHEN rk = 1 THEN ct END) AS col_type,
+        |    CAST(sum(cnt) AS BIGINT) AS n_body
+        |  FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY doc_id, table_idx, j ORDER BY cnt DESC, ct ASC) AS rk
+        |    FROM hist)
+        |  GROUP BY 1, 2, 3
+        |), hdr AS (
+        |  SELECT doc_id, table_idx, j, ct AS header_type FROM ctyp WHERE i = 1
+        |)
+        |SELECT m.doc_id, m.table_idx, m.j, m.col_type, m.n_body,
+        |  coalesce(h.header_type, 'none') AS header_type
+        |FROM maj m LEFT JOIN hdr h
+        |  ON m.doc_id = h.doc_id AND m.table_idx = h.table_idx AND m.j = h.j""".stripMargin
 
   /** q_span_diff oracle: E1 chain -> CTE `a` -> perturbation -> diff. */
   private def spanDiffOracle: String =

@@ -144,6 +144,25 @@ object TextOps {
         Ipv4Pattern, "<IP>"),
       PhonePattern, "<PHONE>")
 
+  /** Count of characters in a Unicode script (Latin / Cyrillic / Han /
+    * ...): everything outside the script is deleted and the remainder
+    * measured. Common-script characters (digits, spaces, punctuation)
+    * belong to no script and never count. Java names the property
+    * `\p{IsX}` where RE2 says `\p{X}` — same Unicode script data, so
+    * the DuckDB oracle replays the counts exactly.
+    */
+  def scriptCount(text: Column, script: String): Column =
+    length(regexp_replace(text, s"[^\\p{Is$script}]", "")).cast("bigint")
+
+  /** Dominant-script vote over per-script counts; ties break
+    * alphabetically (cyrillic < han < latin), all-zero votes 'none'.
+    */
+  def dominantScript(lat: Column, cyr: Column, han: Column): Column =
+    when(cyr >= han && cyr >= lat && cyr > 0, "cyrillic")
+      .when(han >= lat && han > 0, "han")
+      .when(lat > 0, "latin")
+      .otherwise("none")
+
   /** Positional rolling-hash fingerprint: sum_i i*len(tok_i) mod p —
     * order-sensitive, engine-portable (pure integer arithmetic).
     */
