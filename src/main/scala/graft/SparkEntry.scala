@@ -1275,6 +1275,32 @@ object SparkEntry {
           TextOps.scriptCount(col("tt"), "Han").as("n_han"))
         .withColumn("script", TextOps.dominantScript(
           col("n_latin"), col("n_cyrillic"), col("n_han")))
+    }),
+
+    // ---- per-domain contribution cap: at most 10 docs per registered
+    // domain, lowest salted-hash first — the Zipf-head curation guard,
+    // two-level windowed so a hot domain never funnels through one task
+    "q_domain_cap" -> ((s, dir) => {
+      val docs = withUrl(s.read.parquet(t(dir, "documents")))
+        .withColumn("domain", graft.html.Web.registeredDomain(
+          graft.html.Web.urlHost(col("url"))))
+        .select("doc_id", "domain")
+      graft.corpus.Sampling.domainCap(docs, "domain", "doc_id",
+        cap = 10, salt = "cap")
+    }),
+
+    // ---- corpus-version diff: added / removed / modified between two
+    // synthesized versions (v1 drops %7==0, v2 drops %11==3 and edits
+    // %5==0 texts) — checksums travel, document bytes never do
+    "q_snapshot_diff" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+      val v1 = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), sha2(col("text"), 256).as("checksum"))
+      val v2 = docs.filter(col("doc_id") % 11 =!= 3)
+        .select(col("doc_id"), sha2(
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit("!")))
+            .otherwise(col("text")), 256).as("checksum"))
+      graft.lineage.SnapshotDiff.diff(v1, v2, "doc_id", "checksum")
     })
   )
 
@@ -3145,7 +3171,49 @@ object SparkEntry {
         |       WHEN n_han >= n_latin AND n_han > 0 THEN 'han'
         |       WHEN n_latin > 0 THEN 'latin'
         |       ELSE 'none' END AS script
-        |FROM cnt""".stripMargin
+        |FROM cnt""".stripMargin,
+    // Domain-cap replay: same URL/domain synthesis as q_url_domains,
+    // salted portable hash, single global row_number <= cap (the
+    // engine's two-level windows are provably equivalent to it)
+    "q_domain_cap" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' || CASE WHEN doc_id % 3 = 0 THEN 'cdn.' ELSE '' END
+        |      || source || '.com/' || lang || '/' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents
+        |), dm AS (
+        |  SELECT doc_id,
+        |    regexp_extract(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
+        |      '([^.]+\.[^.]+)$', 1) AS domain
+        |  FROM u
+        |), hv AS (
+        |  SELECT doc_id, domain,
+        |    CAST('0x' || substr(md5('cap' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |      % 1000000 AS h
+        |  FROM dm
+        |), r AS (
+        |  SELECT doc_id, domain,
+        |    row_number() OVER (PARTITION BY domain ORDER BY h, doc_id) AS rn
+        |  FROM hv
+        |)
+        |SELECT doc_id, domain FROM r WHERE rn <= 10""".stripMargin,
+    // Snapshot-diff replay: same version synthesis, sha256 == Spark
+    // sha2(,256), full-outer change classification, unchanged filtered
+    "q_snapshot_diff" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, sha256(text) AS c FROM documents WHERE doc_id % 7 <> 0
+        |), v2 AS (
+        |  SELECT doc_id,
+        |    sha256(CASE WHEN doc_id % 5 = 0 THEN text || '!' ELSE text END) AS c
+        |  FROM documents WHERE doc_id % 11 <> 3
+        |), j AS (
+        |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |    CASE WHEN a.c IS NULL THEN 'added'
+        |         WHEN b.c IS NULL THEN 'removed'
+        |         WHEN a.c <> b.c THEN 'modified' END AS change
+        |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+        |)
+        |SELECT doc_id, change FROM j WHERE change IS NOT NULL""".stripMargin
   )
 
   /** q_table_types oracle: cells CTE -> dense (i,j) -> seeded overwrite

@@ -122,6 +122,39 @@ object Sampling {
         col("w").as(weightCol), col("key"), col("rank").cast("bigint").as("rank"))
   }
 
+  /** Per-group contribution cap: keep at most `cap` rows per group, the
+    * `cap` lowest salted-hash rows (id breaks ties) — the host-cap
+    * curation step that stops Zipfian head domains from dominating a
+    * training mix (without it the biggest crawl hosts contribute
+    * millions of near-identical pages). Deterministic: membership
+    * depends only on (id, salt) ranks within the group, so reruns and
+    * engines agree.
+    *
+    * Skew posture: two-level, like weightedSample. A hot group (the
+    * whole point of capping) would otherwise funnel its entire row set
+    * through one window task; a local row_number per
+    * (group, hash % salts) keeps <= cap rows per sub-bucket first, so
+    * the global per-group window ranks <= cap*salts survivors
+    * regardless of group size. The kept set is identical to a single
+    * global top-cap: the global cap-smallest rows are each within
+    * their own sub-bucket's cap-smallest.
+    */
+  def domainCap(df: DataFrame, groupCol: String, idCol: String, cap: Int,
+      salt: String = "graft", salts: Int = 64): DataFrame = {
+    require(cap >= 1 && salts >= 1, s"cap/salts must be positive: $cap/$salts")
+    val local = Window
+      .partitionBy(col(groupCol), pmod(col("__hv"), lit(salts.toLong)))
+      .orderBy(col("__hv").asc, col(idCol).asc)
+    val global = Window.partitionBy(col(groupCol))
+      .orderBy(col("__hv").asc, col(idCol).asc)
+    df.withColumn("__hv", portableHash(col(idCol), salt))
+      .withColumn("__lrn", row_number().over(local))
+      .filter(col("__lrn") <= cap)
+      .withColumn("__rn", row_number().over(global))
+      .filter(col("__rn") <= cap)
+      .drop("__hv", "__lrn", "__rn")
+  }
+
   def split(df: DataFrame, idCol: String, labels: Seq[String],
       weights: Seq[Double], salt: String = "split",
       labelCol: String = "split"): DataFrame = {
