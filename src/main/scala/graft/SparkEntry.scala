@@ -1301,6 +1301,48 @@ object SparkEntry {
           when(col("doc_id") % 5 === 0, concat(col("text"), lit("!")))
             .otherwise(col("text")), 256).as("checksum"))
       graft.lineage.SnapshotDiff.diff(v1, v2, "doc_id", "checksum")
+    }),
+
+    // ---- ANN quality eval: recall@10 of the LSH path against the
+    // exact brute-force baseline, per query point — the measurement
+    // that justifies (or vetoes) the approximate path at scale
+    "q_ann_recall" -> ((s, dir) => {
+      val emb = s.read.parquet(t(dir, "embeddings"))
+      val qs = Seq(0L, 1L, 2L, 3L, 4L)
+      val exact = Ann.bruteForceTopK(emb, "vec_id", "embedding", qs, k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Ann.lshTopK(s, emb, "vec_id", "embedding", qs, k = 10)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(col("__hit")).as("n_hits"), count(lit(1)).as("k"))
+        .withColumn("recall", col("n_hits") / lit(10.0))
+    }),
+
+    // ---- anchor-text aggregation: parse (href, anchor) pairs out of
+    // synthesized HTML, aggregate per target — inlink counts, distinct
+    // sources, most frequent anchor
+    "q_anchor_texts" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents")).select(col("doc_id"))
+      val withCnt = docs.crossJoin(broadcast(docs.agg(count(lit(1)).as("cnt"))))
+      val anchors = array(lit("home"), lit("docs"), lit("ref"), lit("see"))
+      def d(off: Int) = (col("doc_id") * 31 + off) % col("cnt")
+      def a(off: Int) =
+        element_at(anchors, ((col("doc_id") + d(off)) % 4 + 1).cast("int"))
+      val html = concat(
+        lit("<p>x</p><a href=\"/doc/"), d(97).cast("string"), lit("\">"),
+        a(97), lit("</a><a href=\"/doc/"), d(194).cast("string"), lit("\">"),
+        a(194), lit("</a><a href=\"/doc/"), d(291).cast("string"), lit("\">"),
+        a(291), lit("</a><a href=\"/about\">nav</a>"))
+      val links = withCnt.withColumn("html", html)
+        .select(col("doc_id").as("src"),
+          explode(graft.html.Web.anchorLinks(col("html"))).as("l"))
+        .select(col("src"), col("l.href").as("href"), col("l.anchor").as("anchor"))
+        .filter(col("href").rlike("^/doc/[0-9]+$"))
+        .select(col("src"),
+          regexp_extract(col("href"), "^/doc/([0-9]+)$", 1).cast("long").as("dst"),
+          col("anchor"))
+      graft.html.Web.anchorProfile(links, "dst", "anchor", "src")
     })
   )
 
@@ -2301,50 +2343,7 @@ object SparkEntry {
          |SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
          |FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 3""".stripMargin
     },
-    "q_ann_lsh" -> {
-      // replay the portable hyperplane LSH: md5-derived plane weights in
-      // [-1,1], sign-bit signatures per (table, bit), candidate equi-join
-      // on (table, sig), exact cosine rerank — float dots evaluate
-      // left-to-right in both engines (same pattern as q_ann_topk)
-      val tables = 8; val bits = 8; val seed = 42L; val dim = 64
-      s"""WITH planes AS (
-         |  SELECT t, b, list_transform(range(1, ${dim + 1}), i ->
-         |    CAST(((CAST('0x' || substr(md5('$seed:' || CAST(t AS VARCHAR) || ':' ||
-         |      CAST(b AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT)
-         |      % 2001) - 1000) AS DOUBLE) / 1000.0) AS w
-         |  FROM (SELECT unnest(range(0, $tables)) AS t), (SELECT unnest(range(0, $bits)) AS b)
-         |), vecs AS (
-         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
-         |), dots AS (
-         |  SELECT v.vec_id, p.t, p.b,
-         |    list_sum(list_transform(range(1, ${dim + 1}), i -> p.w[i] * v.v[i])) AS d
-         |  FROM vecs v CROSS JOIN planes p
-         |), sigs AS (
-         |  SELECT vec_id, t,
-         |    CAST(sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS INTEGER) AS sig
-         |  FROM dots GROUP BY vec_id, t
-         |), qsigs AS (
-         |  SELECT vec_id AS query_id, t, sig FROM sigs WHERE vec_id IN (0, 1, 2, 3, 4)
-         |), cand AS (
-         |  SELECT DISTINCT s.vec_id AS item_id, q.query_id
-         |  FROM sigs s JOIN qsigs q ON s.t = q.t AND s.sig = q.sig
-         |  WHERE s.vec_id <> q.query_id
-         |), sims AS (
-         |  SELECT c.query_id, c.item_id,
-         |    list_sum(list_transform(range(1, ${dim + 1}), i -> qv.v[i] * iv.v[i])) /
-         |    (sqrt(list_sum(list_transform(range(1, ${dim + 1}), i -> qv.v[i] * qv.v[i]))) *
-         |     sqrt(list_sum(list_transform(range(1, ${dim + 1}), i -> iv.v[i] * iv.v[i])))) AS sim
-         |  FROM cand c
-         |  JOIN vecs qv ON qv.vec_id = c.query_id
-         |  JOIN vecs iv ON iv.vec_id = c.item_id
-         |), r AS (
-         |  SELECT query_id, item_id, sim,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, item_id) AS rank
-         |  FROM sims
-         |)
-         |SELECT query_id, item_id AS neighbor_id, CAST(rank AS BIGINT) AS rank, sim
-         |FROM r WHERE rank <= 10""".stripMargin
-    },
+    "q_ann_lsh" -> annLshOracle,
     "q_ann_ivf" -> {
       // replay the deterministic IVF end to end: lowest-id init, 3
       // unrolled Lloyd's iterations with fixed-point centroid sums
@@ -2475,23 +2474,7 @@ object SparkEntry {
         |  CAST(n_common AS DOUBLE) / CAST(ca.n + cb.n - n_common AS DOUBLE) AS jaccard
         |FROM com JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b
         |WHERE CAST(n_common AS DOUBLE) / CAST(ca.n + cb.n - n_common AS DOUBLE) >= 0.05""".stripMargin,
-    "q_ann_topk" ->
-      """WITH v AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-        |), q AS (
-        |  SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id IN (0, 1, 2, 3, 4)
-        |), s AS (
-        |  SELECT q.query_id, v.vec_id AS neighbor_id,
-        |    list_sum(list_transform(range(1, len(v.e) + 1), i -> q.qe[i] * v.e[i])) /
-        |    (sqrt(list_sum(list_transform(range(1, len(q.qe) + 1), i -> q.qe[i] * q.qe[i]))) *
-        |     sqrt(list_sum(list_transform(range(1, len(v.e) + 1), i -> v.e[i] * v.e[i])))) AS sim
-        |  FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id
-        |), r AS (
-        |  SELECT query_id, neighbor_id, sim,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
-        |  FROM s
-        |)
-        |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 10""".stripMargin,
+    "q_ann_topk" -> annTopkOracle,
     "q_ann_neardup" ->
       """WITH v AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS e,
@@ -3213,7 +3196,40 @@ object SparkEntry {
         |         WHEN a.c <> b.c THEN 'modified' END AS change
         |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
         |)
-        |SELECT doc_id, change FROM j WHERE change IS NOT NULL""".stripMargin
+        |SELECT doc_id, change FROM j WHERE change IS NOT NULL""".stripMargin,
+    // Recall replay: the two full ANN oracles nested as subqueries;
+    // identical IEEE division so the fraction hashes bit-equal
+    "q_ann_recall" -> annRecallOracle,
+    // Anchor replay: same deterministic link/anchor synthesis, then the
+    // relational profile (counts + distinct sources + top anchor with
+    // (cnt DESC, anchor ASC) tie-break) — the engine side additionally
+    // round-trips the links through real HTML parsing
+    "q_anchor_texts" ->
+      """WITH base AS (
+        |  SELECT doc_id, (SELECT count(*) FROM documents) AS cnt FROM documents
+        |), lk AS (
+        |  SELECT doc_id AS src, (doc_id * 31 + 97) % cnt AS dst FROM base
+        |  UNION ALL SELECT doc_id, (doc_id * 31 + 194) % cnt FROM base
+        |  UNION ALL SELECT doc_id, (doc_id * 31 + 291) % cnt FROM base
+        |), la AS (
+        |  SELECT src, dst,
+        |    (['home', 'docs', 'ref', 'see'])[(src + dst) % 4 + 1] AS anchor
+        |  FROM lk
+        |), stats AS (
+        |  SELECT dst, CAST(count(*) AS BIGINT) AS n_links,
+        |    CAST(count(DISTINCT src) AS BIGINT) AS n_src_docs
+        |  FROM la GROUP BY dst
+        |), ba AS (
+        |  SELECT dst, anchor, count(*) AS cnt FROM la GROUP BY 1, 2
+        |), top AS (
+        |  SELECT dst, anchor AS top_anchor FROM (
+        |    SELECT dst, anchor,
+        |      row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, anchor) AS rk
+        |    FROM ba)
+        |  WHERE rk = 1
+        |)
+        |SELECT s.dst, s.n_links, s.n_src_docs, t.top_anchor
+        |FROM stats s JOIN top t ON s.dst = t.dst""".stripMargin
   )
 
   /** q_table_types oracle: cells CTE -> dense (i,j) -> seeded overwrite
@@ -3268,6 +3284,84 @@ object SparkEntry {
         |  coalesce(h.header_type, 'none') AS header_type
         |FROM maj m LEFT JOIN hdr h
         |  ON m.doc_id = h.doc_id AND m.table_idx = h.table_idx AND m.j = h.j""".stripMargin
+
+  /** q_ann_topk oracle (also nested by q_ann_recall). */
+  private def annTopkOracle: String =
+    """WITH v AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+      |), q AS (
+      |  SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id IN (0, 1, 2, 3, 4)
+      |), s AS (
+      |  SELECT q.query_id, v.vec_id AS neighbor_id,
+      |    list_sum(list_transform(range(1, len(v.e) + 1), i -> q.qe[i] * v.e[i])) /
+      |    (sqrt(list_sum(list_transform(range(1, len(q.qe) + 1), i -> q.qe[i] * q.qe[i]))) *
+      |     sqrt(list_sum(list_transform(range(1, len(v.e) + 1), i -> v.e[i] * v.e[i])))) AS sim
+      |  FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id
+      |), r AS (
+      |  SELECT query_id, neighbor_id, sim,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      |  FROM s
+      |)
+      |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 10""".stripMargin
+
+  /** q_ann_lsh oracle (also nested by q_ann_recall). */
+  private def annLshOracle: String = {
+      // replay the portable hyperplane LSH: md5-derived plane weights in
+      // [-1,1], sign-bit signatures per (table, bit), candidate equi-join
+      // on (table, sig), exact cosine rerank — float dots evaluate
+      // left-to-right in both engines (same pattern as q_ann_topk)
+      val tables = 8; val bits = 8; val seed = 42L; val dim = 64
+      s"""WITH planes AS (
+         |  SELECT t, b, list_transform(range(1, ${dim + 1}), i ->
+         |    CAST(((CAST('0x' || substr(md5('$seed:' || CAST(t AS VARCHAR) || ':' ||
+         |      CAST(b AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT)
+         |      % 2001) - 1000) AS DOUBLE) / 1000.0) AS w
+         |  FROM (SELECT unnest(range(0, $tables)) AS t), (SELECT unnest(range(0, $bits)) AS b)
+         |), vecs AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+         |), dots AS (
+         |  SELECT v.vec_id, p.t, p.b,
+         |    list_sum(list_transform(range(1, ${dim + 1}), i -> p.w[i] * v.v[i])) AS d
+         |  FROM vecs v CROSS JOIN planes p
+         |), sigs AS (
+         |  SELECT vec_id, t,
+         |    CAST(sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS INTEGER) AS sig
+         |  FROM dots GROUP BY vec_id, t
+         |), qsigs AS (
+         |  SELECT vec_id AS query_id, t, sig FROM sigs WHERE vec_id IN (0, 1, 2, 3, 4)
+         |), cand AS (
+         |  SELECT DISTINCT s.vec_id AS item_id, q.query_id
+         |  FROM sigs s JOIN qsigs q ON s.t = q.t AND s.sig = q.sig
+         |  WHERE s.vec_id <> q.query_id
+         |), sims AS (
+         |  SELECT c.query_id, c.item_id,
+         |    list_sum(list_transform(range(1, ${dim + 1}), i -> qv.v[i] * iv.v[i])) /
+         |    (sqrt(list_sum(list_transform(range(1, ${dim + 1}), i -> qv.v[i] * qv.v[i]))) *
+         |     sqrt(list_sum(list_transform(range(1, ${dim + 1}), i -> iv.v[i] * iv.v[i])))) AS sim
+         |  FROM cand c
+         |  JOIN vecs qv ON qv.vec_id = c.query_id
+         |  JOIN vecs iv ON iv.vec_id = c.item_id
+         |), r AS (
+         |  SELECT query_id, item_id, sim,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, item_id) AS rank
+         |  FROM sims
+         |)
+         |SELECT query_id, item_id AS neighbor_id, CAST(rank AS BIGINT) AS rank, sim
+         |FROM r WHERE rank <= 10""".stripMargin
+  }
+
+  /** q_ann_recall oracle: the two full ANN oracles nested as
+    * subqueries (exact left, LSH right), per-query hit count / 10.
+    */
+  private def annRecallOracle: String =
+    s"""SELECT e.query_id,
+       |  CAST(count(l.neighbor_id) AS BIGINT) AS n_hits,
+       |  CAST(count(*) AS BIGINT) AS k,
+       |  count(l.neighbor_id) / CAST(10 AS DOUBLE) AS recall
+       |FROM (""".stripMargin + annTopkOracle + """) e
+       |LEFT JOIN (""".stripMargin + annLshOracle + """) l
+       |  ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+       |GROUP BY e.query_id""".stripMargin
 
   /** q_span_diff oracle: E1 chain -> CTE `a` -> perturbation -> diff. */
   private def spanDiffOracle: String =

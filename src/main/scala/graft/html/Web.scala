@@ -41,6 +41,45 @@ object Web {
   def outlinks(html: Column): Column =
     regexp_extract_all(html, lit("href=\"([^\"]*)\""), lit(1))
 
+  /** (href, anchor) pairs of an HTML fragment's <a> tags, document
+    * order. The per-element lambda touches only its own tag string (no
+    * captured subtree — the HOF-CSE hazard doesn't apply).
+    */
+  def anchorLinks(html: Column): Column =
+    transform(
+      regexp_extract_all(html, lit("<a href=\"[^\"]*\"[^>]*>[^<]*</a>"), lit(0)),
+      t => struct(
+        regexp_extract(t, "href=\"([^\"]*)\"", 1).as("href"),
+        regexp_extract(t, ">([^<]*)</a>", 1).as("anchor")))
+
+  /** Per-target anchor-text aggregation over a link table — the
+    * classic web-graph signal (anchor text describes the TARGET page
+    * better than the page itself; search and retrieval training both
+    * key on it): for each link target, total inlinks, distinct linking
+    * documents, and the most frequent anchor text (ties break to the
+    * lexicographically smallest anchor).
+    *
+    * Scale shape: one map-side-combined groupBy per statistic — the
+    * top-anchor window partitions over the per-target ANCHOR HISTOGRAM
+    * (bounded by distinct anchor strings, not inlink count), so a page
+    * with 10^8 inlinks never funnels its raw links through one task.
+    */
+  def anchorProfile(links: DataFrame, targetCol: String, anchorCol: String,
+      srcCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byAnchor = links.groupBy(col(targetCol), col(anchorCol))
+      .agg(count(lit(1)).as("__cnt"))
+    val w = Window.partitionBy(col(targetCol))
+      .orderBy(col("__cnt").desc, col(anchorCol).asc)
+    val top = byAnchor.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col(targetCol), col(anchorCol).as("top_anchor"))
+    val stats = links.groupBy(col(targetCol)).agg(
+      count(lit(1)).as("n_links"),
+      countDistinct(col(srcCol)).as("n_src_docs"))
+    stats.join(top, Seq(targetCol))
+  }
+
   /** Query string (text between '?' and '#', no '?'; empty if none). */
   def urlQuery(u: Column): Column =
     regexp_extract(u, "\\?([^#]*)", 1)

@@ -77,6 +77,26 @@ class LineDedupSpec extends AnyFunSuite {
     assert(canon("not a url") == "not a url")
   }
 
+  test("anchorLinks parses (href, anchor) pairs; anchorProfile aggregates") {
+    import spark.implicits._
+    val html = "<a href=\"/doc/1\">home</a><p>x</p>" +
+      "<a href=\"/doc/2\">ref</a><a href=\"/doc/1\">home</a>"
+    val pairs = Seq(html).toDF("h")
+      .select(explode(Web.anchorLinks(col("h"))).as("l"))
+      .select("l.href", "l.anchor").as[(String, String)].collect().toSeq
+    assert(pairs ==
+      Seq(("/doc/1", "home"), ("/doc/2", "ref"), ("/doc/1", "home")))
+    val links = Seq(
+      (10L, 1L, "home"), (11L, 1L, "home"), (11L, 1L, "docs"),
+      (12L, 2L, "ref"), (13L, 2L, "abc")) // dst 2: count tie -> "abc"
+      .toDF("src", "dst", "anchor")
+    val prof = Web.anchorProfile(links, "dst", "anchor", "src")
+      .orderBy("dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    assert(prof == Seq((1L, 3L, 2L, "home"), (2L, 2L, 2L, "abc")))
+  }
+
   test("dedupByUrl keeps the min-id row per canonical URL in one aggregation") {
     import spark.implicits._
     val df = Seq(
