@@ -1343,6 +1343,24 @@ object SparkEntry {
           regexp_extract(col("href"), "^/doc/([0-9]+)$", 1).cast("long").as("dst"),
           col("anchor"))
       graft.html.Web.anchorProfile(links, "dst", "anchor", "src")
+    }),
+
+    // ---- media referential integrity: span media refs vs a seeded
+    // inventory (%13 refs missing -> orphan_ref, extra blobs for %17
+    // docs -> unused) — the interleaved-corpus health audit
+    "q_media_integrity" -> ((s, dir) => {
+      val refs = SpanGen.fromDocuments(s, dir).toDF()
+        .select(explode(col("spans")).as("sp"))
+        .filter(col("sp.kind") === "media")
+        .select(col("sp.media_ref").as("media_ref"))
+      val dn = regexp_extract(col("media_ref"), "media://([0-9]+)/", 1)
+        .cast("long")
+      val inventory = refs.filter(dn % 13 =!= 0).distinct()
+        .unionByName(s.read.parquet(t(dir, "documents"))
+          .filter(col("doc_id") % 17 === 0)
+          .select(concat(lit("media://extra-"), col("doc_id").cast("string"),
+            lit("/0")).as("media_ref")))
+      graft.operators.RefAudit.audit(refs, inventory, "media_ref")
     })
   )
 
@@ -3229,7 +3247,29 @@ object SparkEntry {
         |  WHERE rk = 1
         |)
         |SELECT s.dst, s.n_links, s.n_src_docs, t.top_anchor
-        |FROM stats s JOIN top t ON s.dst = t.dst""".stripMargin
+        |FROM stats s JOIN top t ON s.dst = t.dst""".stripMargin,
+    // Integrity replay over the dumped span input: same seeded
+    // inventory, distinct keys both sides, full-outer classification
+    "q_media_integrity" ->
+      """WITH rd AS (
+        |  SELECT DISTINCT media_ref FROM '{OUT}/spans_input/*.parquet'
+        |  WHERE kind = 'media'
+        |), inv AS (
+        |  SELECT media_ref FROM rd
+        |  WHERE CAST(regexp_extract(media_ref, 'media://([0-9]+)/', 1) AS BIGINT) % 13 <> 0
+        |  UNION ALL
+        |  SELECT 'media://extra-' || CAST(doc_id AS VARCHAR) || '/0'
+        |  FROM documents WHERE doc_id % 17 = 0
+        |), j AS (
+        |  SELECT coalesce(r.media_ref, i.media_ref) AS media_ref,
+        |    r.media_ref IS NOT NULL AS has_r, i.media_ref IS NOT NULL AS has_i
+        |  FROM rd r FULL OUTER JOIN inv i ON r.media_ref = i.media_ref
+        |)
+        |SELECT media_ref,
+        |  CASE WHEN has_r AND has_i THEN 'matched'
+        |       WHEN NOT has_i THEN 'orphan_ref'
+        |       ELSE 'unused' END AS status
+        |FROM j""".stripMargin
   )
 
   /** q_table_types oracle: cells CTE -> dense (i,j) -> seeded overwrite

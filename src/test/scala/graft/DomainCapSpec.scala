@@ -48,6 +48,15 @@ class DomainCapSpec extends AnyFunSuite {
     assert(out == Map(1L -> "removed", 2L -> "modified", 4L -> "added"))
   }
 
+  test("refAudit classifies matched / orphan_ref / unused on distinct keys") {
+    import spark.implicits._
+    val refs = Seq("a", "a", "b").toDF("k") // duplicate ref counts once
+    val inv = Seq("a", "c").toDF("k")
+    val out = graft.operators.RefAudit.audit(refs, inv, "k")
+      .as[(String, String)].collect().toMap
+    assert(out == Map("a" -> "matched", "b" -> "orphan_ref", "c" -> "unused"))
+  }
+
   test("snapshot diff over catalog time travel reports appended rows as added") {
     import spark.implicits._
     val table = java.nio.file.Files
