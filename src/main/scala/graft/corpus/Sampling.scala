@@ -130,29 +130,26 @@ object Sampling {
     * depends only on (id, salt) ranks within the group, so reruns and
     * engines agree.
     *
-    * Skew posture: two-level, like weightedSample. A hot group (the
-    * whole point of capping) would otherwise funnel its entire row set
-    * through one window task; a local row_number per
-    * (group, hash % salts) keeps <= cap rows per sub-bucket first, so
-    * the global per-group window ranks <= cap*salts survivors
-    * regardless of group size. The kept set is identical to a single
-    * global top-cap: the global cap-smallest rows are each within
-    * their own sub-bucket's cap-smallest.
+    * Skew posture: ONE window, deliberately. Spark's WindowGroupLimit
+    * rewrite (rank-limit pushdown, 3.5+) inserts a partial per-group
+    * limit on the MAP side of the exchange, so each upstream task
+    * forwards at most `cap` rows per group and a hot group's reducer
+    * input is bounded by cap x map-tasks — independent of group size.
+    * A hand-rolled salted two-level formulation (weightedSample's
+    * pattern, which predates rank pushdown and needs it for its
+    * non-rank key function) was measured to cost a second full
+    * exchange + sort of the entire input here for a tighter but
+    * unneeded bound.
     */
   def domainCap(df: DataFrame, groupCol: String, idCol: String, cap: Int,
-      salt: String = "graft", salts: Int = 64): DataFrame = {
-    require(cap >= 1 && salts >= 1, s"cap/salts must be positive: $cap/$salts")
-    val local = Window
-      .partitionBy(col(groupCol), pmod(col("__hv"), lit(salts.toLong)))
-      .orderBy(col("__hv").asc, col(idCol).asc)
-    val global = Window.partitionBy(col(groupCol))
+      salt: String = "graft"): DataFrame = {
+    require(cap >= 1, s"cap must be positive: $cap")
+    val w = Window.partitionBy(col(groupCol))
       .orderBy(col("__hv").asc, col(idCol).asc)
     df.withColumn("__hv", portableHash(col(idCol), salt))
-      .withColumn("__lrn", row_number().over(local))
-      .filter(col("__lrn") <= cap)
-      .withColumn("__rn", row_number().over(global))
+      .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= cap)
-      .drop("__hv", "__lrn", "__rn")
+      .drop("__hv", "__rn")
   }
 
   def split(df: DataFrame, idCol: String, labels: Seq[String],

@@ -24,7 +24,11 @@ class DomainCapSpec extends AnyFunSuite {
     val capped = Sampling.domainCap(df, "grp", "id", cap = 5, salt = "t")
     val counts = capped.groupBy("grp").count().as[(String, Long)].collect().toMap
     assert(counts == Map("d0" -> 5L, "d1" -> 5L, "d2" -> 5L))
-    // two-level result == plain single global window top-cap
+    // skew bound: the rank-limit pushdown must put a partial
+    // WindowGroupLimit on the map side of the window's exchange
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"plan:\n$plan")
+    // result == plain single global window top-cap
     val w = Window.partitionBy(col("grp"))
       .orderBy(Sampling.portableHash(col("id"), "t").asc, col("id").asc)
     val expected = df.withColumn("rn", row_number().over(w))
