@@ -650,8 +650,8 @@ object SparkEntry {
     }),
 
     // ---- corpus analytics: top-k frequent trigrams per language
-    // (salted two-level top-k — the per-group window partition is
-    // bounded, never one language's full distinct-shingle set)
+    // (WindowGroupLimit rank pushdown bounds the per-group window
+    // map-side — never one language's full distinct-shingle set)
     "q_ngram_topk" -> ((s, dir) =>
       graft.corpus.CorpusStats.topShinglesPerGroup(
         s.read.parquet(t(dir, "documents")), "lang", "text", n = 3, k = 20)),
@@ -930,7 +930,7 @@ object SparkEntry {
 
     // ---- corpus: deterministic weighted sampling without replacement
     // (Efraimidis-Spirakis keys over the portable hash) — top-20 docs
-    // per language, weight = token count; salted two-level top-k
+    // per language, weight = token count; WindowGroupLimit-bounded top-k
     "q_sample_weighted" -> ((s, dir) =>
       graft.corpus.Sampling.weightedSample(
         s.read.parquet(t(dir, "documents"))

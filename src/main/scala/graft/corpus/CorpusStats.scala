@@ -12,15 +12,14 @@ import org.apache.spark.sql.functions._
   * sanity checks.
   *
   * Scale posture: the count is one shuffle on (group, shingle) with
-  * map-side combine. The top-k itself is TWO-LEVEL: a naive
-  * row_number window partitioned by group alone would pull every
-  * distinct shingle of a language through one task (10^10-row
-  * partitions at corpus scale); instead a salted local top-k bounds
-  * each window partition, and the global window only ranks the
-  * k x salts survivors per group. Counts are already global when the
-  * salt is applied, so the union of per-salt top-ks is a superset of
-  * the global top-k and the final output is identical to the naive
-  * form — which is what the DuckDB oracle replays.
+  * map-side combine. The top-k is ONE row_number window: Spark's
+  * rank-limit pushdown (WindowGroupLimit, 3.5+) inserts a partial
+  * per-group top-k below the window's exchange, so each upstream task
+  * forwards at most k rows per group and no language's full
+  * distinct-shingle set (10^10 rows at corpus scale) ever crosses one
+  * task — the reducer sees <= k x map-tasks rows per group. The
+  * hand-rolled salted two-level top-k this replaces bought the same
+  * bound for an extra full exchange (see Sampling.domainCap).
   */
 object CorpusStats {
 
@@ -29,24 +28,17 @@ object CorpusStats {
     * deterministic and engine-portable.
     */
   def topShinglesPerGroup(docs: DataFrame, groupCol: String, textCol: String,
-      n: Int, k: Int, salts: Int = 64): DataFrame = {
-    require(k >= 1 && salts >= 1, s"k and salts must be positive: k=$k salts=$salts")
+      n: Int, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive: k=$k")
     val counts = graft.Parallelize.bySplits(
         docs.select(col(groupCol).as("grp"), col(textCol).as("__t")), "grp")
       .select(col("grp"),
         explode(TextOps.shingleArray(TextOps.tokens(col("__t")), n)).as("shingle"))
       .groupBy(col("grp"), col("shingle")).agg(count(lit(1)).as("cnt"))
-    val localW = Window
-      .partitionBy(col("grp"), pmod(xxhash64(col("shingle")), lit(salts)))
+    val w = Window.partitionBy(col("grp"))
       .orderBy(col("cnt").desc, col("shingle").asc)
-    val survivors = counts
-      .withColumn("lr", row_number().over(localW))
-      .filter(col("lr") <= k)
-      .drop("lr")
-    val globalW = Window.partitionBy(col("grp"))
-      .orderBy(col("cnt").desc, col("shingle").asc)
-    survivors
-      .withColumn("rank", row_number().over(globalW))
+    counts
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("grp").as(groupCol), col("shingle"), col("cnt"), col("rank"))
   }

@@ -86,17 +86,17 @@ object Sampling {
     * Spirakis 2006): each row gets key = u^(1/w) with u = (h+1)/2^60
     * from the salted portable hash and w its positive weight; the k
     * largest keys per group are a weight-proportional sample. Fully
-    * deterministic given (id, salt) — reruns and engines agree — and
-    * the top-k is SALTED two-level like CorpusStats.topShinglesPerGroup
-    * (local per-salt windows bound every partition; the global window
-    * ranks only k x salts survivors), so no group's full row set ever
-    * crosses one task. Output (group, id, weight, key, rank), rank
-    * 1..k by (key desc, id asc).
+    * deterministic given (id, salt) — reruns and engines agree. One
+    * window: Spark's rank-limit pushdown (WindowGroupLimit, 3.5+) puts
+    * a partial per-group top-k on the map side of the exchange, so a
+    * hot group's reducer input is bounded by k x map-tasks — the
+    * hand-rolled salted two-level formulation this replaces only added
+    * a second full exchange (see domainCap's scaladoc). Output
+    * (group, id, weight, key, rank), rank 1..k by (key desc, id asc).
     */
   def weightedSample(df: DataFrame, groupCol: String, idCol: String,
-      weightCol: String, k: Int, salt: String,
-      salts: Int = 64): DataFrame = {
-    require(k >= 1 && salts >= 1, s"k and salts must be positive: k=$k salts=$salts")
+      weightCol: String, k: Int, salt: String): DataFrame = {
+    require(k >= 1, s"k must be positive: k=$k")
     val keyed = df
       .select(col(groupCol).as("grp"), col(idCol).as("id"),
         col(weightCol).cast("long").as("w"))
@@ -107,16 +107,10 @@ object Sampling {
         pow((graft.PortableHash.salted60(col("id"), salt).cast("double") + lit(1.0)) /
           lit(graft.operators.Kmv.HashSpace),
           lit(1.0) / col("w")))
-    val localW = Window
-      .partitionBy(col("grp"), pmod(xxhash64(col("id")), lit(salts)))
-      .orderBy(col("key").desc, col("id").asc)
-    val globalW = Window.partitionBy(col("grp"))
+    val w = Window.partitionBy(col("grp"))
       .orderBy(col("key").desc, col("id").asc)
     keyed
-      .withColumn("lr", row_number().over(localW))
-      .filter(col("lr") <= k)
-      .drop("lr")
-      .withColumn("rank", row_number().over(globalW))
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("grp").as(groupCol), col("id").as(idCol),
         col("w").as(weightCol), col("key"), col("rank").cast("bigint").as("rank"))
@@ -135,11 +129,10 @@ object Sampling {
     * limit on the MAP side of the exchange, so each upstream task
     * forwards at most `cap` rows per group and a hot group's reducer
     * input is bounded by cap x map-tasks — independent of group size.
-    * A hand-rolled salted two-level formulation (weightedSample's
-    * pattern, which predates rank pushdown and needs it for its
-    * non-rank key function) was measured to cost a second full
-    * exchange + sort of the entire input here for a tighter but
-    * unneeded bound.
+    * A hand-rolled salted two-level formulation was measured to cost a
+    * second full exchange + sort of the entire input here for a
+    * tighter but unneeded bound (weightedSample and
+    * CorpusStats.topShinglesPerGroup shed the same pattern).
     */
   def domainCap(df: DataFrame, groupCol: String, idCol: String, cap: Int,
       salt: String = "graft"): DataFrame = {

@@ -174,14 +174,18 @@ class AnalyticsPropertySpec extends AnyFunSuite {
       val hex = md.digest((salt + v).getBytes("UTF-8")).map("%02x".format(_)).mkString
       java.lang.Long.parseLong(hex.substring(0, 15), 16)
     }
-    for (seed <- 1 to 4; salts <- Seq(1, 8, 64)) {
-      val rng = new Random(seed * 2166136261L + salts)
+    for (seed <- 1 to 8) {
+      val rng = new Random(seed * 2166136261L)
       val rows = (0 until 120).map(i =>
         (s"g${rng.nextInt(3)}", i.toLong, 1L + rng.nextInt(500)))
       val k = 5
-      val got = graft.corpus.Sampling.weightedSample(
+      val sampled = graft.corpus.Sampling.weightedSample(
         rows.toDF("lang", "doc_id", "n_tokens"),
-        "lang", "doc_id", "n_tokens", k, s"ws$seed", salts)
+        "lang", "doc_id", "n_tokens", k, s"ws$seed")
+      // skew bound: rank-limit pushdown must cap map-side output
+      assert(sampled.queryExecution.executedPlan.toString
+        .contains("WindowGroupLimit"))
+      val got = sampled
         .collect()
         .map(r => (r.getString(0), r.getLong(4)) -> (r.getLong(1), r.getDouble(3)))
         .toMap
@@ -193,7 +197,7 @@ class AnalyticsPropertySpec extends AnyFunSuite {
           case ((id, key), i) => (g, i + 1L) -> (id, key)
         }
       }
-      assert(got == expected, s"seed $seed salts $salts")
+      assert(got == expected, s"seed $seed")
     }
   }
 
