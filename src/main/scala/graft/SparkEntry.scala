@@ -1361,8 +1361,56 @@ object SparkEntry {
           .select(concat(lit("media://extra-"), col("doc_id").cast("string"),
             lit("/0")).as("media_ref")))
       graft.operators.RefAudit.audit(refs, inventory, "media_ref")
+    }),
+
+    // ---- C4 terminal-punctuation line rule over synthesized
+    // multi-line docs: the header/footer/ref lines fail the rule, the
+    // body (sentence-terminated for doc%2==1 only) passes selectively
+    "q_line_punct" -> ((s, dir) =>
+      graft.dedup.LineDedup.filterLines(
+        withPunctText(s.read.parquet(t(dir, "documents"))), "doc_id", "t",
+        graft.dedup.LineDedup.terminalPunctuation)),
+
+    // ---- code-vs-prose detection: symbol density + indentation vote
+    // over text where doc%6==0 is replaced by a code block
+    "q_code_detect" -> ((s, dir) => {
+      val code = lit("def f(x) {\n\ty = x + 1;\n\treturn (y);\n}")
+      s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 6 === 0, code).otherwise(col("text")).as("tt"))
+        .select(col("doc_id"),
+          TextOps.codeSymbolCount(col("tt")).as("n_sym"),
+          TextOps.indentedLineCount(col("tt")).as("n_indent"),
+          TextOps.isCodeLike(col("tt")).as("is_code"))
+    }),
+
+    // ---- bitext candidate mining: cross-lingual embedding near-dup
+    // pairs (the CCMatrix-style parallel-corpus sourcing step) —
+    // near-dup pairs whose documents carry different langs
+    "q_bitext_candidates" -> ((s, dir) => {
+      val pairs = Ann.cosineNearDupPairs(
+        s.read.parquet(t(dir, "embeddings")), "vec_id", "embedding",
+        threshold = 0.3, maxId = 300)
+      val langs = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), col("lang"))
+      pairs
+        .join(langs.select(col("doc_id").as("id_a"), col("lang").as("lang_a")), "id_a")
+        .join(langs.select(col("doc_id").as("id_b"), col("lang").as("lang_b")), "id_b")
+        .filter(col("lang_a") =!= col("lang_b"))
+        .select(col("id_a"), col("id_b"), col("lang_a"), col("lang_b"), col("sim"))
     })
   )
+
+  /** Multi-line text where only odd docs' body lines terminate in
+    * punctuation: "Sentence line." vs bare token lines, plus an
+    * unterminated nav header and a quoted line (passes via '"').
+    */
+  private def withPunctText(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), concat(
+      lit("Home | About\n"),
+      when(col("doc_id") % 2 === 1, concat(col("text"), lit(".")))
+        .otherwise(col("text")),
+      lit("\n\"quoted line\"\nref "), col("doc_id").cast("string")).as("t"))
 
   /** Deterministic dirt over documents.text: a combining-accent suffix
     * (doc%3 — NFC must compose it), an NBSP + tab-run + trailing-space
@@ -2493,17 +2541,7 @@ object SparkEntry {
         |FROM com JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b
         |WHERE CAST(n_common AS DOUBLE) / CAST(ca.n + cb.n - n_common AS DOUBLE) >= 0.05""".stripMargin,
     "q_ann_topk" -> annTopkOracle,
-    "q_ann_neardup" ->
-      """WITH v AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS e,
-        |    sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
-        |      i -> (embedding::DOUBLE[])[i] * (embedding::DOUBLE[])[i]))) AS nrm
-        |  FROM embeddings WHERE vec_id < 300
-        |)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm) AS sim
-        |FROM v a JOIN v b ON a.vec_id < b.vec_id
-        |WHERE list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm) >= 0.3""".stripMargin,
+    "q_ann_neardup" -> annNearDupOracle,
     "q_media_meta" ->
       """SELECT doc_id,
         |  CAST(64 + (doc_id % 7) * 32 AS INTEGER) AS width,
@@ -3269,7 +3307,64 @@ object SparkEntry {
         |  CASE WHEN has_r AND has_i THEN 'matched'
         |       WHEN NOT has_i THEN 'orphan_ref'
         |       ELSE 'unused' END AS status
-        |FROM j""".stripMargin
+        |FROM j""".stripMargin,
+    // C4 terminal-punctuation line rule replay: same synthesized
+    // multi-line text, same empty-after-normalize exclusion, the rule
+    // on the RAW right-trimmed line, order-preserving rebuild
+    "q_line_punct" ->
+      """WITH raw AS (
+        |  SELECT doc_id, 'Home | About' || chr(10)
+        |    || CASE WHEN doc_id % 2 = 1 THEN text || '.' ELSE text END
+        |    || chr(10) || '"quoted line"' || chr(10) || 'ref ' || CAST(doc_id AS VARCHAR) AS t
+        |  FROM documents
+        |), parts AS (
+        |  SELECT doc_id, string_split(t, chr(10)) AS ls FROM raw
+        |), lines AS (
+        |  SELECT doc_id, unnest(range(len(ls))) AS pos, unnest(ls) AS line FROM parts
+        |), ne AS (
+        |  SELECT doc_id, pos, line FROM lines WHERE lower(trim(line)) <> ''
+        |), kept AS (
+        |  SELECT doc_id, pos, line FROM ne
+        |  WHERE regexp_matches(rtrim(line), '[.!?"]$')
+        |), reb AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+        |    CAST(count(*) AS BIGINT) AS n_kept
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, coalesce(r.text_clean, '') AS text_clean,
+        |  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
+        |FROM documents d LEFT JOIN reb r ON r.doc_id = d.doc_id""".stripMargin,
+    // Code-detection replay: chr-built code block, same symbol-strip
+    // count, same indented-line HOF, explicit DOUBLE casts so the
+    // threshold comparison is the identical IEEE operation
+    "q_code_detect" ->
+      """WITH tt AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 6 = 0 THEN 'def f(x) {' || chr(10) || chr(9)
+        |      || 'y = x + 1;' || chr(10) || chr(9) || 'return (y);' || chr(10) || '}'
+        |    ELSE text END AS t
+        |  FROM documents
+        |), sig AS (
+        |  SELECT doc_id,
+        |    CAST(length(t) - length(regexp_replace(t, '[{};=()]', '', 'g')) AS BIGINT) AS n_sym,
+        |    CAST(len(list_filter(string_split(t, chr(10)),
+        |      l -> regexp_matches(l, '^(\t|  )'))) AS BIGINT) AS n_indent,
+        |    CAST(length(t) AS DOUBLE) AS n_ch,
+        |    CAST(len(string_split(t, chr(10))) AS DOUBLE) AS n_ln
+        |  FROM tt
+        |)
+        |SELECT doc_id, n_sym, n_indent,
+        |  (CAST(n_sym AS DOUBLE) / greatest(n_ch, CAST(1 AS DOUBLE)) > CAST(0.02 AS DOUBLE))
+        |    OR (CAST(n_indent AS DOUBLE) / greatest(n_ln, CAST(1 AS DOUBLE)) > CAST(0.3 AS DOUBLE)) AS is_code
+        |FROM sig""".stripMargin,
+    // Bitext replay: the full near-dup oracle nested, langs joined on
+    // both sides, cross-lingual pairs only
+    "q_bitext_candidates" ->
+      ("""SELECT p.id_a, p.id_b, da.lang AS lang_a, db.lang AS lang_b, p.sim
+         |FROM (""".stripMargin + annNearDupOracle + """) p
+         |JOIN documents da ON da.doc_id = p.id_a
+         |JOIN documents db ON db.doc_id = p.id_b
+         |WHERE da.lang <> db.lang""".stripMargin)
   )
 
   /** q_table_types oracle: cells CTE -> dense (i,j) -> seeded overwrite
@@ -3324,6 +3419,19 @@ object SparkEntry {
         |  coalesce(h.header_type, 'none') AS header_type
         |FROM maj m LEFT JOIN hdr h
         |  ON m.doc_id = h.doc_id AND m.table_idx = h.table_idx AND m.j = h.j""".stripMargin
+
+  /** q_ann_neardup oracle (also nested by q_bitext_candidates). */
+  private def annNearDupOracle: String =
+    """WITH v AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS e,
+      |    sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+      |      i -> (embedding::DOUBLE[])[i] * (embedding::DOUBLE[])[i]))) AS nrm
+      |  FROM embeddings WHERE vec_id < 300
+      |)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm) AS sim
+      |FROM v a JOIN v b ON a.vec_id < b.vec_id
+      |WHERE list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm) >= 0.3""".stripMargin
 
   /** q_ann_topk oracle (also nested by q_ann_recall). */
   private def annTopkOracle: String =

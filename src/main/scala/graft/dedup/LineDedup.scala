@@ -60,6 +60,44 @@ object LineDedup {
       .groupBy("line_hash")
       .agg(count(lit(1)).as("n_docs"))
 
+  /** Keep only lines satisfying `pred` (evaluated on the raw line);
+    * rebuild each document from survivors in original order — the
+    * generic per-line filter behind C4-style line rules (e.g. "keep
+    * lines ending in terminal punctuation"). Same reconstruction
+    * contract as [[stripDuplicatedLines]]: (id, text_clean, n_kept),
+    * all-filtered docs survive with empty text. One shuffle (the
+    * per-doc rebuild); the predicate runs in the scan stage.
+    */
+  def filterLines(df: DataFrame, idCol: String, textCol: String,
+      pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame =
+    rebuild(df, idCol, explodeLines(df, idCol, textCol).filter(pred(col("line"))))
+
+  /** Order-stable per-doc reconstruction of surviving (id, pos, line)
+    * rows; docs with no survivors keep an empty-text row.
+    */
+  private def rebuild(df: DataFrame, idCol: String, kept: DataFrame): DataFrame = {
+    val rebuilt = kept
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            e => e("line")),
+          "\n").as("text_clean"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  /** C4's terminal-punctuation rule: a line survives iff it ends in
+    * '.', '!', '?', or '"' (after ASCII right-trim).
+    */
+  def terminalPunctuation(line: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    rtrim(line).rlike("[.!?\"]$")
+
   /** Strip every line that appears in more than `maxDocs` distinct
     * documents; rebuild each document's text from its surviving lines
     * joined by '\n' in original order. Returns
@@ -73,21 +111,8 @@ object LineDedup {
     val frequent = lineStats(df, idCol, textCol)
       .filter(col("n_docs") > maxDocs)
       .select(col("line_hash"))
-    val kept = lines.join(broadcast(frequent), Seq("line_hash"), "left_anti")
-    val rebuilt = kept
-      .groupBy(col(idCol))
-      .agg(
-        array_join(
-          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
-            e => e("line")),
-          "\n").as("text_clean"),
-        count(lit(1)).as("n_kept"))
-    // left join back to the corpus so all-boilerplate docs survive
-    df.select(col(idCol))
-      .join(rebuilt, Seq(idCol), "left")
-      .select(
-        col(idCol),
-        coalesce(col("text_clean"), lit("")).as("text_clean"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+    // broadcast anti-join strip, then the shared order-stable rebuild
+    rebuild(df, idCol,
+      lines.join(broadcast(frequent), Seq("line_hash"), "left_anti"))
   }
 }

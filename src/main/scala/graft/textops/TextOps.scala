@@ -163,6 +163,31 @@ object TextOps {
       .when(lat > 0, "latin")
       .otherwise("none")
 
+  /** Count of code-ish symbol characters ({ } ; = ( )) — the cheap
+    * signal separating code from prose in a mixed crawl (the
+    * code-vs-text mixing knob every LLM data recipe tunes).
+    */
+  def codeSymbolCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[{};=()]", ""))).cast("bigint")
+
+  /** Lines starting with a tab or 2+ spaces (code indentation). The
+    * per-element lambda touches only its own line — no HOF-CSE hazard.
+    */
+  def indentedLineCount(text: Column): Column =
+    size(filter(split(text, "\n"), l => l.rlike("^(\t|  )"))).cast("bigint")
+
+  /** Code-vs-prose vote: symbol density > 2% of characters OR > 30% of
+    * lines indented. Pure double ratios with identical IEEE evaluation
+    * on the oracle side.
+    */
+  def isCodeLike(text: Column): Column = {
+    val symRatio = codeSymbolCount(text).cast("double") /
+      greatest(length(text).cast("double"), lit(1.0))
+    val indentRatio = indentedLineCount(text).cast("double") /
+      greatest(size(split(text, "\n")).cast("double"), lit(1.0))
+    symRatio > 0.02 || indentRatio > 0.3
+  }
+
   /** Positional rolling-hash fingerprint: sum_i i*len(tok_i) mod p —
     * order-sensitive, engine-portable (pure integer arithmetic).
     */

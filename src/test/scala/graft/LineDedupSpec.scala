@@ -58,6 +58,18 @@ class LineDedupSpec extends AnyFunSuite {
     assert(out.map(_.getString(1)).toSeq == Seq("b", "z", "y"))
   }
 
+  test("filterLines keeps terminal-punctuation lines in order") {
+    val df = docs(
+      (1L, "Nav | Bar\nA sentence.\nbare tokens\n\"quoted\"\nend!"),
+      (2L, "no punct at all\nstill none")) // all filtered -> empty doc
+    val out = LineDedup.filterLines(df, "doc_id", "t",
+        LineDedup.terminalPunctuation)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getString(1)).toSeq ==
+      Seq("A sentence.\n\"quoted\"\nend!", ""))
+    assert(out.map(_.getLong(2)).toSeq == Seq(3L, 0L))
+  }
+
   test("canonicalUrl normalizes scheme/host/port/path/query/fragment") {
     import spark.implicits._
     def canon(u: String): String =

@@ -62,6 +62,22 @@ class TableTypesSpec extends AnyFunSuite {
       (0, 3, "text", 2L, "none")))
   }
 
+  test("code detection: symbol density and indentation both vote") {
+    import spark.implicits._
+    val code = "def f(x) {\n\ty = x + 1;\n\treturn (y);\n}"
+    val prose = "this is a plain sentence with many ordinary words in it"
+    val indentedProse = "  a\n  b\n  c\nplain" // 3/4 indented -> code-like
+    val rows = Seq(code, prose, indentedProse).toDF("t")
+      .select(
+        graft.textops.TextOps.codeSymbolCount(col("t")).as("s"),
+        graft.textops.TextOps.indentedLineCount(col("t")).as("i"),
+        graft.textops.TextOps.isCodeLike(col("t")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(rows(0)._1 == 9 && rows(0)._2 == 2 && rows(0)._3)
+    assert(rows(1) == ((0L, 0L, false)))
+    assert(rows(2)._3)
+  }
+
   test("script counts and dominant vote") {
     import spark.implicits._
     val df = Seq("abc где 42", "中文 x", "", "где 中文文")
