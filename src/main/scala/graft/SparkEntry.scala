@@ -170,6 +170,36 @@ object SparkEntry {
     out
   }
 
+  /** Per-language weight dimension for the stream-static enrichment
+    * drain — deliberately PARTIAL (no es/fr rows) so the inner join's
+    * filter semantics are observable in the oracle row count.
+    */
+  private val enrichDim: Seq[(String, Double)] =
+    Seq(("en", 1.0), ("de", 0.7), ("zh", 0.5))
+
+  /** Stream-static enrichment drain: the documents firehose (landing
+    * copy = one file, one deterministic micro-batch) broadcast-joined
+    * per micro-batch against the tiny per-lang weight dim. The batch
+    * oracle restates the join as documents x VALUES — inner semantics
+    * drop langs absent from the dim.
+    */
+  private def streamEnrichDrain(s: SparkSession, dir: String): String = {
+    streamCleanupHook
+    val root = streamLandingDirs.computeIfAbsent(s"$dir#enrich", _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_senrich").toString
+      s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .coalesce(1).write.parquet(s"$tmp/in")
+      tmp
+    })
+    val run = streamRunSeq.incrementAndGet()
+    val out = s"$root/out$run"
+    val dim = s.createDataFrame(enrichDim).toDF("lang", "lang_weight")
+    graft.streaming.StreamingState.enrichRunOnce(
+      s, s"$root/in", dim, "lang", out, s"$root/cp$run")
+    out
+  }
+
   /** One trained BPE codec per corpus dir per JVM: training is a pure
     * deterministic function of the documents table (top-word sample ->
     * seeded merge loop), so the cache is sound and the merge-table dump
@@ -841,6 +871,12 @@ object SparkEntry {
       val out = streamDedupDrain(s, dir)
       s.read.parquet(out).select(col("checksum"))
     }),
+
+    // ---- streaming: stream-static enrichment join — the doc firehose
+    // broadcast-joined per micro-batch against a tiny per-lang weight
+    // dim; inner semantics drop langs absent from the dim (es/fr)
+    "stream_enrich" -> ((s, dir) =>
+      s.read.parquet(streamEnrichDrain(s, dir))),
 
     // ---- streaming: watermarked tumbling-window counts (append mode —
     // only watermark-closed windows reach the checkpointed sink; the
@@ -2815,6 +2851,16 @@ object SparkEntry {
     // micro-batch), so the batch distinct states the expected set
     "stream_dedup" ->
       "SELECT DISTINCT sha256(text) AS checksum FROM documents",
+    // stream-static enrichment: the drained sink is documents inner-
+    // joined per micro-batch to the partial per-lang dim (es/fr drop);
+    // VALUES literals are DECIMAL in DuckDB -> cast to DOUBLE
+    "stream_enrich" ->
+      """SELECT d.lang, d.doc_id, d.n_chars,
+        |  CAST(w.lang_weight AS DOUBLE) AS lang_weight
+        |FROM documents d
+        |JOIN (VALUES ('en', 1.0), ('de', 0.7), ('zh', 0.5))
+        |  AS w(lang, lang_weight)
+        |ON d.lang = w.lang""".stripMargin,
     "stream_window_counts" ->
       """WITH mx AS (SELECT max(ts) AS m FROM events
         |), b AS (

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit, window}
+import org.apache.spark.sql.functions.{broadcast, col, count, lit, window}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Stateful streaming operators over the continuously-arriving span /
@@ -67,6 +67,33 @@ object StreamingState {
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
         col(keyCol), col("cnt"))
     val q = agg.writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Stream-static enrichment drain: every streamed row inner-joins a
+    * static dimension frame on `keyCol` — the canonical pattern for
+    * joining a document firehose against slowly-changing metadata
+    * (license lists, per-language weights, domain reputations). Spark
+    * re-resolves the static side each micro-batch; with the dim
+    * broadcast the stream side never shuffles, so throughput is the
+    * scan rate. Inner join semantics double as a filter: stream rows
+    * with no dim entry drop.
+    */
+  def enrichRunOnce(spark: SparkSession, inputPath: String,
+      staticDim: DataFrame, keyCol: String, outPath: String,
+      checkpoint: String): Unit = {
+    val schema = spark.read.parquet(inputPath).schema
+    val src = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 64)
+      .parquet(inputPath)
+    val q = src.join(broadcast(staticDim), Seq(keyCol))
+      .writeStream
       .format("parquet")
       .option("path", outPath)
       .option("checkpointLocation", checkpoint)

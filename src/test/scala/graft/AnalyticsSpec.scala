@@ -284,4 +284,20 @@ class AnalyticsSpec extends AnyFunSuite {
       .map(_.getString(0))
     assert(got.sorted.toSeq == Seq("h1", "h2", "h3"))
   }
+
+  test("stream-static enrichment drain inner-joins the dim and drops absent keys") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_senrich_test").toString
+    Seq((1L, "en"), (2L, "fr"), (3L, "de"), (4L, "en"))
+      .toDF("doc_id", "lang")
+      .coalesce(1).write.parquet(s"$root/in")
+    val dim = Seq(("en", 1.0), ("de", 0.7)).toDF("lang", "lang_weight")
+    graft.streaming.StreamingState.enrichRunOnce(
+      spark, s"$root/in", dim, "lang", s"$root/out", s"$root/cp")
+    val got = spark.read.parquet(s"$root/out")
+      .select("doc_id", "lang", "lang_weight").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq.sorted
+    // fr has no dim row -> dropped by inner semantics
+    assert(got == Seq((1L, "en", 1.0), (3L, "de", 0.7), (4L, "en", 1.0)))
+  }
 }
