@@ -1434,7 +1434,43 @@ object SparkEntry {
         .join(langs.select(col("doc_id").as("id_b"), col("lang").as("lang_b")), "id_b")
         .filter(col("lang_a") =!= col("lang_b"))
         .select(col("id_a"), col("id_b"), col("lang_a"), col("lang_b"), col("sim"))
-    })
+    }),
+
+    // ---- deterministic fractional-epoch upsampling: the data-mixing
+    // knob's other half (mixtureSample can only downweight) — en x2.5,
+    // de x0.5, others x1; record-local explode, zero shuffles
+    "q_domain_epochs" -> ((s, dir) =>
+      graft.corpus.Sampling.epochUpsample(
+        s.read.parquet(t(dir, "documents")).select(col("doc_id"), col("lang")),
+        "lang", "doc_id", epochs = Map("en" -> 2.5, "de" -> 0.5))),
+
+    // ---- Gopher quality-rule panel over deterministically dirtied
+    // text (bullet lines doc%3, ellipsis teasers doc%4, symbol+number
+    // spam doc%5); minWords=5 so both outcomes occur on a short corpus
+    "q_gopher_rules" -> ((s, dir) =>
+      s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), gopherDirt.as("tt"))
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("tt")).as("n_words"),
+          TextOps.meanWordLength(col("tt")).as("mean_wlen"),
+          TextOps.symbolWordRatio(col("tt")).as("sym_ratio"),
+          TextOps.bulletLineRatio(col("tt")).as("bullet_ratio"),
+          TextOps.ellipsisLineRatio(col("tt")).as("ellipsis_ratio"),
+          TextOps.alphaWordRatio(col("tt")).as("alpha_ratio"),
+          TextOps.markerHits(col("tt"), TextOps.GopherStopwords).as("n_stop"),
+          TextOps.gopherPass(col("tt"), minWords = 5L).as("pass"))),
+
+    // ---- encoding-damage (mojibake) detection over seeded dirt:
+    // double-encoded é (doc%7), U+FFFD (doc%9), C1 NEL control
+    // (doc%11), double-encoded right-quote (doc%13)
+    "q_mojibake" -> ((s, dir) =>
+      s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), mojibakeDirt.as("tt"))
+        .select(col("doc_id"),
+          TextOps.replacementCount(col("tt")).as("n_repl"),
+          TextOps.c1ControlCount(col("tt")).as("n_c1"),
+          TextOps.mojibakeArtifactCount(col("tt")).as("n_artifact"),
+          TextOps.isEncodingDamaged(col("tt")).as("is_damaged")))
   )
 
   /** Multi-line text where only odd docs' body lines terminate in
@@ -1447,6 +1483,34 @@ object SparkEntry {
       when(col("doc_id") % 2 === 1, concat(col("text"), lit(".")))
         .otherwise(col("text")),
       lit("\n\"quoted line\"\nref "), col("doc_id").cast("string")).as("t"))
+
+  /** Gopher-panel dirt: bullet lines prepended (doc%3), ellipsis teaser
+    * lines appended (doc%4, one ASCII one U+2026), symbol+number spam
+    * appended (doc%5) — exercises every rule branch on corpus data.
+    */
+  private def gopherDirt: Column = {
+    val t1 = when(col("doc_id") % 3 === 0,
+      concat(lit("- item one\n- item two\n"), col("text"))).otherwise(col("text"))
+    val t2 = when(col("doc_id") % 4 === 0,
+      concat(t1, lit("\nread more...\nand then…"))).otherwise(t1)
+    when(col("doc_id") % 5 === 0,
+      concat(t2, lit(" ## # 1234 42"))).otherwise(t2)
+  }
+
+  /** Mojibake dirt: "Ã©" double-encode (doc%7), U+FFFD replacement
+    * (doc%9), C1 NEL control (doc%11), "â€™" right-quote double-encode
+    * (doc%13) — each signal fires independently.
+    */
+  private def mojibakeDirt: Column = {
+    val t1 = when(col("doc_id") % 7 === 0,
+      concat(col("text"), lit(" cafÃ©"))).otherwise(col("text"))
+    val t2 = when(col("doc_id") % 9 === 0,
+      concat(t1, lit(" �"))).otherwise(t1)
+    val t3 = when(col("doc_id") % 11 === 0,
+      concat(t2, lit("\u0085ok"))).otherwise(t2)
+    when(col("doc_id") % 13 === 0,
+      concat(t3, lit(" donâ€™t"))).otherwise(t3)
+  }
 
   /** Deterministic dirt over documents.text: a combining-accent suffix
     * (doc%3 — NFC must compose it), an NBSP + tab-run + trailing-space
@@ -3410,7 +3474,114 @@ object SparkEntry {
          |FROM (""".stripMargin + annNearDupOracle + """) p
          |JOIN documents da ON da.doc_id = p.id_a
          |JOIN documents db ON db.doc_id = p.id_b
-         |WHERE da.lang <> db.lang""".stripMargin)
+         |WHERE da.lang <> db.lang""".stripMargin),
+    // Fractional-epoch upsampling replay: same CASE epochs, same
+    // md5-derived extra-copy threshold (floor on both factors so the
+    // integer arithmetic cannot drift), range() unnest for copy_idx
+    "q_domain_epochs" ->
+      """WITH e AS (
+        |  SELECT doc_id, lang,
+        |    CASE lang WHEN 'en' THEN 2.5 WHEN 'de' THEN 0.5 ELSE 1.0 END AS ep,
+        |    CAST('0x' || substr(md5('graftep' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |      % 1000000 AS h
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, lang,
+        |    CAST(floor(ep) AS BIGINT)
+        |      + CASE WHEN h < CAST(floor((ep - floor(ep)) * 1000000) AS BIGINT)
+        |             THEN 1 ELSE 0 END AS copies
+        |  FROM e
+        |)
+        |SELECT doc_id, lang, CAST(unnest(range(copies)) AS BIGINT) AS copy_idx
+        |FROM c WHERE copies >= 1""".stripMargin,
+    // Gopher-panel replay: identical dirt chain, whitespace-token and
+    // line splits, literal-substring symbol counts (each truncated to
+    // BIGINT separately, like the engine's per-pattern casts), RE2
+    // classes shared with Java regex, and the composed pass predicate
+    // over the same IEEE doubles
+    "q_gopher_rules" ->
+      """WITH b1 AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 3 = 0
+        |    THEN '- item one' || chr(10) || '- item two' || chr(10) || text
+        |    ELSE text END AS t FROM documents
+        |), b2 AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 4 = 0
+        |    THEN t || chr(10) || 'read more...' || chr(10) || 'and then' || chr(8230)
+        |    ELSE t END AS t FROM b1
+        |), tt AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 5 = 0
+        |    THEN t || ' ## # 1234 42' ELSE t END AS t FROM b2
+        |), sig AS (
+        |  SELECT doc_id, t,
+        |    string_split(t, ' ') AS w,
+        |    string_split(t, chr(10)) AS ls,
+        |    string_split(lower(t), ' ') AS lw
+        |  FROM tt
+        |), m AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+        |      / greatest(CAST(len(w) AS DOUBLE), CAST(1 AS DOUBLE)) AS mean_wlen,
+        |    CAST(CAST((length(t) - length(replace(t, '#', ''))) / 1 AS BIGINT)
+        |       + CAST((length(t) - length(replace(t, '...', ''))) / 3 AS BIGINT)
+        |       + CAST((length(t) - length(replace(t, chr(8230), ''))) / 1 AS BIGINT) AS DOUBLE)
+        |      / greatest(CAST(len(w) AS DOUBLE), CAST(1 AS DOUBLE)) AS sym_ratio,
+        |    CAST(len(list_filter(ls, l -> regexp_matches(l, '^\s*[-*' || chr(8226) || ']'))) AS DOUBLE)
+        |      / greatest(CAST(len(ls) AS DOUBLE), CAST(1 AS DOUBLE)) AS bullet_ratio,
+        |    CAST(len(list_filter(ls, l -> regexp_matches(rtrim(l), '(\.\.\.|' || chr(8230) || ')$'))) AS DOUBLE)
+        |      / greatest(CAST(len(ls) AS DOUBLE), CAST(1 AS DOUBLE)) AS ellipsis_ratio,
+        |    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+        |      / greatest(CAST(len(w) AS DOUBLE), CAST(1 AS DOUBLE)) AS alpha_ratio,
+        |    CAST(len(list_filter(lw, x -> x IN
+        |      ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS n_stop
+        |  FROM sig
+        |)
+        |SELECT doc_id, n_words, mean_wlen, sym_ratio, bullet_ratio,
+        |  ellipsis_ratio, alpha_ratio, n_stop,
+        |  (n_words >= 5 AND n_words <= 100000
+        |    AND mean_wlen >= 3.0 AND mean_wlen <= 10.0
+        |    AND sym_ratio < 0.1 AND bullet_ratio < 0.9
+        |    AND ellipsis_ratio < 0.3 AND alpha_ratio > 0.8
+        |    AND n_stop >= 2) AS pass
+        |FROM m""".stripMargin,
+    // Mojibake replay: chr()-built artifact digraphs (every non-ASCII
+    // char enters via codepoint so the SQL file stays ASCII-safe),
+    // per-pattern BIGINT casts matching the engine's substrCount, and
+    // the same C1 regex class
+    "q_mojibake" ->
+      """WITH b1 AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 7 = 0
+        |    THEN text || ' caf' || chr(195) || chr(169) ELSE text END AS t
+        |  FROM documents
+        |), b2 AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 9 = 0
+        |    THEN t || ' ' || chr(65533) ELSE t END AS t FROM b1
+        |), b3 AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 11 = 0
+        |    THEN t || chr(133) || 'ok' ELSE t END AS t FROM b2
+        |), tt AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 13 = 0
+        |    THEN t || ' don' || chr(226) || chr(8364) || chr(8482) || 't'
+        |    ELSE t END AS t FROM b3
+        |)
+        |SELECT doc_id,
+        |  CAST((length(t) - length(replace(t, chr(65533), ''))) / 1 AS BIGINT) AS n_repl,
+        |  CAST(length(t) - length(regexp_replace(t, '[\x{0080}-\x{009F}]', '', 'g')) AS BIGINT) AS n_c1,
+        |  CAST((length(t) - length(replace(t, chr(195) || chr(169), ''))) / 2 AS BIGINT)
+        |    + CAST((length(t) - length(replace(t, chr(195) || chr(168), ''))) / 2 AS BIGINT)
+        |    + CAST((length(t) - length(replace(t, chr(195) || chr(188), ''))) / 2 AS BIGINT)
+        |    + CAST((length(t) - length(replace(t, chr(226) || chr(8364) || chr(8482), ''))) / 3 AS BIGINT)
+        |    + CAST((length(t) - length(replace(t, chr(226) || chr(8364) || chr(339), ''))) / 3 AS BIGINT)
+        |    AS n_artifact,
+        |  (CAST((length(t) - length(replace(t, chr(65533), ''))) / 1 AS BIGINT)
+        |    + CAST(length(t) - length(regexp_replace(t, '[\x{0080}-\x{009F}]', '', 'g')) AS BIGINT)
+        |    + CAST((length(t) - length(replace(t, chr(195) || chr(169), ''))) / 2 AS BIGINT)
+        |    + CAST((length(t) - length(replace(t, chr(195) || chr(168), ''))) / 2 AS BIGINT)
+        |    + CAST((length(t) - length(replace(t, chr(195) || chr(188), ''))) / 2 AS BIGINT)
+        |    + CAST((length(t) - length(replace(t, chr(226) || chr(8364) || chr(8482), ''))) / 3 AS BIGINT)
+        |    + CAST((length(t) - length(replace(t, chr(226) || chr(8364) || chr(339), ''))) / 3 AS BIGINT)
+        |  ) > 0 AS is_damaged
+        |FROM tt""".stripMargin
   )
 
   /** q_table_types oracle: cells CTE -> dense (i,j) -> seeded overwrite

@@ -145,6 +145,43 @@ object Sampling {
       .drop("__hv", "__rn")
   }
 
+  /** Deterministic fractional-epoch UPSAMPLING — the other half of the
+    * data-mixing knob. mixtureSample can only downweight (rate <= 1);
+    * published LLM data recipes also repeat high-value domains (e.g.
+    * wiki x3.2 epochs in GPT-3's mix). Each row is emitted
+    * floor(epochs) times plus one extra copy iff its salted portable
+    * hash falls under frac(epochs) x HashMod, so a stratum with
+    * epochs=2.3 contributes exactly ~2.3x its rows, each copy tagged
+    * `copy_idx` (0-based) so downstream shuffles can co-locate or
+    * spread copies explicitly. epochs < 1 degrades gracefully to
+    * mixtureSample semantics (0 whole copies + fractional keep).
+    *
+    * Scale posture: record-local — the epoch lookup folds into a CASE
+    * in the scan stage and the repeat is a per-row explode of a
+    * sequence bounded by max(epochs)+1; zero shuffles, fan-out bounded
+    * and known in advance. Deterministic across runs/engines: the
+    * extra-copy decision replays from md5 like every sampler here.
+    */
+  def epochUpsample(df: DataFrame, stratumCol: String, idCol: String,
+      epochs: Map[String, Double], defaultEpochs: Double = 1.0,
+      salt: String = "graftep"): DataFrame = {
+    require((epochs.values ++ Seq(defaultEpochs)).forall(e => e >= 0 && e.isFinite),
+      s"epochs must be finite and >= 0: $epochs / $defaultEpochs")
+    val ep = epochs.foldLeft(lit(defaultEpochs)) { case (acc, (s0, v)) =>
+      when(col(stratumCol) === s0, lit(v)).otherwise(acc)
+    }
+    // floor() on both factors keeps the threshold arithmetic integer-
+    // exact in the oracle replay (CAST alone rounds half-even in DuckDB)
+    val whole = floor(ep).cast("long")
+    val fracThreshold = floor((ep - floor(ep)) * HashMod).cast("long")
+    val copies = whole +
+      (portableHash(col(idCol), salt) < fracThreshold).cast("long")
+    df.withColumn("__copies", copies)
+      .filter(col("__copies") >= 1)
+      .withColumn("copy_idx", explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__copies")
+  }
+
   def split(df: DataFrame, idCol: String, labels: Seq[String],
       weights: Seq[Double], salt: String = "split",
       labelCol: String = "split"): DataFrame = {

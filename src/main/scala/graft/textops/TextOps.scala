@@ -188,6 +188,108 @@ object TextOps {
     symRatio > 0.02 || indentRatio > 0.3
   }
 
+  /** Mean whitespace-token length (Gopher rule: prose sits in [3, 10];
+    * outside that band the "text" is usually tag soup, minified code,
+    * or CJK misparsed by a whitespace tokenizer). The token array is
+    * the aggregate's INPUT argument (evaluated once per row), not a
+    * lambda capture — no HOF re-evaluation hazard.
+    */
+  def meanWordLength(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, w) => acc + length(w))
+      .cast("double") / greatest(tokenCount(text).cast("double"), lit(1.0))
+
+  /** Occurrences of a literal substring, via length-delta (codegen'd,
+    * regex-free). Exact-integer result: the delta is always a multiple
+    * of the pattern length, so the double divide is lossless.
+    */
+  def substrCount(text: Column, pat: String): Column = {
+    require(pat.nonEmpty, "pattern must be non-empty")
+    ((length(text) - length(replace(text, lit(pat), lit("")))) / lit(pat.length))
+      .cast("long")
+  }
+
+  /** Symbol-to-word ratio (Gopher: > 0.1 flags spam/markup): counts of
+    * '#', ASCII '...' (per 3-char run), and Unicode '…' per token.
+    */
+  def symbolWordRatio(text: Column): Column =
+    (substrCount(text, "#") + substrCount(text, "...") + substrCount(text, "…"))
+      .cast("double") / greatest(tokenCount(text).cast("double"), lit(1.0))
+
+  /** Fraction of lines starting with a bullet marker (-, *, •) after
+    * optional leading whitespace (Gopher: >= 0.9 flags list-only pages).
+    */
+  def bulletLineRatio(text: Column): Column = {
+    val lines = split(text, "\n", -1)
+    size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("double") /
+      greatest(size(lines).cast("double"), lit(1.0))
+  }
+
+  /** Fraction of lines ending in an ellipsis after right-trim (Gopher:
+    * >= 0.3 flags truncated-teaser pages).
+    */
+  def ellipsisLineRatio(text: Column): Column = {
+    val lines = split(text, "\n", -1)
+    size(filter(lines, l => rtrim(l).rlike("(\\.\\.\\.|…)$"))).cast("double") /
+      greatest(size(lines).cast("double"), lit(1.0))
+  }
+
+  /** Fraction of whitespace tokens containing at least one ASCII letter
+    * (Gopher: < 0.8 flags symbol/number soup).
+    */
+  def alphaWordRatio(text: Column): Column =
+    size(filter(tokens(text), w => w.rlike("[A-Za-z]"))).cast("double") /
+      greatest(tokenCount(text).cast("double"), lit(1.0))
+
+  /** Gopher's required-stopword set (Rae et al. 2021): a document with
+    * fewer than 2 hits is usually not running English prose.
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The composed Gopher quality gate over the signals above. Word-count
+    * bounds are parameters (the published [50, 100000] is calibrated to
+    * web pages; short-doc corpora lower the floor). Every signal is a
+    * codegen-friendly Column with identical IEEE evaluation on the
+    * DuckDB oracle side — the gate replays bit-for-bit.
+    */
+  def gopherPass(text: Column, minWords: Long = 50L,
+      maxWords: Long = 100000L): Column = {
+    val n = tokenCount(text)
+    val mw = meanWordLength(text)
+    n >= minWords && n <= maxWords &&
+      mw >= 3.0 && mw <= 10.0 &&
+      symbolWordRatio(text) < 0.1 &&
+      bulletLineRatio(text) < 0.9 &&
+      ellipsisLineRatio(text) < 0.3 &&
+      alphaWordRatio(text) > 0.8 &&
+      markerHits(text, GopherStopwords) >= 2L
+  }
+
+  /** Encoding-damage (mojibake) signals — the ingest-hygiene gate that
+    * catches double-encoded UTF-8 and lossy transcodes before they
+    * poison a training mix:
+    *  - replacementCount: U+FFFD chars (a decoder already gave up);
+    *  - c1ControlCount: C1 controls U+0080-U+009F (almost always
+    *    CP-1252 bytes mis-read as Latin-1);
+    *  - artifactCount: the classic UTF-8-read-as-Latin-1 digraphs
+    *    ("Ã©" for é, "â€™" for ', ...).
+    * All regex-free or literal-class counts, codegen'd, oracle-exact.
+    */
+  val MojibakeArtifacts: Seq[String] = Seq("Ã©", "Ã¨", "Ã¼", "â€™", "â€œ")
+
+  def replacementCount(text: Column): Column = substrCount(text, "�")
+
+  def c1ControlCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\x{80}-\\x{9F}]", "")))
+      .cast("bigint")
+
+  def mojibakeArtifactCount(text: Column): Column =
+    MojibakeArtifacts.map(substrCount(text, _)).reduce(_ + _)
+
+  def isEncodingDamaged(text: Column): Column =
+    (replacementCount(text) + c1ControlCount(text) +
+      mojibakeArtifactCount(text)) > 0L
+
   /** Positional rolling-hash fingerprint: sum_i i*len(tok_i) mod p —
     * order-sensitive, engine-portable (pure integer arithmetic).
     */
