@@ -1470,7 +1470,37 @@ object SparkEntry {
           TextOps.replacementCount(col("tt")).as("n_repl"),
           TextOps.c1ControlCount(col("tt")).as("n_c1"),
           TextOps.mojibakeArtifactCount(col("tt")).as("n_artifact"),
-          TextOps.isEncodingDamaged(col("tt")).as("is_damaged")))
+          TextOps.isEncodingDamaged(col("tt")).as("is_damaged"))),
+
+    // ---- Flesch readability (curriculum/difficulty axis): sentence
+    // structure synthesized by terminating every 5th word, then the
+    // vowel-group syllable estimate and the published formula
+    "q_readability" -> ((s, dir) =>
+      s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"),
+          regexp_replace(col("text"),
+            "(\\w+ \\w+ \\w+ \\w+ \\w+) ", "$1. ").as("tt"))
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("tt")).as("n_words"),
+          TextOps.sentenceCount(col("tt")).as("n_sents"),
+          TextOps.syllableEstimate(col("tt")).as("n_syll"),
+          TextOps.fleschReadingEase(col("tt")).as("flesch"))),
+
+    // ---- word-boundary blocklist gate (C4 badword-filter shape) over
+    // corpus vocabulary that actually hits ('slow','hash','big')
+    "q_blocklist" -> ((s, dir) =>
+      s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), col("lang"),
+          TextOps.blocklistHits(col("text"),
+            Seq("slow", "hash", "big")).as("n_bad"))
+        .withColumn("kept", col("n_bad") === 0L)),
+
+    // ---- token frequency-of-frequencies spectrum (Zipf/Heaps corpus
+    // health): two map-side-combined shuffles, output bounded by the
+    // number of distinct frequencies
+    "q_freq_spectrum" -> ((s, dir) =>
+      graft.corpus.CorpusStats.frequencySpectrum(
+        s.read.parquet(t(dir, "documents")), "text"))
   )
 
   /** Multi-line text where only odd docs' body lines terminate in
@@ -3581,7 +3611,46 @@ object SparkEntry {
         |    + CAST((length(t) - length(replace(t, chr(226) || chr(8364) || chr(8482), ''))) / 3 AS BIGINT)
         |    + CAST((length(t) - length(replace(t, chr(226) || chr(8364) || chr(339), ''))) / 3 AS BIGINT)
         |  ) > 0 AS is_damaged
-        |FROM tt""".stripMargin
+        |FROM tt""".stripMargin,
+    // Readability replay: same every-5th-word sentence injection (RE2
+    // backreference \1 == Java $1), vowel-group syllable floor-at-1,
+    // and the published Flesch constants over identical IEEE doubles
+    "q_readability" ->
+      """WITH tt AS (
+        |  SELECT doc_id,
+        |    regexp_replace(text, '(\w+ \w+ \w+ \w+ \w+) ', '\1. ', 'g') AS t
+        |  FROM documents
+        |), sig AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(t, ' ')) AS BIGINT) AS n_words,
+        |    CAST(greatest(len(regexp_extract_all(t, '[.!?]+')), 1) AS BIGINT) AS n_sents,
+        |    CAST(list_sum(list_transform(string_split(lower(t), ' '),
+        |      w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1))) AS BIGINT) AS n_syll
+        |  FROM tt
+        |)
+        |SELECT doc_id, n_words, n_sents, n_syll,
+        |  206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE))
+        |    - 84.6 * (CAST(n_syll AS DOUBLE)
+        |        / greatest(CAST(n_words AS DOUBLE), CAST(1 AS DOUBLE))) AS flesch
+        |FROM sig""".stripMargin,
+    // Blocklist replay: same \b-delimited lowercase literal matches
+    "q_blocklist" ->
+      """SELECT doc_id, lang,
+        |  CAST(len(regexp_extract_all(lower(text), '\bslow\b')) AS BIGINT)
+        |    + CAST(len(regexp_extract_all(lower(text), '\bhash\b')) AS BIGINT)
+        |    + CAST(len(regexp_extract_all(lower(text), '\bbig\b')) AS BIGINT) AS n_bad,
+        |  (CAST(len(regexp_extract_all(lower(text), '\bslow\b')) AS BIGINT)
+        |    + CAST(len(regexp_extract_all(lower(text), '\bhash\b')) AS BIGINT)
+        |    + CAST(len(regexp_extract_all(lower(text), '\bbig\b')) AS BIGINT)) = 0 AS kept
+        |FROM documents""".stripMargin,
+    // Frequency-spectrum replay: term counts, then counts-of-counts
+    "q_freq_spectrum" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+        |), tf AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY term
+        |)
+        |SELECT freq, CAST(count(*) AS BIGINT) AS n_terms FROM tf GROUP BY freq""".stripMargin
   )
 
   /** q_table_types oracle: cells CTE -> dense (i,j) -> seeded overwrite

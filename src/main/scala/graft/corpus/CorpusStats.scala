@@ -108,4 +108,17 @@ object CorpusStats {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= m)
   }
+
+  /** Token frequency-of-frequencies spectrum (the Zipf/Heaps corpus
+    * health report): how many distinct terms occur exactly `freq`
+    * times. A healthy natural-language corpus shows a power-law tail;
+    * a template-stamped crawl shows mass at suspiciously identical
+    * frequencies. Two map-side-combined shuffles, output bounded by
+    * the number of DISTINCT frequencies (tiny), no windows.
+    */
+  def frequencySpectrum(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+      .groupBy("freq").agg(count(lit(1)).as("n_terms"))
 }

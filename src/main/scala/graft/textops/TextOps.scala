@@ -290,6 +290,48 @@ object TextOps {
     (replacementCount(text) + c1ControlCount(text) +
       mojibakeArtifactCount(text)) > 0L
 
+  /** Syllable estimate: vowel-group count per token ([aeiouy]+ runs on
+    * the lowercased token), floored at 1 per token — the standard
+    * dictionary-free approximation Flesch implementations use. The
+    * lambda is element-local (no captured-subtree re-evaluation).
+    */
+  def syllableEstimate(text: Column): Column =
+    aggregate(tokens(lower(text)), lit(0L),
+      (acc, w) => acc + greatest(regexp_count(w, lit("[aeiouy]+")), lit(1)).cast("long"))
+
+  /** Sentence count: runs of terminal punctuation, floored at 1 so
+    * punctuation-free text counts as one long sentence.
+    */
+  def sentenceCount(text: Column): Column =
+    greatest(regexp_count(text, lit("[.!?]+")), lit(1)).cast("long")
+
+  /** Flesch reading ease (206.835 - 1.015 x words/sentence - 84.6 x
+    * syllables/word) — the curriculum/difficulty axis of a data mix.
+    * Pure IEEE arithmetic over the integer signals above, so the
+    * DuckDB oracle replays the score bit-for-bit.
+    */
+  def fleschReadingEase(text: Column): Column = {
+    val words = tokenCount(text).cast("double")
+    val sents = sentenceCount(text).cast("double")
+    val syls = syllableEstimate(text).cast("double")
+    lit(206.835) - lit(1.015) * (words / sents) -
+      lit(84.6) * (syls / greatest(words, lit(1.0)))
+  }
+
+  /** Word-boundary blocklist hit count (C4's badword gate shape): each
+    * word matches as \b-delimited lowercase literal, so "big," and
+    * "Big!" hit but "bigger" does not. Blocklist words must be plain
+    * ASCII literals (no regex metacharacters) — checked — keeping the
+    * pattern in the Java-regex/RE2 shared subset for oracle replay.
+    */
+  def blocklistHits(text: Column, words: Seq[String]): Column = {
+    require(words.nonEmpty, "blocklist must be non-empty")
+    require(words.forall(_.matches("[a-z0-9]+")),
+      s"blocklist words must be lowercase ASCII literals: $words")
+    words.map(w => regexp_count(lower(text), lit("\\b" + w + "\\b")).cast("long"))
+      .reduce(_ + _)
+  }
+
   /** Positional rolling-hash fingerprint: sum_i i*len(tok_i) mod p —
     * order-sensitive, engine-portable (pure integer arithmetic).
     */

@@ -62,6 +62,37 @@ class QualityGateSpec extends AnyFunSuite {
     assert(one("Ã alone", TextOps.mojibakeArtifactCount(col("t"))) == 0L)
   }
 
+  test("syllable / sentence / Flesch exact on hand strings") {
+    // "strength" 1 group, "aeiou" 1 group, "xyz" has y -> 1, "k9" floor 1
+    assert(one("strength aeiou xyz k9", TextOps.syllableEstimate(col("t"))) == 4L)
+    // "idea" -> i,ea = 2 groups
+    assert(one("idea", TextOps.syllableEstimate(col("t"))) == 2L)
+    assert(one("One. Two! Three?? none", TextOps.sentenceCount(col("t"))) == 3L)
+    assert(one("no punctuation here", TextOps.sentenceCount(col("t"))) == 1L)
+    // 2 words, 1 sentence, 2 syllables: 206.835 - 1.015*2 - 84.6*1
+    assert(one("dog cat", TextOps.fleschReadingEase(col("t"))) ==
+      206.835 - 1.015 * 2.0 - 84.6 * 1.0)
+  }
+
+  test("blocklistHits: word boundaries, case fold, no substring hits") {
+    val bl = Seq("slow", "hash", "big")
+    assert(one("Big, slow! hash.", TextOps.blocklistHits(col("t"), bl)) == 3L)
+    assert(one("bigger hashing slowly", TextOps.blocklistHits(col("t"), bl)) == 0L)
+    assert(one("big big BIG", TextOps.blocklistHits(col("t"), bl)) == 3L)
+    intercept[IllegalArgumentException] {
+      TextOps.blocklistHits(col("t"), Seq("a.b"))
+    }
+  }
+
+  test("frequencySpectrum counts terms per frequency") {
+    import spark.implicits._
+    val df = Seq("a b a", "b c c c").toDF("text")
+    val spec = graft.corpus.CorpusStats.frequencySpectrum(df, "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a:2 b:2 c:3 -> freq 2 has 2 terms, freq 3 has 1 term
+    assert(spec == Map(2L -> 2L, 3L -> 1L))
+  }
+
   private def docs(rows: (Long, String)*): DataFrame = {
     import spark.implicits._
     rows.toSeq.toDF("doc_id", "lang")
