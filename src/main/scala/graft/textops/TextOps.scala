@@ -226,6 +226,12 @@ object TextOps {
 
   /** Fraction of lines ending in an ellipsis after right-trim (Gopher:
     * >= 0.3 flags truncated-teaser pages).
+    *
+    * Engine-portability caveat: Java's `$` also matches before a FINAL
+    * line terminator (\n, NEL U+0085, U+2028/29), where RE2's matches
+    * only end-of-text — divergent only for lines whose last character
+    * is a terminator, which normalizeText's control strip removes
+    * upstream; the oracle corpus never carries them.
     */
   def ellipsisLineRatio(text: Column): Column = {
     val lines = split(text, "\n", -1)
