@@ -1500,7 +1500,19 @@ object SparkEntry {
     // number of distinct frequencies
     "q_freq_spectrum" -> ((s, dir) =>
       graft.corpus.CorpusStats.frequencySpectrum(
-        s.read.parquet(t(dir, "documents")), "text"))
+        s.read.parquet(t(dir, "documents")), "text")),
+
+    // ---- intra-document duplicate-line strip (RefinedWeb in-doc
+    // repeat removal) over synthesized chorus spam: a case/trim
+    // variant chorus + the full body repeated, plus a blank line
+    "q_line_dedup_doc" -> ((s, dir) =>
+      graft.dedup.LineDedup.dedupLinesWithinDoc(
+        s.read.parquet(t(dir, "documents"))
+          .select(col("doc_id"), concat(
+            lit("Chorus line\n"), col("text"),
+            lit("\nchorus line \n"), col("text"),
+            lit("\n\nEnd "), col("doc_id").cast("string")).as("tt")),
+        "doc_id", "tt"))
   )
 
   /** Multi-line text where only odd docs' body lines terminate in
@@ -3650,7 +3662,27 @@ object SparkEntry {
         |), tf AS (
         |  SELECT term, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY term
         |)
-        |SELECT freq, CAST(count(*) AS BIGINT) AS n_terms FROM tf GROUP BY freq""".stripMargin
+        |SELECT freq, CAST(count(*) AS BIGINT) AS n_terms FROM tf GROUP BY freq""".stripMargin,
+    // In-doc line dedup replay: same chorus construction, indexed
+    // list_filter keeping first occurrence of each normalized line
+    "q_line_dedup_doc" ->
+      """WITH raw AS (
+        |  SELECT doc_id, 'Chorus line' || chr(10) || text || chr(10)
+        |    || 'chorus line ' || chr(10) || text || chr(10) || chr(10)
+        |    || 'End ' || CAST(doc_id AS VARCHAR) AS t
+        |  FROM documents
+        |), k AS (
+        |  SELECT doc_id, string_split(t, chr(10)) AS ls,
+        |    list_transform(string_split(t, chr(10)), y -> lower(trim(y))) AS ks
+        |  FROM raw
+        |), kept AS (
+        |  SELECT doc_id, list_filter(ls, (x, i) ->
+        |    lower(trim(x)) <> '' AND list_position(ks, lower(trim(x))) = i) AS kl
+        |  FROM k
+        |)
+        |SELECT doc_id, array_to_string(kl, chr(10)) AS text_clean,
+        |  CAST(len(kl) AS BIGINT) AS n_kept
+        |FROM kept""".stripMargin
   )
 
   /** q_table_types oracle: cells CTE -> dense (i,j) -> seeded overwrite

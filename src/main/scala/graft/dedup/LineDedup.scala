@@ -60,6 +60,34 @@ object LineDedup {
       .groupBy("line_hash")
       .agg(count(lit(1)).as("n_docs"))
 
+  /** INTRA-document duplicate-line removal (RefinedWeb's in-doc repeat
+    * strip): within each document, keep only the FIRST occurrence of
+    * each normalized line; later repeats — chorus spam, duplicated nav
+    * blocks inside one page — drop. Order-preserving; blank lines keep
+    * the corpus-wide convention of dropping at rebuild.
+    *
+    * Scale shape: fully record-local — a per-row HOF filter (line i
+    * survives iff the first list_position of its normalized form is i),
+    * zero shuffles, never materializes anything beyond one document's
+    * own lines. Quadratic in LINES PER DOCUMENT (position scan per
+    * line), which is bounded by document size, not corpus size.
+    * Output (id, text_clean, n_kept) like the other line filters.
+    */
+  def dedupLinesWithinDoc(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    // keys materialize as a real column FIRST: a filter lambda that
+    // captured transform(split(...)) would re-evaluate that whole
+    // subtree per element (the shingleArray HOF-CSE hazard); capturing
+    // an attribute only reads the row value
+    val kept = filter(col("__lines"), (l, i) =>
+      lineKey(l) =!= "" && array_position(col("__keys"), lineKey(l)) === i + 1)
+    df.withColumn("__lines", split(col(textCol), "\n"))
+      .withColumn("__keys", transform(col("__lines"), l => lineKey(l)))
+      .select(col(idCol),
+        concat_ws("\n", kept).as("text_clean"),
+        size(kept).cast("bigint").as("n_kept"))
+  }
+
   /** Keep only lines satisfying `pred` (evaluated on the raw line);
     * rebuild each document from survivors in original order — the
     * generic per-line filter behind C4-style line rules (e.g. "keep

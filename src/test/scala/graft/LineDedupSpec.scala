@@ -109,6 +109,24 @@ class LineDedupSpec extends AnyFunSuite {
     assert(prof == Seq((1L, 3L, 2L, "home"), (2L, 2L, 2L, "abc")))
   }
 
+  test("dedupLinesWithinDoc keeps first occurrence, folds case/trim, drops blanks") {
+    val df = docs(
+      (1L, "Chorus\nbody one\nchorus \n\nbody one\nunique"),
+      (2L, "only line"),
+      (3L, "\n\n"), // all-blank doc survives with empty text
+      (4L, "a\nA\na "))
+    val got = LineDedup.dedupLinesWithinDoc(df, "doc_id", "t")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) == (("Chorus\nbody one\nunique", 3L)))
+    assert(got(2L) == (("only line", 1L)))
+    assert(got(3L) == (("", 0L)))
+    assert(got(4L) == (("a", 1L)))
+    // record-local: no exchange anywhere in the plan
+    val plan = LineDedup.dedupLinesWithinDoc(df, "doc_id", "t")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected shuffle-free plan:\n$plan")
+  }
+
   test("dedupByUrl keeps the min-id row per canonical URL in one aggregation") {
     import spark.implicits._
     val df = Seq(
