@@ -1512,7 +1512,42 @@ object SparkEntry {
             lit("Chorus line\n"), col("text"),
             lit("\nchorus line \n"), col("text"),
             lit("\n\nEnd "), col("doc_id").cast("string")).as("tt")),
-        "doc_id", "tt"))
+        "doc_id", "tt")),
+
+    // ---- data layout: z-order (Morton) clustering key over
+    // (n_chars, doc_id mod 2^16) — the multi-dimensional sort key
+    // behind OPTIMIZE-ZORDER-style file skipping. Pure bit arithmetic
+    // in whole-stage codegen, zero shuffles; the layout itself
+    // (ZOrder.layout) pays one range exchange and is spec-gated on
+    // pruning effectiveness
+    "q_zorder_key" -> ((s, dir) =>
+      s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"),
+          least(col("n_chars"), lit(65535L)).as("x"),
+          pmod(col("doc_id"), lit(65536L)).as("y"))
+        .select(col("doc_id"), col("x"), col("y"),
+          graft.operators.ZOrder.zkey16(col("x"), col("y")).as("zkey"))),
+
+    // ---- lakehouse: per-file column-stats manifest (Iceberg manifest
+    // shape over logical hash files) + the range-pruning decision for
+    // n_chars BETWEEN 400 AND 800: one map-side-combined shuffle,
+    // O(files) output
+    "q_stats_manifest" -> ((s, dir) =>
+      graft.lineage.Manifest.pruneForRange(
+        graft.lineage.Manifest.fileStats(
+          s.read.parquet(t(dir, "documents")),
+          "doc_id", "n_chars", "lang", numFiles = 16),
+        lo = 400L, hi = 800L)),
+
+    // ---- text analysis: rule-based sentence segmentation, exploded
+    // with a per-doc ordinal — record-local mark-then-split, zero
+    // shuffles
+    "q_sentence_split" -> ((s, dir) =>
+      s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"),
+          posexplode(graft.textops.TextOps.sentences(col("text"))))
+        .select(col("doc_id"), col("pos").as("sent_idx"),
+          col("col").as("sentence")))
   )
 
   /** Multi-line text where only odd docs' body lines terminate in
@@ -3682,7 +3717,54 @@ object SparkEntry {
         |)
         |SELECT doc_id, array_to_string(kl, chr(10)) AS text_clean,
         |  CAST(len(kl) AS BIGINT) AS n_kept
-        |FROM kept""".stripMargin
+        |FROM kept""".stripMargin,
+    // Morton key replay: positional sum over the 16 bit planes —
+    // bits are disjoint, so the sum equals the engine's shift/mask OR
+    "q_zorder_key" ->
+      """WITH d AS (
+        |  SELECT doc_id, least(n_chars, 65535) AS x, doc_id % 65536 AS y
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, x, y, unnest(range(16)) AS i FROM d
+        |)
+        |SELECT doc_id, x, y,
+        |  CAST(sum(((x >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i))
+        |         + ((y >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i + 1)))
+        |    AS BIGINT) AS zkey
+        |FROM b GROUP BY doc_id, x, y""".stripMargin,
+    // Manifest replay: portable-hash file bucket, per-file stats,
+    // overlap test for [400, 800]
+    "q_stats_manifest" ->
+      """WITH f AS (
+        |  SELECT CAST('0x' || substr(md5('manifest' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |      % 16 AS file,
+        |    doc_id, n_chars, lang
+        |  FROM documents
+        |), m AS (
+        |  SELECT file, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(*) - count(n_chars) AS BIGINT) AS n_nulls,
+        |    min(n_chars) AS min_val, max(n_chars) AS max_val,
+        |    min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS ndv_cat
+        |  FROM f GROUP BY file
+        |)
+        |SELECT file, n_rows, n_nulls, min_val, max_val, min_id, max_id, ndv_cat,
+        |  CAST(coalesce(max_val >= 400 AND min_val <= 800, TRUE) AS INTEGER) AS kept
+        |FROM m""".stripMargin,
+    // Sentence segmentation replay: same mark-then-split (chr(1)
+    // marker) — RE2 backreference '\1' == Java '$1'
+    "q_sentence_split" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(text, '([.!?]+) ', '\1' || chr(1), 'g'),
+        |      chr(1)) AS parts
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, parts, unnest(range(1, len(parts) + 1)) AS i FROM t
+        |)
+        |SELECT doc_id, CAST(i - 1 AS INTEGER) AS sent_idx,
+        |  parts[i] AS sentence
+        |FROM s""".stripMargin
   )
 
   /** q_table_types oracle: cells CTE -> dense (i,j) -> seeded overwrite

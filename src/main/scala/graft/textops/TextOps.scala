@@ -311,6 +311,18 @@ object TextOps {
   def sentenceCount(text: Column): Column =
     greatest(regexp_count(text, lit("[.!?]+")), lit(1)).cast("long")
 
+  /** Sentence segmentation: split after a terminal-punctuation run
+    * followed by a single space — the rule-based segmenter of a
+    * cleaning pipeline (sentence-level dedup, per-sentence LM scoring,
+    * bitext alignment all consume this). Implemented as
+    * mark-then-split (insert U+0001 after the boundary, split on it)
+    * because that stays inside the Java-regex/RE2 shared subset —
+    * RE2 has no lookbehind, so a DuckDB oracle replays it exactly.
+    * Record-local, codegen'd, zero shuffles.
+    */
+  def sentences(text: Column): Column =
+    split(regexp_replace(text, "([.!?]+) ", "$1\u0001"), "\u0001", -1)
+
   /** Flesch reading ease (206.835 - 1.015 x words/sentence - 84.6 x
     * syllables/word) — the curriculum/difficulty axis of a data mix.
     * Pure IEEE arithmetic over the integer signals above, so the
