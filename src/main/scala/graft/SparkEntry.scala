@@ -1547,7 +1547,30 @@ object SparkEntry {
         .select(col("doc_id"),
           posexplode(graft.textops.TextOps.sentences(col("text"))))
         .select(col("doc_id"), col("pos").as("sent_idx"),
-          col("col").as("sentence")))
+          col("col").as("sentence"))),
+
+    // ---- reporting: rollup subtotals over (lang, source) — the
+    // grouping-sets corpus report (per-pair, per-lang, grand total in
+    // ONE pass / one shuffle instead of three scans); gid is the
+    // grouping bitmask (lang = MSB in both engines)
+    "q_rollup_report" -> ((s, dir) =>
+      s.read.parquet(t(dir, "documents"))
+        .rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          grouping_id().as("gid"))),
+
+    // ---- reshaping: unpivot/melt per-doc metric columns into long
+    // (doc_id, metric, value) form — the feature-store layout; record-
+    // local expansion, zero shuffles
+    "q_unpivot_metrics" -> ((s, dir) =>
+      s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), col("n_chars"),
+          graft.textops.TextOps.tokenCount(col("text")).as("n_tokens"),
+          graft.textops.TextOps.sentenceCount(col("text")).as("n_sents"))
+        .unpivot(Array(col("doc_id")),
+          Array(col("n_chars"), col("n_tokens"), col("n_sents")),
+          "metric", "value"))
   )
 
   /** Multi-line text where only odd docs' body lines terminate in
@@ -3764,7 +3787,25 @@ object SparkEntry {
         |)
         |SELECT doc_id, CAST(i - 1 AS INTEGER) AS sent_idx,
         |  parts[i] AS sentence
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+    // Rollup replay: GROUPING() bitmask is leftmost-column-MSB in
+    // both engines; subtotal rows carry NULL group keys identically
+    "q_rollup_report" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(GROUPING(lang, source) AS BIGINT) AS gid
+        |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
+    // Unpivot replay as stacked UNION ALL over the same metric exprs
+    "q_unpivot_metrics" ->
+      """WITH m AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sents
+        |  FROM documents
+        |)
+        |SELECT doc_id, 'n_chars' AS metric, n_chars AS value FROM m
+        |UNION ALL SELECT doc_id, 'n_tokens', n_tokens FROM m
+        |UNION ALL SELECT doc_id, 'n_sents', n_sents FROM m""".stripMargin
   )
 
   /** q_table_types oracle: cells CTE -> dense (i,j) -> seeded overwrite

@@ -102,6 +102,46 @@ object StreamingState {
     q.awaitTermination()
   }
 
+  /** Stream-stream inner join drain: two firehoses (e.g. document
+    * creations and their async quality scores) joined on a key with an
+    * event-time range bound — the fourth Structured Streaming join
+    * surface (after stream-static, windowed agg, and stateful dedup).
+    * Both sides are watermarked and the join condition carries the
+    * time-range constraint, which is what lets Spark EVICT buffered
+    * rows: a left row older than (watermark - rangeMax) can never
+    * match a future right row, so state stays bounded on an unbounded
+    * stream — without the range bound the buffers grow forever, the
+    * 10^12-doc failure mode. Inner semantics: unmatched rows on either
+    * side simply never emit.
+    *
+    * Left schema must carry (`keyCol`, l_ts), right (r_`keyCol`,
+    * r_ts); rangeMaxSec bounds r_ts - l_ts in [0, rangeMaxSec].
+    */
+  def streamStreamJoinRunOnce(spark: SparkSession, leftPath: String,
+      rightPath: String, keyCol: String, outPath: String, checkpoint: String,
+      rangeMaxSec: Long, delay: String = "30 minutes"): Unit = {
+    val lSchema = spark.read.parquet(leftPath).schema
+    val rSchema = spark.read.parquet(rightPath).schema
+    val l = spark.readStream.schema(lSchema)
+      .option("maxFilesPerTrigger", 64).parquet(leftPath)
+      .withWatermark("l_ts", delay)
+    val r = spark.readStream.schema(rSchema)
+      .option("maxFilesPerTrigger", 64).parquet(rightPath)
+      .withWatermark("r_ts", delay)
+    val joined = l.join(r,
+      col(keyCol) === col(s"r_$keyCol") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + org.apache.spark.sql.functions
+          .expr(s"INTERVAL $rangeMaxSec SECONDS"))
+    val q = joined.writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp)
   final case class SessionState(start: Long, end: Long, n: Long)
   final case class Session(user_id: Long, s_start: Long, s_end: Long, n_events: Long)
