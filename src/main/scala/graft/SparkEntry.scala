@@ -200,6 +200,40 @@ object SparkEntry {
     out
   }
 
+  /** Stream-stream join drain: two landing zones derived from the
+    * documents table — creations (doc_id, l_ts, lang) and async scores
+    * (r_doc_id, r_ts, score) where r_ts lags l_ts by (doc_id % 13)
+    * minutes — drained through the watermarked range-bounded inner
+    * join (range = 10 minutes, so lags 0..10 match and 11..12 drop).
+    * One file per side = one deterministic micro-batch; the batch
+    * oracle restates the join with the range predicate in epoch
+    * seconds.
+    */
+  private def streamJoinDrain(s: SparkSession, dir: String): String = {
+    streamCleanupHook
+    val root = streamLandingDirs.computeIfAbsent(s"$dir#ssjoin", _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ssjoin").toString
+      val base = s.read.parquet(t(dir, "documents"))
+      base.select(col("doc_id"),
+          timestamp_seconds(lit(1700000000L) + pmod(col("doc_id"), lit(3600L)))
+            .as("l_ts"),
+          col("lang"))
+        .coalesce(1).write.parquet(s"$tmp/left")
+      base.select(col("doc_id").as("r_doc_id"),
+          timestamp_seconds(lit(1700000000L) + pmod(col("doc_id"), lit(3600L))
+            + pmod(col("doc_id"), lit(13L)) * 60L).as("r_ts"),
+          col("n_chars").as("score"))
+        .coalesce(1).write.parquet(s"$tmp/right")
+      tmp
+    })
+    val run = streamRunSeq.incrementAndGet()
+    val out = s"$root/out$run"
+    graft.streaming.StreamingState.streamStreamJoinRunOnce(
+      s, s"$root/left", s"$root/right", "doc_id", out, s"$root/cp$run",
+      rangeMaxSec = 600L)
+    out
+  }
+
   /** One trained BPE codec per corpus dir per JVM: training is a pure
     * deterministic function of the documents table (top-word sample ->
     * seeded merge loop), so the cache is sound and the merge-table dump
@@ -878,6 +912,17 @@ object SparkEntry {
     "stream_enrich" -> ((s, dir) =>
       s.read.parquet(streamEnrichDrain(s, dir))),
 
+    // ---- streaming: stream-stream range-bounded inner join — doc
+    // creations joined to their async scores within a 10-minute
+    // event-time window; the range bound is what keeps both join
+    // buffers watermark-evictable on an unbounded stream
+    "stream_join" -> ((s, dir) =>
+      s.read.parquet(streamJoinDrain(s, dir))
+        .select(col("doc_id"),
+          col("l_ts").cast("long").as("l_epoch"),
+          col("r_ts").cast("long").as("r_epoch"),
+          col("lang"), col("score"))),
+
     // ---- streaming: watermarked tumbling-window counts (append mode —
     // only watermark-closed windows reach the checkpointed sink; the
     // batch oracle restates the emission rule as a HAVING on
@@ -1548,6 +1593,39 @@ object SparkEntry {
           posexplode(graft.textops.TextOps.sentences(col("text"))))
         .select(col("doc_id"), col("pos").as("sent_idx"),
           col("col").as("sentence"))),
+
+    // ---- lakehouse: MERGE upsert (corpus versioning) — a derived
+    // delta of disjoint updates (%7, not %13), inserts (+1e6 ids for
+    // %11) and tombstones (%13) merged into the documents table via
+    // one full-outer join; output = the next table version
+    "q_merge_upsert" -> ((s, dir) => {
+      val base = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val updates = base
+        .filter(col("doc_id") % 7 === 0 && col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") + 1000L).as("n_chars"), lit(false).as("_deleted"))
+      val inserts = base.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+          col("n_chars"), lit(false).as("_deleted"))
+      val deletes = base.filter(col("doc_id") % 13 === 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          lit(true).as("_deleted"))
+      graft.lineage.MergeUpsert.merge(
+        base, updates.union(inserts).union(deletes), "doc_id")
+    }),
+
+    // ---- lakehouse: Iceberg-shaped partition transforms (bucket /
+    // truncate / day) — the hidden-partition-spec functions computed
+    // engine-side; scan-stage expressions, zero shuffles
+    "q_partition_transform" -> ((s, dir) =>
+      s.read.parquet(t(dir, "events"))
+        .select(col("event_id"),
+          graft.lineage.PartitionTransforms.bucket(8, col("user_id"))
+            .as("user_bucket"),
+          graft.lineage.PartitionTransforms.truncate(100L, col("event_id"))
+            .as("id_trunc"),
+          graft.lineage.PartitionTransforms.day(col("ts")).as("event_day"))),
 
     // ---- reporting: rollup subtotals over (lang, source) — the
     // grouping-sets corpus report (per-pair, per-lang, grand total in
@@ -3025,6 +3103,21 @@ object SparkEntry {
         |JOIN (VALUES ('en', 1.0), ('de', 0.7), ('zh', 0.5))
         |  AS w(lang, lang_weight)
         |ON d.lang = w.lang""".stripMargin,
+    // Stream-stream join replay: the same derived sides in epoch
+    // seconds + the inner join with the [0, 600 s] range predicate
+    "stream_join" ->
+      """WITH l AS (
+        |  SELECT doc_id, 1700000000 + doc_id % 3600 AS l_epoch, lang
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id AS r_doc_id,
+        |    1700000000 + doc_id % 3600 + (doc_id % 13) * 60 AS r_epoch,
+        |    n_chars AS score
+        |  FROM documents
+        |)
+        |SELECT l.doc_id, l.l_epoch, r.r_epoch, l.lang, r.score
+        |FROM l JOIN r ON l.doc_id = r.r_doc_id
+        |  AND r.r_epoch >= l.l_epoch AND r.r_epoch <= l.l_epoch + 600""".stripMargin,
     "stream_window_counts" ->
       """WITH mx AS (SELECT max(ts) AS m FROM events
         |), b AS (
@@ -3788,6 +3881,34 @@ object SparkEntry {
         |SELECT doc_id, CAST(i - 1 AS INTEGER) AS sent_idx,
         |  parts[i] AS sentence
         |FROM s""".stripMargin,
+    // MERGE replay: same derived delta + full-outer upsert semantics
+    "q_merge_upsert" ->
+      """WITH src AS (
+        |  SELECT doc_id, lang, n_chars + 1000 AS n_chars, FALSE AS del
+        |  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lang, n_chars, FALSE
+        |  FROM documents WHERE doc_id % 11 = 0
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars, TRUE
+        |  FROM documents WHERE doc_id % 13 = 0
+        |), tgt AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |)
+        |SELECT coalesce(s.doc_id, t.doc_id) AS doc_id,
+        |  CASE WHEN s.doc_id IS NOT NULL THEN s.lang ELSE t.lang END AS lang,
+        |  CASE WHEN s.doc_id IS NOT NULL THEN s.n_chars ELSE t.n_chars END AS n_chars
+        |FROM tgt t FULL OUTER JOIN src s ON t.doc_id = s.doc_id
+        |WHERE NOT (s.doc_id IS NOT NULL AND s.del)""".stripMargin,
+    // Partition-transform replay: portable-hash bucket, integer
+    // floor-to-multiple, calendar day
+    "q_partition_transform" ->
+      """SELECT event_id,
+        |  CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |    % 8 AS user_bucket,
+        |  event_id - event_id % 100 AS id_trunc,
+        |  CAST(ts AS DATE) AS event_day
+        |FROM events""".stripMargin,
     // Rollup replay: GROUPING() bitmask is leftmost-column-MSB in
     // both engines; subtotal rows carry NULL group keys identically
     "q_rollup_report" ->

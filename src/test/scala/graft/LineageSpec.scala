@@ -254,4 +254,35 @@ class LineageSpec extends AnyFunSuite {
     val pending = Lineage.filterPending(spark, ds, tmp() + "/nonexistent")
     assert(pending.count() == 5)
   }
+
+  test("merge upsert: update, insert, tombstone, absent-key delete no-op, carry-over") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val target = Seq(
+      (1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L))
+      .toDF("id", "tag", "v")
+    val source = Seq(
+      (2L, "b2", 25L, false),  // matched update
+      (3L, "c", 30L, true),    // matched tombstone
+      (5L, "e", 50L, false),   // unmatched insert
+      (9L, "x", 0L, true))     // delete of absent key: no-op
+      .toDF("id", "tag", "v", "_deleted")
+    val got = lineage.MergeUpsert.merge(target, source, "id")
+      .orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1L, "a", 10L),   // untouched carry-over
+      (2L, "b2", 25L),  // updated values
+      (4L, "d", 40L),   // untouched carry-over
+      (5L, "e", 50L)))  // inserted
+  }
+
+  test("merge upsert rejects a target that already has the tombstone column") {
+    import spark.implicits._
+    val target = Seq((1L, false)).toDF("id", "_deleted")
+    val source = Seq((1L, false)).toDF("id", "_deleted")
+    assertThrows[IllegalArgumentException] {
+      lineage.MergeUpsert.merge(target, source, "id")
+    }
+  }
 }

@@ -219,4 +219,38 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(2000))
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1, p.take(2000))
   }
+
+  test("dynamic partition pruning fires on a partitioned fact x filtered dim join") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    try {
+      spark.read.parquet(s"$sf/documents.parquet")
+        .write.partitionBy("lang").mode("overwrite").parquet(s"$dir/fact")
+      val fact = spark.read.parquet(s"$dir/fact")
+      // the dim must be file-backed so the selective filter survives as
+      // a real Filter node (a local Seq constant-folds it away and DPP
+      // sees no selective predicate)
+      spark.createDataFrame(
+          Seq(("en", 1.0), ("de", 0.5), ("es", 0.2), ("fr", 0.1), ("zh", 0.9)))
+        .toDF("lang", "w")
+        .write.parquet(s"$dir/dim")
+      val dim = spark.read.parquet(s"$dir/dim")
+        .filter(col("w") > 0.8) // selective dim predicate -> DPP candidate
+      val q = fact.join(dim, "lang").groupBy(col("lang"))
+        .agg(org.apache.spark.sql.functions.sum(col("n_chars")).as("tot"))
+      val p = q.queryExecution.executedPlan.toString
+      // the fact scan's partition filter must carry the runtime
+      // dynamicpruning subquery — the 100 TB guarantee that a dim
+      // filter skips fact partitions without reading them
+      assert(p.toLowerCase.contains("dynamicpruning"), p.take(3000))
+      // and the pruned result is still correct
+      val langs = q.collect().map(_.getString(0)).toSet
+      assert(langs == Set("en", "zh"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val fs = f.listFiles(); if (fs != null) fs.foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
 }
