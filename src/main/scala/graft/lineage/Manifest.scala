@@ -16,11 +16,13 @@ import org.apache.spark.sql.functions._
   * manifest read path) produces the physical version; the pruning
   * logic below is identical either way.
   *
-  * Scale posture: ONE map-side-combined shuffle on the file key —
-  * manifest size is O(files), never O(rows). NDV is exact
-  * count(distinct) here because the gate needs engine-identical
-  * values; at 10^12 rows swap in the mergeable KMV sketch
-  * ([[graft.operators.Kmv]]) per bucket.
+  * Scale posture: manifest size is O(files), never O(rows). NDV is
+  * exact count(distinct) here because the gate needs engine-identical
+  * values, which costs a second map-side-combined exchange keyed on
+  * (file, cat) to dedup values before the (file)-keyed stats exchange
+  * (plan-gated in PlanSpec); at 10^12 rows swap in the mergeable KMV
+  * sketch ([[graft.operators.Kmv]]) per bucket and the plan drops back
+  * to one exchange.
   */
 object Manifest {
 

@@ -220,6 +220,32 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1, p.take(2000))
   }
 
+  test("z-order key and partition transforms are zero-exchange scan projections") {
+    for (name <- Seq("q_zorder_key", "q_partition_transform")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange"), s"$name:\n${p.take(2000)}")
+      // '*(n)' is executedPlan.toString's whole-stage-codegen marker
+      assert(p.contains("*(1)"), s"$name:\n${p.take(2000)}")
+    }
+  }
+
+  test("stats manifest: two keyed aggregation exchanges (exact-NDV dedup + file stats)") {
+    val p = plan("q_stats_manifest")
+    // exact count(distinct cat) costs one (file, cat)-keyed exchange to
+    // dedup values before the (file)-keyed stats exchange — both
+    // map-side-combined; the KMV swap documented in Manifest drops the
+    // first at production NDV scale
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2, p.take(2000))
+    assert(p.contains("partial_"), p.take(2000)) // map-side partials
+  }
+
+  test("merge upsert plans as a keyed full-outer join, never a cartesian") {
+    val p = plan("q_merge_upsert")
+    assert(p.contains("FullOuter"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
+
   test("dynamic partition pruning fires on a partitioned fact x filtered dim join") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
