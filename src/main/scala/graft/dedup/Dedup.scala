@@ -439,19 +439,38 @@ object Dedup {
     * (and same localCheckpoint-vs-checkpoint trade-off) as
     * [[connectedComponentsJump]]. Returns (labels, rounds).
     */
-  /** localCheckpoint plus the precise ids of the RDD blocks it owns,
-    * read from the LogicalRDD the checkpointed Dataset wraps. Diffing
+  /** Checkpoint plus the precise ids of the RDD blocks it owns, read
+    * from the LogicalRDD the checkpointed Dataset wraps. Diffing
     * sc.getPersistentRDDs around the action instead would also capture
     * FOREIGN caches that happen to first materialize inside it (a
     * caller-persisted input, a concurrent job's cache in the same
     * session) and later unpersist blocks this algorithm does not own.
+    *
+    * Mode: `localCheckpoint` by default — fastest, executor-storage,
+    * but UNRECOVERABLE on executor loss (the job fails instead of
+    * recomputing). On a real cluster set the session conf
+    * `graft.checkpoint.reliable=true` (and `sc.setCheckpointDir` to a
+    * fault-tolerant FS): rounds then cut lineage through reliable
+    * checkpoint files and survive executor loss — the multi-hour
+    * iterative-job setting at 10^12 edges. Gated in ClusterSpec.
     */
   private[graft] def checkpointOwned(df: DataFrame): (DataFrame, Set[Int]) = {
-    val cp = df.localCheckpoint()
-    val ids = cp.queryExecution.analyzed.collect {
-      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
-    }.toSet
-    (cp, ids)
+    val spark = df.sparkSession
+    val reliable =
+      spark.conf.getOption("graft.checkpoint.reliable").exists(_.toBoolean)
+    if (reliable) {
+      require(spark.sparkContext.getCheckpointDir.isDefined,
+        "graft.checkpoint.reliable=true needs sc.setCheckpointDir(...)")
+      // reliable checkpoints are files, not persisted blocks: nothing
+      // to unpersist (the context cleaner reclaims the files)
+      (df.checkpoint(), Set.empty[Int])
+    } else {
+      val cp = df.localCheckpoint()
+      val ids = cp.queryExecution.analyzed.collect {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
+      }.toSet
+      (cp, ids)
+    }
   }
 
   private[graft] def unpersistOwned(sc: org.apache.spark.SparkContext, ids: Set[Int]): Unit =

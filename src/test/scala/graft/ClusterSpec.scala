@@ -192,4 +192,45 @@ class ClusterSpec extends AnyFunSuite {
       .collect().head
     assert(n.isNullAt(0))
   }
+
+  test("reliable checkpoint mode without a checkpoint dir fails fast") {
+    // a fresh isolated session view: conf set here must not leak
+    val s2 = spark.newSession()
+    s2.conf.set("graft.checkpoint.reliable", "true")
+    // the shared context may have a checkpoint dir left by another test
+    // in this JVM (the dir is context-global); only assert when it
+    // genuinely has none — this test precedes the one that sets it
+    if (s2.sparkContext.getCheckpointDir.isEmpty) {
+      import s2.implicits._
+      val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+      assertThrows[IllegalArgumentException] {
+        Dedup.connectedComponents(pairs).collect()
+      }
+    }
+  }
+
+  test("reliable checkpoint mode: rounds cut lineage through checkpoint files, labels identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val sc = spark.sparkContext
+    try {
+      sc.setCheckpointDir(dir)
+      spark.conf.set("graft.checkpoint.reliable", "true")
+      val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (12L, 12L))
+      val got = components(pairsDf(pairs: _*))
+      assert(got == unionFind(pairs))
+      // the rounds really went through the reliable path: checkpoint
+      // files exist under the configured dir
+      def files(f: java.io.File): Int = {
+        val fs = f.listFiles(); if (fs == null) 0
+        else fs.map(c => if (c.isDirectory) files(c) else 1).sum
+      }
+      assert(files(new java.io.File(dir)) > 0, "no reliable checkpoint files written")
+    } finally {
+      spark.conf.unset("graft.checkpoint.reliable")
+      def rm(f: java.io.File): Unit = {
+        val fs = f.listFiles(); if (fs != null) fs.foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
 }

@@ -246,6 +246,84 @@ class PlanSpec extends AnyFunSuite {
       p.take(2000))
   }
 
+  test("bucketed tables co-locate the join: sort-merge with zero shuffle exchanges") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_bucket").toString
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      // external data-source tables (explicit path): metadata lives in
+      // the in-memory catalog, bytes under the temp dir — no warehouse
+      // side effects
+      docs.select(col("doc_id"), col("n_chars")).write
+        .bucketBy(8, "doc_id").sortBy("doc_id")
+        .option("path", s"$dir/fact_b").saveAsTable("graft_fact_b")
+      docs.select(col("doc_id"), col("lang")).write
+        .bucketBy(8, "doc_id").sortBy("doc_id")
+        .option("path", s"$dir/dim_b").saveAsTable("graft_dim_b")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("graft_fact_b")
+        .join(spark.table("graft_dim_b"), "doc_id")
+      val p = j.queryExecution.executedPlan.toString
+      // the 100 TB repeated-join layout: both sides pre-bucketed on the
+      // key, so the sort-merge join runs with NO exchange at all
+      assert(p.contains("SortMergeJoin"), p.take(2000))
+      assert(!p.contains("Exchange"), p.take(2000))
+      assert(j.count() == docs.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS graft_fact_b")
+      spark.sql("DROP TABLE IF EXISTS graft_dim_b")
+      def rm(f: java.io.File): Unit = {
+        val fs = f.listFiles(); if (fs != null) fs.foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("AQE splits a skewed join partition at runtime") {
+    import spark.implicits._
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // 95% of left rows share one key -> one shuffle partition dwarfs
+      // the median and AQE must split it (the salting-free skew path).
+      // The pad must be INCOMPRESSIBLE (md5 hex per row): skew stats
+      // are lz4-compressed map-output sizes, and a constant pad
+      // compresses below any threshold
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def pad(i: Int): String =
+        md.digest(i.toString.getBytes).map("%02x".format(_)).mkString * 3
+      val left = (0 until 60000)
+        .map(i => (if (i % 20 != 0) 7L else i.toLong, pad(i)))
+        .toDF("k", "pad")
+      val right = (0 until 2000).map(i => (i.toLong, i)).toDF("k", "v")
+      val j = left.join(right, "k")
+      // run THIS queryExecution (count() would plan a separate query
+      // and leave j's adaptive plan unfinalized)
+      val expected = j.collect().length
+      val p = j.queryExecution.executedPlan.toString.toLowerCase
+      assert(p.contains("isfinalplan=true"), p.take(500))
+      assert(p.contains("skew=true") || p.contains("skewed"), p.take(3000))
+      assert(expected == 57000 + 100) // 19/20 match k=7, 100 ids divisible by 20 under 2000
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("dynamic partition pruning fires on a partitioned fact x filtered dim join") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
