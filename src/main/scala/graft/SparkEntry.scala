@@ -234,6 +234,27 @@ object SparkEntry {
     out
   }
 
+  /** JSON landing zone for the permissive-source query: the documents
+    * digest as JSON lines plus ONE deterministic malformed line in a
+    * sidecar file (truncated mid-object). Cached per dir under the
+    * shared stream cleanup hook; reading is side-effect-free so the
+    * zone is reused across invocations, unlike the streaming drains.
+    */
+  private def jsonLanding(s: SparkSession, dir: String): String = {
+    streamCleanupHook
+    val root = streamLandingDirs.computeIfAbsent(s"$dir#json", _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString
+      s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .coalesce(1).write.json(s"$tmp/in")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$tmp/in/part-corrupt.json"),
+        "{\"doc_id\": 999999999, \"lang\": \"en\", \"n_chars\"".getBytes("UTF-8"))
+      tmp
+    })
+    s"$root/in"
+  }
+
   /** One trained BPE codec per corpus dir per JVM: training is a pure
     * deterministic function of the documents table (top-word sample ->
     * seeded merge loop), so the cache is sound and the merge-table dump
@@ -1593,6 +1614,37 @@ object SparkEntry {
           posexplode(graft.textops.TextOps.sentences(col("text"))))
         .select(col("doc_id"), col("pos").as("sent_idx"),
           col("col").as("sentence"))),
+
+    // ---- dedup: cross-doc SENTENCE-level boilerplate strip (the
+    // sentence-granular sibling of q_line_dedup — cookie banners and
+    // legal footers that survive HTML flattening as mid-line
+    // sentences); boilerplate seeded in-query so the strip path is
+    // exercised, the oracle replays the decoration
+    "q_sentence_dedup" -> ((s, dir) =>
+      graft.dedup.SentenceDedup.stripFrequentSentences(
+        s.read.parquet(t(dir, "documents"))
+          .select(col("doc_id"), concat(
+            lit("Subscribe to our newsletter! "), col("text"),
+            lit(" Unique tail "), col("doc_id").cast("string"),
+            lit(". All rights reserved.")).as("tt")),
+        "doc_id", "tt", maxDocs = 10L)),
+
+    // ---- source: permissive JSON-lines ingestion with corrupt-record
+    // capture — explicit schema (no inference scan), malformed lines
+    // become quarantine rows instead of job failures or silent drops
+    "q_json_source" -> ((s, dir) => {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars",
+          org.apache.spark.sql.types.LongType)))
+      graft.sources.JsonSource.readPermissive(s, jsonLanding(s, dir), schema)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col(graft.sources.JsonSource.CorruptCol).isNotNull.cast("int")
+            .as("is_corrupt"))
+    }),
 
     // ---- lakehouse: MERGE upsert (corpus versioning) — a derived
     // delta of disjoint updates (%7, not %13), inserts (+1e6 ids for
@@ -3881,6 +3933,44 @@ object SparkEntry {
         |SELECT doc_id, CAST(i - 1 AS INTEGER) AS sent_idx,
         |  parts[i] AS sentence
         |FROM s""".stripMargin,
+    // Sentence-boilerplate replay: same decoration, chr(1)-marker
+    // segmentation, distinct-doc frequency cut at 10, ordered rebuild
+    "q_sentence_dedup" ->
+      """WITH raw AS (
+        |  SELECT doc_id, 'Subscribe to our newsletter! ' || text
+        |    || ' Unique tail ' || CAST(doc_id AS VARCHAR)
+        |    || '. All rights reserved.' AS tt
+        |  FROM documents
+        |), sp AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(tt, '([.!?]+) ', '\1' || chr(1), 'g'),
+        |      chr(1)) AS parts
+        |  FROM raw
+        |), ex AS (
+        |  SELECT doc_id, i - 1 AS pos, parts[i] AS sent,
+        |    CAST('0x' || substr(md5(lower(trim(parts[i]))), 1, 15) AS BIGINT) AS h
+        |  FROM (SELECT doc_id, parts, unnest(range(1, len(parts) + 1)) AS i FROM sp)
+        |  WHERE lower(trim(parts[i])) <> ''
+        |), freq AS (
+        |  SELECT h, count(DISTINCT doc_id) AS n_docs FROM ex GROUP BY h
+        |), kept AS (
+        |  SELECT ex.doc_id, ex.pos, ex.sent
+        |  FROM ex JOIN freq USING (h) WHERE n_docs <= 10
+        |), reb AS (
+        |  SELECT doc_id, string_agg(sent, ' ' ORDER BY pos) AS text_clean,
+        |    CAST(count(*) AS BIGINT) AS n_kept
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, coalesce(reb.text_clean, '') AS text_clean,
+        |  CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept
+        |FROM documents d LEFT JOIN reb ON d.doc_id = reb.doc_id""".stripMargin,
+    // Permissive JSON replay: every document row round-trips intact
+    // (is_corrupt=0) plus exactly one all-null quarantine row
+    "q_json_source" ->
+      """SELECT doc_id, lang, n_chars, 0 AS is_corrupt FROM documents
+        |UNION ALL
+        |SELECT CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        |  CAST(NULL AS BIGINT), 1""".stripMargin,
     // MERGE replay: same derived delta + full-outer upsert semantics
     "q_merge_upsert" ->
       """WITH src AS (

@@ -142,4 +142,24 @@ class LineDedupSpec extends AnyFunSuite {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"expected join-free plan, got:\n$plan")
   }
+
+  test("sentence strip: boilerplate sentences cut, order kept, all-boilerplate survives empty") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Accept cookies. Real insight one! More real text. Share this."),
+      (2L, "Accept cookies. Different real content? Share this."),
+      (3L, "Accept cookies. Share this."), // nothing unique -> empty survivor
+      (4L, "accept COOKIES. Standalone thought.")) // case-folded key still hits
+      .toDF("doc_id", "text")
+    val got = graft.dedup.SentenceDedup
+      .stripFrequentSentences(docs, "doc_id", "text", maxDocs = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // "Accept cookies." appears in 4 docs (case-insensitive), "Share
+    // this." in 3 -> both over maxDocs=2; everything else unique
+    assert(got(1L) == (("Real insight one! More real text.", 2L)))
+    assert(got(2L) == (("Different real content?", 1L)))
+    assert(got(3L) == (("", 0L)))
+    assert(got(4L) == (("Standalone thought.", 1L)))
+  }
 }
