@@ -1629,6 +1629,39 @@ object SparkEntry {
             lit(". All rights reserved.")).as("tt")),
         "doc_id", "tt", maxDocs = 10L)),
 
+    // ---- API surface: the same engine through pure SQL — temp view +
+    // spark.sql text (filter, aggregate, HAVING, CASE), proving the
+    // library composes with SQL-first callers; identical Catalyst plan
+    // to the DataFrame form
+    "q_sql_surface" -> ((s, dir) => {
+      s.read.parquet(t(dir, "documents"))
+        .createOrReplaceTempView("graft_docs_v")
+      s.sql("""
+        SELECT lang,
+          count(*) AS n_docs,
+          sum(n_chars) AS total_chars,
+          sum(CASE WHEN n_chars > 500 THEN 1 ELSE 0 END) AS n_long
+        FROM graft_docs_v
+        WHERE n_chars > 100
+        GROUP BY lang
+        HAVING count(*) > 5""")
+    }),
+
+    // ---- source/sink: ORC round-trip — the full documents table
+    // written as ORC (zone cached per dir) and read back; the identity
+    // oracle over the parquet original gates bit-exact value fidelity
+    // through the second columnar format
+    "q_orc_roundtrip" -> ((s, dir) => {
+      streamCleanupHook
+      val root = streamLandingDirs.computeIfAbsent(s"$dir#orc", _ => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+        s.read.parquet(t(dir, "documents")).coalesce(2)
+          .write.orc(s"$tmp/in")
+        tmp
+      })
+      s.read.orc(s"$root/in")
+    }),
+
     // ---- source: permissive JSON-lines ingestion with corrupt-record
     // capture — explicit schema (no inference scan), malformed lines
     // become quarantine rows instead of job failures or silent drops
@@ -3964,6 +3997,21 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(reb.text_clean, '') AS text_clean,
         |  CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept
         |FROM documents d LEFT JOIN reb ON d.doc_id = reb.doc_id""".stripMargin,
+    // SQL-surface replay: the same SQL modulo dialect (no CASE change
+    // needed — shared subset)
+    "q_sql_surface" ->
+      """SELECT lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(CASE WHEN n_chars > 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_long
+        |FROM documents
+        |WHERE n_chars > 100
+        |GROUP BY lang
+        |HAVING count(*) > 5""".stripMargin,
+    // ORC round-trip replay: identity over the parquet original —
+    // any value the ORC writer/reader perturbs hash-mismatches
+    "q_orc_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
     // Permissive JSON replay: every document row round-trips intact
     // (is_corrupt=0) plus exactly one all-null quarantine row
     "q_json_source" ->

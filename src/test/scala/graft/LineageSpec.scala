@@ -277,6 +277,25 @@ class LineageSpec extends AnyFunSuite {
       (5L, "e", 50L)))  // inserted
   }
 
+  test("observe() collects pipeline metrics in the same pass, no extra job") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit, max, sum}
+    // the production pattern: per-batch row counts / quality tallies
+    // ride the data pass itself via AccumulableMetrics instead of a
+    // second count() scan — at 100 TB the avoided scan IS the feature
+    val obs = org.apache.spark.sql.Observation("batch_stats")
+    val df = (1L to 100L).toDF("v")
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(col("v")).as("v_sum"),
+        max(col("v")).as("v_max"))
+      .filter(col("v") % 2 === 0)
+    assert(df.count() == 50) // downstream sees the filtered view...
+    val m = obs.get
+    // ...while the metrics observed the full pre-filter pass
+    assert(m("n_rows") == 100L && m("v_sum") == 5050L && m("v_max") == 100L)
+  }
+
   test("merge upsert rejects a target that already has the tombstone column") {
     import spark.implicits._
     val target = Seq((1L, false)).toDF("id", "_deleted")
