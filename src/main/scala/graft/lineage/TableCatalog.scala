@@ -67,14 +67,41 @@ object ParquetCatalog extends TableCatalog {
     out.toSet
   }
 
-  private def manifestFiles(spark: SparkSession, table: String, id: Long): Seq[String] = {
+  /** A rewrite manifest (compaction / expiry self-containment) starts
+    * with this marker line and lists the table's FULL effective file
+    * set; append manifests list only the files that commit added.
+    */
+  private val RewriteMarker = "#rewrite"
+
+  private def manifestBody(spark: SparkSession, table: String, id: Long): String = {
     val fs = fsFor(spark, new Path(table))
     val root = fs.makeQualified(new Path(table))
     val in = fs.open(new Path(root, f"$SnapDir/snap-$id%09d"))
-    val body =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    body.split("\n").toSeq.filter(_.nonEmpty)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  /** (isRewrite, files) of one manifest. */
+  private def manifestEntry(spark: SparkSession, table: String,
+      id: Long): (Boolean, Seq[String]) = {
+    val lines = manifestBody(spark, table, id).split("\n").toSeq.filter(_.nonEmpty)
+    if (lines.headOption.contains(RewriteMarker)) (true, lines.tail)
+    else (false, lines)
+  }
+
+  private def manifestFiles(spark: SparkSession, table: String, id: Long): Seq[String] =
+    manifestEntry(spark, table, id)._2
+
+  /** The file set a snapshot reads: the latest rewrite at or before it
+    * (full listing) plus every append delta after that rewrite.
+    */
+  private def effectiveFiles(spark: SparkSession, table: String, id: Long,
+      ids: Seq[Long]): Seq[String] = {
+    val entries = ids.filter(_ <= id)
+      .map(i => i -> manifestEntry(spark, table, i))
+    val lastRewrite = entries.collect { case (i, (true, _)) => i }
+      .lastOption.getOrElse(Long.MinValue)
+    entries.collect { case (i, (_, fs)) if i >= lastRewrite => fs }.flatten
   }
 
   /** The "before" set is the union of COMMITTED manifests, not a
@@ -88,7 +115,8 @@ object ParquetCatalog extends TableCatalog {
     * crash-window contract Lineage.readCommitted already enforces at
     * the row level.
     */
-  private def commitSnapshot(spark: SparkSession, table: String)(write: => Unit): Unit = {
+  private def commitSnapshot(spark: SparkSession, table: String,
+      rewrite: Boolean = false)(write: => Unit): Unit = {
     val ids = snapshots(spark, table)
     val before = ids.flatMap(id => manifestFiles(spark, table, id)).toSet
     write
@@ -97,8 +125,11 @@ object ParquetCatalog extends TableCatalog {
     val root = fs.makeQualified(new Path(table))
     val snapId = ids.lastOption.getOrElse(0L) + 1
     fs.mkdirs(new Path(root, SnapDir))
+    val body =
+      if (rewrite) (RewriteMarker +: added).mkString("\n")
+      else added.mkString("\n")
     val os = fs.create(new Path(root, f"$SnapDir/snap-$snapId%09d"), false)
-    try os.write(added.mkString("\n").getBytes(UTF_8)) finally os.close()
+    try os.write(body.getBytes(UTF_8)) finally os.close()
   }
 
   override def append(df: DataFrame, table: String): Unit =
@@ -134,13 +165,77 @@ object ParquetCatalog extends TableCatalog {
       s"unknown snapshot $snapshotId for $table (committed: ${ids.mkString(", ")})")
     val fs = fsFor(spark, new Path(table))
     val root = fs.makeQualified(new Path(table))
-    val files = ids.filter(_ <= snapshotId)
-      .flatMap(id => manifestFiles(spark, table, id))
+    val files = effectiveFiles(spark, table, snapshotId, ids)
     if (files.isEmpty) read(spark, table).limit(0)
     else
       spark.read
         .option("basePath", root.toString)
         .parquet(files.map(f => new Path(root, f).toString): _*)
+  }
+
+  /** The latest committed view. After a [[compact]] this is the ONLY
+    * correct current read — raw `read` lists the directory and would
+    * double-count rows that exist in both pre- and post-compaction
+    * files until [[expireSnapshots]] reclaims the old ones.
+    */
+  def readCurrent(spark: SparkSession, table: String): DataFrame =
+    snapshots(spark, table).lastOption match {
+      case Some(id) => readAsOf(spark, table, id)
+      case None => read(spark, table)
+    }
+
+  /** Small-file compaction (Iceberg's `rewrite_data_files`): rewrite
+    * the current view into `targetFiles` files and commit a REWRITE
+    * snapshot referencing only them. Old files stay on disk so time
+    * travel to pre-compaction snapshots keeps working; they become
+    * unreferenced garbage when [[expireSnapshots]] passes the rewrite.
+    * The operational fix for the 100 TB small-file problem: a
+    * streaming/resumable ingest commits thousands of KB-sized files
+    * whose per-file open/footer costs dominate the next scan.
+    */
+  def compact(spark: SparkSession, table: String, targetFiles: Int,
+      partitionCol: Option[String] = None): Unit = {
+    require(targetFiles >= 1, s"targetFiles must be positive: $targetFiles")
+    val ids = snapshots(spark, table)
+    require(ids.nonEmpty, s"no committed snapshots to compact in $table")
+    val current = readAsOf(spark, table, ids.last)
+    commitSnapshot(spark, table, rewrite = true) {
+      val w = current.repartition(targetFiles).write.mode(SaveMode.Append)
+      partitionCol match {
+        case Some(c) => w.partitionBy(c).parquet(table)
+        case None => w.parquet(table)
+      }
+    }
+  }
+
+  /** Retention (Iceberg's `expire_snapshots`): keep the newest
+    * `keepLast` snapshots, self-contain the oldest kept one (its
+    * manifest becomes a rewrite listing its full effective file set,
+    * so it no longer depends on expired manifests), delete expired
+    * manifests and every data file no kept snapshot references.
+    * readAsOf on an expired id fails fast afterwards.
+    */
+  def expireSnapshots(spark: SparkSession, table: String, keepLast: Int): Unit = {
+    require(keepLast >= 1, s"keepLast must be positive: $keepLast")
+    val ids = snapshots(spark, table)
+    val expired = ids.dropRight(keepLast)
+    if (expired.isEmpty) return
+    val kept = ids.takeRight(keepLast)
+    val fs = fsFor(spark, new Path(table))
+    val root = fs.makeQualified(new Path(table))
+    // compute every kept view's file set BEFORE touching manifests
+    val keptSets = kept.map(id => id -> effectiveFiles(spark, table, id, ids))
+    val live = keptSets.flatMap(_._2).toSet
+    // self-contain the oldest kept snapshot
+    val (oldestKept, oldestFiles) = keptSets.head
+    val os = fs.create(new Path(root, f"$SnapDir/snap-$oldestKept%09d"), true)
+    try os.write((RewriteMarker +: oldestFiles.sorted).mkString("\n").getBytes(UTF_8))
+    finally os.close()
+    // drop expired manifests, then unreferenced data files
+    expired.foreach(id =>
+      fs.delete(new Path(root, f"$SnapDir/snap-$id%09d"), false))
+    (listDataFiles(spark, table) -- live).foreach(rel =>
+      fs.delete(new Path(root, rel), false))
   }
 }
 

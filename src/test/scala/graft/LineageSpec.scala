@@ -277,6 +277,57 @@ class LineageSpec extends AnyFunSuite {
       (5L, "e", 50L)))  // inserted
   }
 
+  test("compaction rewrites the current view; time travel to pre-compaction still works") {
+    import spark.implicits._
+    import graft.lineage.ParquetCatalog
+    val table = tmp() + "/t"
+    ParquetCatalog.append((1L to 40L).toDF("v").repartition(8), table)
+    ParquetCatalog.append((41L to 80L).toDF("v").repartition(8), table)
+    ParquetCatalog.compact(spark, table, targetFiles = 2)
+    assert(ParquetCatalog.snapshots(spark, table) == Seq(1L, 2L, 3L))
+    // current view: same row multiset, read from exactly 2 files
+    val cur = ParquetCatalog.readCurrent(spark, table)
+    assert(cur.select("v").as[Long].collect().sorted.toSeq == (1L to 80L))
+    assert(cur.select(org.apache.spark.sql.functions.input_file_name())
+      .distinct().count() == 2)
+    // pre-compaction snapshots unchanged (old files still on disk)
+    assert(ParquetCatalog.readAsOf(spark, table, 1L).count() == 40)
+    assert(ParquetCatalog.readAsOf(spark, table, 2L).count() == 80)
+  }
+
+  test("expireSnapshots drops old manifests and reclaims unreferenced files") {
+    import spark.implicits._
+    import graft.lineage.ParquetCatalog
+    val table = tmp() + "/t"
+    ParquetCatalog.append((1L to 40L).toDF("v").repartition(8), table)
+    ParquetCatalog.append((41L to 80L).toDF("v").repartition(8), table)
+    ParquetCatalog.compact(spark, table, targetFiles = 2)
+    def dataFiles(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] = {
+        val fs = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+        fs.flatMap(c => if (c.isDirectory) walk(c) else Seq(c))
+      }
+      walk(new java.io.File(table)).count(f =>
+        f.getName.endsWith(".parquet") && !f.getPath.contains("_graft_snapshots"))
+    }
+    val before = dataFiles()
+    assert(before >= 18) // 16 small pre-compaction files + 2 compacted
+    ParquetCatalog.expireSnapshots(spark, table, keepLast = 1)
+    // only the compacted snapshot remains, its view intact
+    assert(ParquetCatalog.snapshots(spark, table) == Seq(3L))
+    assert(ParquetCatalog.readCurrent(spark, table)
+      .select("v").as[Long].collect().sorted.toSeq == (1L to 80L))
+    // the 16 pre-compaction files are physically gone
+    assert(dataFiles() == 2, s"expected 2 live files, found ${dataFiles()}")
+    // expired ids fail fast
+    intercept[IllegalArgumentException] {
+      ParquetCatalog.readAsOf(spark, table, 1L)
+    }
+    // expiring with nothing to drop is a no-op
+    ParquetCatalog.expireSnapshots(spark, table, keepLast = 5)
+    assert(ParquetCatalog.snapshots(spark, table) == Seq(3L))
+  }
+
   test("observe() collects pipeline metrics in the same pass, no extra job") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, count, lit, max, sum}
