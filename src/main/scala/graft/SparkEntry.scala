@@ -141,7 +141,11 @@ object SparkEntry {
     })
     val run = streamRunSeq.incrementAndGet()
     val out = s"$root/out$run"
-    graft.streaming.StreamingState.dedupRunOnce(s, s"$root/in", out, s"$root/cp$run")
+    // 8 state stores: sized to the drain's key cardinality (50k
+    // checksums at sf0.1) — each store pays open/commit/checkpoint per
+    // micro-batch whether or not it holds keys
+    graft.streaming.StreamingState.dedupRunOnce(s, s"$root/in", out, s"$root/cp$run",
+      shufflePartitions = Some(8))
     out
   }
 
@@ -166,7 +170,8 @@ object SparkEntry {
     val run = streamRunSeq.incrementAndGet()
     val out = s"$root/out$run"
     graft.streaming.StreamingState.windowedCountsRunOnce(
-      s, s"$root/in", out, s"$root/cp$run", "ts", "event_type")
+      s, s"$root/in", out, s"$root/cp$run", "ts", "event_type",
+      shufflePartitions = Some(8))
     out
   }
 
@@ -230,7 +235,7 @@ object SparkEntry {
     val out = s"$root/out$run"
     graft.streaming.StreamingState.streamStreamJoinRunOnce(
       s, s"$root/left", s"$root/right", "doc_id", out, s"$root/cp$run",
-      rangeMaxSec = 600L)
+      rangeMaxSec = 600L, shufflePartitions = Some(8))
     out
   }
 
@@ -1677,6 +1682,42 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"),
           col(graft.sources.JsonSource.CorruptCol).isNotNull.cast("int")
             .as("is_corrupt"))
+    }),
+
+    // ---- source: permissive CSV ingestion (same quarantine posture
+    // as q_json_source) — the digest written as headered CSV plus one
+    // malformed sidecar line (unparseable long); zone cached per dir
+    "q_csv_source" -> ((s, dir) => {
+      streamCleanupHook
+      val root = streamLandingDirs.computeIfAbsent(s"$dir#csv", _ => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+        s.read.parquet(t(dir, "documents"))
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .coalesce(1)
+          .write.option("header", "true").csv(s"$tmp/in")
+        // sidecar: header line (each CSV file carries its own), then
+        // one row whose doc_id cannot parse as a long
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$tmp/in/part-corrupt.csv"),
+          "doc_id,lang,n_chars\nnot_a_long,xx,also_not_a_long\n".getBytes("UTF-8"))
+        tmp
+      })
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("_corrupt_record",
+          org.apache.spark.sql.types.StringType)))
+      s.read.schema(schema)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(s"$root/in")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("_corrupt_record").isNotNull.cast("int").as("is_corrupt"))
     }),
 
     // ---- lakehouse: MERGE upsert (corpus versioning) — a derived
@@ -4019,6 +4060,13 @@ object SparkEntry {
         |UNION ALL
         |SELECT CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
         |  CAST(NULL AS BIGINT), 1""".stripMargin,
+    // Permissive CSV replay: intact round-trip plus one quarantine row
+    // — CSV PERMISSIVE keeps the fields that did parse ('xx'), nulling
+    // only the unparseable ones, unlike JSON's all-null row
+    "q_csv_source" ->
+      """SELECT doc_id, lang, n_chars, 0 AS is_corrupt FROM documents
+        |UNION ALL
+        |SELECT CAST(NULL AS BIGINT), 'xx', CAST(NULL AS BIGINT), 1""".stripMargin,
     // MERGE replay: same derived delta + full-outer upsert semantics
     "q_merge_upsert" ->
       """WITH src AS (

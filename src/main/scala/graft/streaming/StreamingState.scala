@@ -15,6 +15,27 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingState {
 
+  /** Isolated child session with its own shuffle-partition setting —
+    * every stateful streaming operator keeps ONE state store per
+    * shuffle partition, each paying per-micro-batch open/commit/
+    * checkpoint costs whether or not it holds keys. Batch AQE coalesces
+    * small shuffles automatically; streaming state is pinned at plan
+    * time, so the caller must size it to expected KEY CARDINALITY
+    * (thousands of keys -> a few stores; 10^9 keys at production ->
+    * hundreds). newSession shares the SparkContext but not the SQLConf,
+    * so the caller's session is untouched.
+    */
+  private def sessionFor(spark: SparkSession,
+      shufflePartitions: Option[Int]): SparkSession =
+    shufflePartitions match {
+      case Some(n) =>
+        require(n >= 1, s"shufflePartitions must be positive: $n")
+        val s2 = spark.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", n.toString)
+        s2
+      case None => spark
+    }
+
   /** Streaming exact dedup: keep the first arrival per checksum, drop
     * later duplicates until the watermark passes — the streaming
     * counterpart of Dedup.exactGroups. State is bounded by the
@@ -30,9 +51,11 @@ object StreamingState {
     * StreamingExtract.runOnce, driver-oracled via `stream_dedup`.
     */
   def dedupRunOnce(spark: SparkSession, inputPath: String, outPath: String,
-      checkpoint: String, watermark: String = "1 hour"): Unit = {
-    val schema = spark.read.parquet(inputPath).schema
-    val src = spark.readStream
+      checkpoint: String, watermark: String = "1 hour",
+      shufflePartitions: Option[Int] = None): Unit = {
+    val s = sessionFor(spark, shufflePartitions)
+    val schema = s.read.parquet(inputPath).schema
+    val src = s.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 64)
       .parquet(inputPath)
@@ -55,9 +78,11 @@ object StreamingState {
     */
   def windowedCountsRunOnce(spark: SparkSession, inputPath: String,
       outPath: String, checkpoint: String, tsCol: String, keyCol: String,
-      windowDur: String = "1 hour", delay: String = "30 minutes"): Unit = {
-    val schema = spark.read.parquet(inputPath).schema
-    val src = spark.readStream
+      windowDur: String = "1 hour", delay: String = "30 minutes",
+      shufflePartitions: Option[Int] = None): Unit = {
+    val s = sessionFor(spark, shufflePartitions)
+    val schema = s.read.parquet(inputPath).schema
+    val src = s.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 64)
       .parquet(inputPath)
@@ -119,13 +144,15 @@ object StreamingState {
     */
   def streamStreamJoinRunOnce(spark: SparkSession, leftPath: String,
       rightPath: String, keyCol: String, outPath: String, checkpoint: String,
-      rangeMaxSec: Long, delay: String = "30 minutes"): Unit = {
-    val lSchema = spark.read.parquet(leftPath).schema
-    val rSchema = spark.read.parquet(rightPath).schema
-    val l = spark.readStream.schema(lSchema)
+      rangeMaxSec: Long, delay: String = "30 minutes",
+      shufflePartitions: Option[Int] = None): Unit = {
+    val s = sessionFor(spark, shufflePartitions)
+    val lSchema = s.read.parquet(leftPath).schema
+    val rSchema = s.read.parquet(rightPath).schema
+    val l = s.readStream.schema(lSchema)
       .option("maxFilesPerTrigger", 64).parquet(leftPath)
       .withWatermark("l_ts", delay)
-    val r = spark.readStream.schema(rSchema)
+    val r = s.readStream.schema(rSchema)
       .option("maxFilesPerTrigger", 64).parquet(rightPath)
       .withWatermark("r_ts", delay)
     val joined = l.join(r,
