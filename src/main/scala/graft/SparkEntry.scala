@@ -144,8 +144,11 @@ object SparkEntry {
     // 8 state stores: sized to the drain's key cardinality (50k
     // checksums at sf0.1) — each store pays open/commit/checkpoint per
     // micro-batch whether or not it holds keys
+    // RocksDB state store: the driver gate runs the provider that
+    // holds at production key cardinality (HDFS-backed keeps all state
+    // on-heap; provider-equivalence is separately spec-gated)
     graft.streaming.StreamingState.dedupRunOnce(s, s"$root/in", out, s"$root/cp$run",
-      shufflePartitions = Some(8))
+      shufflePartitions = Some(8), useRocksDb = true)
     out
   }
 
@@ -171,6 +174,58 @@ object SparkEntry {
     val out = s"$root/out$run"
     graft.streaming.StreamingState.windowedCountsRunOnce(
       s, s"$root/in", out, s"$root/cp$run", "ts", "event_type",
+      shufflePartitions = Some(8))
+    out
+  }
+
+  /** Streaming-sessionization drain over the events table. Landing
+    * layout is three files drained in mtime order (maxFilesPerTrigger
+    * = 1, one micro-batch each): (a) every real (user_id, ts) event in
+    * one file, so each user's full history reaches one
+    * flatMapGroupsWithState invocation and gap-splitting matches the
+    * batch oracle exactly; (b) one sentinel event for user -1 far past
+    * every real timestamp, advancing the watermark beyond every real
+    * session's timeout; (c) a second sentinel 1 s later, triggering the
+    * micro-batch in which those timeouts fire. The sentinel's own
+    * session never closes (its timeout exceeds the final watermark) and
+    * the drain drops negative users, so the sink is exactly the real
+    * sessions. Timeout-vs-gap closure paths are both exercised: batch
+    * (a) closes intra-history gaps inline, the tail session of every
+    * user closes by timeout.
+    */
+  private def streamSessionDrain(s: SparkSession, dir: String): String = {
+    streamCleanupHook
+    val root = streamLandingDirs.computeIfAbsent(s"$dir#session", _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ssess").toString
+      val ev = s.read.parquet(t(dir, "events"))
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
+      val maxSec = ev.agg(max(unix_timestamp(col("ts")))).head().getLong(0)
+      def landOne(df: DataFrame, name: String, mtime: Long): Unit = {
+        val stage = s"$tmp/stage_$name"
+        df.coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .filter(f => f.getName.startsWith("part-")
+            && f.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(s"$tmp/in/$name.parquet")
+        dst.getParentFile.mkdirs()
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        // file-source batches follow modification-time order; spacing
+        // the mtimes makes the three-batch sequence deterministic
+        require(dst.setLastModified(mtime), s"setLastModified failed: $dst")
+      }
+      def sentinel(sec: Long): DataFrame =
+        s.range(1).select(lit(-1L).as("user_id"),
+          timestamp_seconds(lit(sec)).as("ts"))
+      val now = System.currentTimeMillis()
+      landOne(ev, "a_events", now)
+      landOne(sentinel(maxSec + 40000000L), "b_sentinel", now + 60000L)
+      landOne(sentinel(maxSec + 40000001L), "c_sentinel", now + 120000L)
+      tmp
+    })
+    val run = streamRunSeq.incrementAndGet()
+    val out = s"$root/out$run"
+    graft.streaming.StreamingState.sessionizeRunOnce(
+      s, s"$root/in", out, s"$root/cp$run", gapSec = 1800L,
       shufflePartitions = Some(8))
     out
   }
@@ -624,6 +679,49 @@ object SparkEntry {
         .select(col("doc_id"), col("width"), col("height"),
           col("n_frames"), col("format"), col("decode_ok"))),
 
+    // ---- source: binaryFile ingestion — the multimodal LANDING path.
+    // Raw blobs live as objects/files, not parquet cells; Spark's
+    // binaryFile source scans them file-per-task with path/length
+    // metadata for free (at 100 TB: object-store listing partitioned
+    // across executors, pathGlobFilter pruning before any byte is
+    // read). A deterministic %17 sample of the synthetic blobs is
+    // landed as .bin files once per dir (executor-side writes — the
+    // fixture stand-in for the upstream system that owns the bucket);
+    // the query re-ingests them and runs the real ImageIO/container
+    // decode, proving bytes survive the file round-trip. The oracle is
+    // the decode-invertibility arithmetic, q_media_meta's, on the
+    // sampled ids.
+    "q_binary_source" -> ((s, dir) => {
+      streamCleanupHook
+      val root = streamLandingDirs.computeIfAbsent(s"$dir#binary", _ => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_bin").toString
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(s"$tmp/in"))
+        Media.synthesize(s, dir).filter(col("doc_id") % 17 === 0)
+          .foreachPartition { (it: Iterator[graft.media.Media.MediaBlob]) =>
+            it.foreach { b =>
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(s"$tmp/in/${b.doc_id}.bin"),
+                b.content)
+            }
+          }
+        tmp
+      })
+      import s.implicits._
+      val blobs = s.read.format("binaryFile").load(s"$root/in")
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .map { case (p, c) =>
+          val id = p.substring(p.lastIndexOf('/') + 1)
+            .stripSuffix(".bin").toLong
+          // metadata fields deliberately blank: decode trusts bytes only
+          graft.media.Media.MediaBlob(id, p, "", -1, -1, -1, c)
+        }
+      Media.decode(blobs)
+        .select(col("doc_id"), col("width"), col("height"),
+          col("n_frames"), col("format"), col("decode_ok"))
+    }),
+
     // ---- J1+: multi-way dimension join + grouped aggregation over the
     // remaining driver tables (customer ⋈ nation ⋈ region, supplier and
     // part counted per nation) — both dims broadcast, one shuffle for
@@ -961,6 +1059,16 @@ object SparkEntry {
           col("w_end").cast("long").as("w_end"),
           col("event_type"), col("cnt"))
     }),
+
+    // ---- streaming: custom-state sessionization drain
+    // (flatMapGroupsWithState + event-time timeout; sentinel-flushed,
+    // see streamSessionDrain) — the streaming counterpart of
+    // q_sessionize, and the fourth stateful streaming shape (dedup,
+    // window agg, stream-stream join, custom state)
+    "stream_session" -> ((s, dir) =>
+      s.read.parquet(streamSessionDrain(s, dir))
+        .select(col("user_id"), col("s_start"), col("s_end"),
+          col("n_events"))),
 
     // ---- order stats: robust MAD outlier gate (k=3) on doc length per
     // language — integer-exact end to end. The synthetic corpus is
@@ -2954,6 +3062,18 @@ object SparkEntry {
         |  CASE WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 THEN 'jpg' ELSE 'mp4' END AS format,
         |  true AS decode_ok
         |FROM documents""".stripMargin,
+    // binaryFile round-trip: same decode-invertibility arithmetic on
+    // the %17 landing sample — a changed byte anywhere in the file
+    // round-trip flips decode_ok or the decoded dims
+    "q_binary_source" ->
+      """SELECT doc_id,
+        |  CAST(64 + (doc_id % 7) * 32 AS INTEGER) AS width,
+        |  CAST(48 + (doc_id % 5) * 32 AS INTEGER) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 10 ELSE 1 END AS INTEGER) AS n_frames,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 THEN 'jpg' ELSE 'mp4' END AS format,
+        |  true AS decode_ok
+        |FROM documents
+        |WHERE doc_id % 17 = 0""".stripMargin,
     "q_lm_bigrams" -> (bigramCte +
       "\nSELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2 HAVING count(*) >= 2"),
     "q_lm_score" -> (bigramCte + lmScoreCtes +
@@ -3255,6 +3375,22 @@ object SparkEntry {
         |FROM b CROSS JOIN mx
         |GROUP BY w0, event_type, m
         |HAVING w0 + INTERVAL 1 HOUR <= m - INTERVAL 30 MINUTE""".stripMargin,
+    // Streaming sessionization replay: the sentinel flush (see
+    // streamSessionDrain) closes EVERY real session, so the oracle is
+    // the plain batch gap-split (strict > 1800 s break) with the
+    // session index projected away
+    "stream_session" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
+        |), l AS (
+        |  SELECT user_id, event_id, sec, sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS gap FROM ev
+        |), b AS (
+        |  SELECT user_id, event_id, sec, CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS brk FROM l
+        |), g AS (
+        |  SELECT user_id, sec, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY sec, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session FROM b
+        |)
+        |SELECT user_id, min(sec) AS s_start, max(sec) AS s_end, count(*) AS n_events
+        |FROM g GROUP BY user_id, session""".stripMargin,
     // HLL replay: identical register construction (bucket = top 6 hash
     // bits, rho = 55 - bit_length of the low 54), integer-exact
     // z_scaled = sum 2^(55 - M_j); bin() is leading-zero-free in both

@@ -26,14 +26,25 @@ object StreamingState {
     * so the caller's session is untouched.
     */
   private def sessionFor(spark: SparkSession,
-      shufflePartitions: Option[Int]): SparkSession =
-    shufflePartitions match {
-      case Some(n) =>
+      shufflePartitions: Option[Int],
+      useRocksDb: Boolean = false): SparkSession =
+    if (shufflePartitions.isEmpty && !useRocksDb) spark
+    else {
+      val s2 = spark.newSession()
+      shufflePartitions.foreach { n =>
         require(n >= 1, s"shufflePartitions must be positive: $n")
-        val s2 = spark.newSession()
         s2.conf.set("spark.sql.shuffle.partitions", n.toString)
-        s2
-      case None => spark
+      }
+      // RocksDB state store: the provider that survives production key
+      // cardinality. HDFSBackedStateStoreProvider holds every key's
+      // state in executor heap (state size IS the OOM at 10^9 keys);
+      // RocksDB keeps a bounded block cache and spills to local SSD,
+      // checkpointing changelogs to the checkpoint dir. Output is
+      // provider-independent (StreamingSpec gates equality).
+      if (useRocksDb) s2.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      s2
     }
 
   /** Streaming exact dedup: keep the first arrival per checksum, drop
@@ -52,8 +63,9 @@ object StreamingState {
     */
   def dedupRunOnce(spark: SparkSession, inputPath: String, outPath: String,
       checkpoint: String, watermark: String = "1 hour",
-      shufflePartitions: Option[Int] = None): Unit = {
-    val s = sessionFor(spark, shufflePartitions)
+      shufflePartitions: Option[Int] = None,
+      useRocksDb: Boolean = false): Unit = {
+    val s = sessionFor(spark, shufflePartitions, useRocksDb)
     val schema = s.read.parquet(inputPath).schema
     val src = s.readStream
       .schema(schema)
@@ -213,5 +225,47 @@ object StreamingState {
             closed.reverseIterator
           }
       }
+  }
+
+  /** One AvailableNow drain of the custom-state sessionizer over a
+    * parquet landing dir of (user_id, ts) rows into a checkpointed
+    * parquet sink — driver-oracled via `stream_session`.
+    *
+    * Timeout-closed sessions only emit when a LATER batch advances the
+    * watermark past their `end + gap`, so a one-shot drain of a finite
+    * landing zone would silently hold its tail sessions in state
+    * forever. The landing convention (streamSessionDrain) therefore
+    * appends sentinel events for a negative user far past every real
+    * timestamp in their own trailing files: processed as their own
+    * micro-batches (maxFilesPerTrigger=1, file-source mtime order),
+    * the first sentinel advances the watermark past every real
+    * session's timeout and the second triggers the batch in which
+    * those timeouts fire. The sentinel's own session stays open (its
+    * timeout exceeds the final watermark) and negative users are
+    * dropped here, so the sink holds exactly the real users' sessions
+    * — which a batch gap-split oracle can state directly.
+    */
+  def sessionizeRunOnce(spark: SparkSession, inputPath: String,
+      outPath: String, checkpoint: String, gapSec: Long,
+      watermarkDelay: String = "10 seconds",
+      shufflePartitions: Option[Int] = None,
+      useRocksDb: Boolean = false): Unit = {
+    val s = sessionFor(spark, shufflePartitions, useRocksDb)
+    import s.implicits._
+    val schema = s.read.parquet(inputPath).schema
+    val src = s.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inputPath)
+      .as[UserEvent]
+    val q = sessionize(s, src, gapSec, watermarkDelay)
+      .filter(_.user_id >= 0L)
+      .writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
   }
 }

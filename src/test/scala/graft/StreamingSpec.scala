@@ -69,6 +69,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.contains(Session(1, B + 100, B + 100, 1)), got.toString) // timeout-closed
   }
 
+  test("dedup drain output is provider-independent (RocksDB == HDFS-backed)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-rocks").toString
+    def ts(s: Long) = new java.sql.Timestamp((100000 + s) * 1000)
+    Seq((1L, "A", ts(0)), (2L, "B", ts(5)), (3L, "A", ts(0)), (4L, "C", ts(9)))
+      .toDF("doc_id", "checksum", "ts")
+      .coalesce(1).write.parquet(base + "/in")
+    def drain(tag: String, rocks: Boolean): Set[String] = {
+      graft.streaming.StreamingState.dedupRunOnce(
+        spark, base + "/in", s"$base/out_$tag", s"$base/cp_$tag",
+        shufflePartitions = Some(2), useRocksDb = rocks)
+      spark.read.parquet(s"$base/out_$tag")
+        .select("checksum").as[String].collect().toSet
+    }
+    val hdfs = drain("hdfs", rocks = false)
+    val rocks = drain("rocks", rocks = true)
+    assert(hdfs == Set("A", "B", "C"))
+    assert(rocks == hdfs)
+  }
+
+  test("sentinel-flushed sessionization drain closes every real session") {
+    import spark.implicits._
+    import graft.streaming.StreamingState.Session
+    val base = Files.createTempDirectory("graft-sessdrain").toString
+    val B = 100000L
+    def landOne(rows: Seq[(Long, Long)], name: String, mtime: Long): Unit = {
+      rows.map { case (u, s) =>
+        (u, new java.sql.Timestamp((B + s) * 1000))
+      }.toDF("user_id", "ts").coalesce(1).write.parquet(s"$base/stage_$name")
+      val part = new java.io.File(s"$base/stage_$name").listFiles()
+        .filter(f => f.getName.startsWith("part-")
+          && f.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$base/in/$name.parquet")
+      dst.getParentFile.mkdirs()
+      Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(mtime))
+    }
+    // user 1: gap-split into two sessions (closes inline + by timeout);
+    // user 2: one tail session that only a timeout can close
+    val now = System.currentTimeMillis()
+    landOne(Seq((1L, 0L), (1L, 10L), (1L, 100L), (2L, 50L)), "a", now)
+    landOne(Seq((-1L, 40000000L)), "b", now + 60000)
+    landOne(Seq((-1L, 40000001L)), "c", now + 120000)
+    graft.streaming.StreamingState.sessionizeRunOnce(
+      spark, base + "/in", base + "/out", base + "/cp", gapSec = 30,
+      shufflePartitions = Some(2), useRocksDb = true)
+    val got = spark.read.parquet(base + "/out").as[Session].collect().toSet
+    assert(got == Set(
+      Session(1, B + 0, B + 10, 2),
+      Session(1, B + 100, B + 100, 1),
+      Session(2, B + 50, B + 50, 1)), got.toString)
+  }
+
   test("AvailableNow drain equals batch output; increments are incremental") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-stream").toString
