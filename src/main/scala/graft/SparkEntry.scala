@@ -657,6 +657,15 @@ object SparkEntry {
         queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10,
         nList = 16, nProbe = 4, iters = 3)),
 
+    // ---- ANN: product-quantization ADC top-k (the compression scale
+    // path: M=4 byte codes per 64-dim vector, LUT adds at query time —
+    // 10^9 vectors' codes fit where the raw vectors never could)
+    "q_ann_pq" -> ((s, dir) =>
+      graft.ann.Pq.topK(s,
+        s.read.parquet(t(dir, "embeddings")), "vec_id", "embedding",
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10,
+        numSub = 4, kSub = 8, iters = 2)),
+
     // ---- dedup: SemDeDup-style semantic dedup — IVF clusters bound
     // the pairwise term (sum-of-cluster^2, never n^2), eps-connected
     // groups keep their min-id representative
@@ -2224,6 +2233,56 @@ object SparkEntry {
        |), $iterations, ${ivfAssignCte("af", s"c$iters")}""".stripMargin
   }
 
+  /** PQ oracle building blocks (q_ann_pq): the per-subspace training
+    * replay — sliced vectors sv<m>, lowest-id init c0_<m>, fixed-point
+    * Lloyd's rounds with strict-less L2 argmin (dist ASC, c ASC ==
+    * Pq.assignSub's strict-less / keep-lowest-code), ending in final
+    * assignments af_<m> over codebooks c<iters>_<m>. Every arithmetic
+    * step mirrors Pq.scala's accumulation order bit-for-bit.
+    */
+  private def pqCtes(numSub: Int, kSub: Int, iters: Int): String = {
+    val S = graft.ann.Ivf.FixedPointScale
+    val subDim = IvfDim / numSub
+    def l2(a: String, b: String) =
+      s"list_sum(list_transform(range(1, ${subDim + 1}), i -> ($a.v[i] - $b.v[i]) * ($a.v[i] - $b.v[i])))"
+    def assignCte(name: String, mi: Int, prev: String) =
+      s"""$name AS (
+         |  SELECT vec_id, c FROM (
+         |    SELECT v.vec_id, k.c, row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |      ${l2("v", "k")} ASC, k.c ASC) AS rn
+         |    FROM sv$mi v CROSS JOIN $prev k) WHERE rn = 1
+         |)""".stripMargin
+    val perSub = (0 until numSub).map { mi =>
+      val init =
+        s"""sv$mi AS (
+           |  SELECT vec_id, list_slice(v, ${mi * subDim + 1}, ${(mi + 1) * subDim}) AS v FROM vecs
+           |), c0_$mi AS (
+           |  SELECT rn - 1 AS c, v FROM (
+           |    SELECT row_number() OVER (ORDER BY vec_id) AS rn, v FROM sv$mi) WHERE rn <= $kSub
+           |)""".stripMargin
+      val iterations = (1 to iters).map { x =>
+        assignCte(s"a${x}_$mi", mi, s"c${x - 1}_$mi") + ", " +
+          s"""m${x}_$mi AS (
+             |  SELECT a.c, d.i,
+             |    CAST(sum(CAST(floor(vv.v[d.i] * $S + 0.5) AS BIGINT)) AS DOUBLE)
+             |      / ($S.0 * CAST(count(*) AS DOUBLE)) AS mean
+             |  FROM a${x}_$mi a JOIN sv$mi vv ON vv.vec_id = a.vec_id CROSS JOIN sdims d
+             |  GROUP BY a.c, d.i
+             |), c${x}_$mi AS (
+             |  SELECT o.c, coalesce(n.v, o.v) AS v
+             |  FROM c${x - 1}_$mi o LEFT JOIN
+             |    (SELECT c, list(mean ORDER BY i) AS v FROM m${x}_$mi GROUP BY c) n ON n.c = o.c
+             |)""".stripMargin
+      }.mkString(", ")
+      init + ", " + iterations + ", " + assignCte(s"af_$mi", mi, s"c${iters}_$mi")
+    }.mkString(", ")
+    s"""vecs AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+       |), sdims AS (
+       |  SELECT unnest(range(1, ${subDim + 1})) AS i
+       |), $perSub""".stripMargin
+  }
+
   /** Signature-match sum over the oracle's per-component sig columns of
     * aliases `sa`/`sb` — shared by the pair, eval and incremental CTEs.
     */
@@ -2953,6 +3012,37 @@ object SparkEntry {
          |  FROM sims
          |)
          |SELECT query_id, item_id AS neighbor_id, CAST(rank AS BIGINT) AS rank, sim
+         |FROM r WHERE rank <= $k""".stripMargin
+    },
+    "q_ann_pq" -> {
+      // replay the deterministic PQ end to end: per-subspace training
+      // (pqCtes), then ADC scoring — per item, the sum over subspaces
+      // of dot(query subvector, assigned codeword), left-associated in
+      // subspace order exactly as Pq.topK accumulates it
+      val numSub = 4; val kSub = 8; val iters = 2; val k = 10
+      val subDim = IvfDim / numSub
+      def adotTerm(mi: Int) =
+        s"(list_sum(list_transform(range(1, ${subDim + 1}), i -> q$mi.v[i] * k$mi.v[i])))"
+      val qjoins = (0 until numSub).map(mi =>
+        s"JOIN sv$mi q$mi ON q$mi.vec_id = qv.vec_id").mkString("\n  ")
+      val ijoins = (0 until numSub).map { mi =>
+        (if (mi == 0) "CROSS JOIN af_0 a0"
+         else s"JOIN af_$mi a$mi ON a$mi.vec_id = a0.vec_id") +
+          s" JOIN c${iters}_$mi k$mi ON k$mi.c = a$mi.c"
+      }.mkString("\n  ")
+      s"""WITH ${pqCtes(numSub, kSub, iters)}, scores AS (
+         |  SELECT qv.vec_id AS query_id, a0.vec_id AS item_id,
+         |    ${(0 until numSub).map(adotTerm).mkString(" + ")} AS adot
+         |  FROM (SELECT vec_id FROM vecs WHERE vec_id IN (0, 1, 2, 3, 4)) qv
+         |  $qjoins
+         |  $ijoins
+         |  WHERE a0.vec_id <> qv.vec_id
+         |), r AS (
+         |  SELECT query_id, item_id, adot,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY adot DESC, item_id) AS rank
+         |  FROM scores
+         |)
+         |SELECT query_id, item_id AS neighbor_id, CAST(rank AS BIGINT) AS rank, adot
          |FROM r WHERE rank <= $k""".stripMargin
     },
     "q_semantic_dedup" ->

@@ -46,7 +46,7 @@ object Ivf {
 
   private[ann] def normArr(a: Array[Double]): Double = math.sqrt(dotArr(a, a))
 
-  private def vecsDF(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+  private[ann] def vecsDF(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     emb.select(col(idCol).cast("long").as("id"),
       transform(col(vecCol), _.cast("double")).as("vec"))
 
