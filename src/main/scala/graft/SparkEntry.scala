@@ -666,6 +666,16 @@ object SparkEntry {
         queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10,
         numSub = 4, kSub = 8, iters = 2)),
 
+    // ---- ANN: IVFADC composition — IVF bounds WHICH items are scored
+    // (nProbe/nList of the corpus), PQ bounds WHAT is read per item
+    // (M code bytes); the production ANN layout at 10^9+ vectors
+    "q_ann_ivfpq" -> ((s, dir) =>
+      graft.ann.Pq.topKIvf(s,
+        s.read.parquet(t(dir, "embeddings")), "vec_id", "embedding",
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10,
+        nList = 16, nProbe = 4, ivfIters = 3,
+        numSub = 4, kSub = 8, pqIters = 2)),
+
     // ---- dedup: SemDeDup-style semantic dedup — IVF clusters bound
     // the pairwise term (sum-of-cluster^2, never n^2), eps-connected
     // groups keep their min-id representative
@@ -2240,7 +2250,8 @@ object SparkEntry {
     * assignments af_<m> over codebooks c<iters>_<m>. Every arithmetic
     * step mirrors Pq.scala's accumulation order bit-for-bit.
     */
-  private def pqCtes(numSub: Int, kSub: Int, iters: Int): String = {
+  private def pqCtes(numSub: Int, kSub: Int, iters: Int,
+      defineVecs: Boolean = true): String = {
     val S = graft.ann.Ivf.FixedPointScale
     val subDim = IvfDim / numSub
     def l2(a: String, b: String) =
@@ -2276,9 +2287,14 @@ object SparkEntry {
       }.mkString(", ")
       init + ", " + iterations + ", " + assignCte(s"af_$mi", mi, s"c${iters}_$mi")
     }.mkString(", ")
-    s"""vecs AS (
-       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
-       |), sdims AS (
+    // defineVecs=false when composing with ivfTrainCtes (q_ann_ivfpq),
+    // which already defines the identical `vecs` CTE
+    val vecsCte = if (defineVecs)
+      """vecs AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+        |), """.stripMargin
+    else ""
+    s"""${vecsCte}sdims AS (
        |  SELECT unnest(range(1, ${subDim + 1})) AS i
        |), $perSub""".stripMargin
   }
@@ -3037,6 +3053,44 @@ object SparkEntry {
          |  $qjoins
          |  $ijoins
          |  WHERE a0.vec_id <> qv.vec_id
+         |), r AS (
+         |  SELECT query_id, item_id, adot,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY adot DESC, item_id) AS rank
+         |  FROM scores
+         |)
+         |SELECT query_id, item_id AS neighbor_id, CAST(rank AS BIGINT) AS rank, adot
+         |FROM r WHERE rank <= $k""".stripMargin
+    },
+    "q_ann_ivfpq" -> {
+      // IVFADC replay: both deterministic training chains composed —
+      // the IVF probe/candidate CTEs verbatim from q_ann_ivf, the ADC
+      // scoring verbatim from q_ann_pq, joined on the candidate set
+      val nList = 16; val nProbe = 4; val ivfIters = 3
+      val numSub = 4; val kSub = 8; val pqIters = 2; val k = 10
+      val subDim = IvfDim / numSub
+      def adotTerm(mi: Int) =
+        s"(list_sum(list_transform(range(1, ${subDim + 1}), i -> q$mi.v[i] * k$mi.v[i])))"
+      val qjoins = (0 until numSub).map(mi =>
+        s"JOIN sv$mi q$mi ON q$mi.vec_id = cand.query_id").mkString("\n  ")
+      val ijoins = (0 until numSub).map(mi =>
+        s"JOIN af_$mi a$mi ON a$mi.vec_id = cand.item_id" +
+          s" JOIN c${pqIters}_$mi k$mi ON k$mi.c = a$mi.c").mkString("\n  ")
+      s"""WITH ${ivfTrainCtes(nList, ivfIters)}, ${pqCtes(numSub, kSub, pqIters, defineVecs = false)}, probes AS (
+         |  SELECT query_id, c FROM (
+         |    SELECT q.vec_id AS query_id, kk.c, row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      (${ivfDot("kk", "q")} / (${ivfNrm("kk")} * greatest(${ivfNrm("q")}, 1e-12))) DESC,
+         |      kk.c ASC) AS rn
+         |    FROM vecs q CROSS JOIN c$ivfIters kk WHERE q.vec_id IN (0, 1, 2, 3, 4))
+         |  WHERE rn <= $nProbe
+         |), cand AS (
+         |  SELECT DISTINCT p.query_id, a.vec_id AS item_id
+         |  FROM af a JOIN probes p ON a.c = p.c WHERE a.vec_id <> p.query_id
+         |), scores AS (
+         |  SELECT cand.query_id, cand.item_id,
+         |    ${(0 until numSub).map(adotTerm).mkString(" + ")} AS adot
+         |  FROM cand
+         |  $qjoins
+         |  $ijoins
          |), r AS (
          |  SELECT query_id, item_id, adot,
          |    row_number() OVER (PARTITION BY query_id ORDER BY adot DESC, item_id) AS rank

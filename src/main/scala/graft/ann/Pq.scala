@@ -127,6 +127,48 @@ object Pq {
       .toDF("id", "codes")
   }
 
+  /** lut(q)(m)(c) = dot(query subvector m, codeword c), each dot
+    * accumulated left-to-right — the oracle replays the same order.
+    */
+  private def lutFor(queryVecs: Array[(Long, Array[Double])],
+      model: Model): Array[(Long, Array[Array[Double]])] =
+    queryVecs.map { case (qid, qv) =>
+      val numSub = model.numSub
+      val sd = qv.length / numSub
+      qid -> Array.tabulate(numSub, model.codebooks(0).length) { (mi, c) =>
+        val cw = model.codebooks(mi)(c)
+        var s = 0.0
+        var i = 0
+        while (i < sd) { s += qv(mi * sd + i) * cw(i); i += 1 }
+        s
+      }
+    }
+
+  /** Sum of LUT entries over subspaces in subspace order — the ADC
+    * score, left-associated exactly as the oracle writes it.
+    */
+  private def adcScore(tab: Array[Array[Double]], cs: Seq[Int]): Double = {
+    var s = 0.0
+    var mi = 0
+    while (mi < cs.length) { s += tab(mi)(cs(mi)); mi += 1 }
+    s
+  }
+
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adot").desc, col("item_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("item_id").as("neighbor_id"),
+        col("rank").cast("bigint").as("rank"), col("adot"))
+  }
+
+  private def collectQueryVecs(vecs: DataFrame,
+      queryIds: Seq[Long]): Array[(Long, Array[Double])] =
+    vecs.filter(col("id").isin(queryIds: _*))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+
   /** ADC top-k: approximate inner product of each query against every
     * encoded vector — sum over subspaces of dot(query subvector,
     * assigned codeword), M lookup-adds per item. One codes scan, one
@@ -138,42 +180,55 @@ object Pq {
     import spark.implicits._
     val model = train(spark, emb, idCol, vecCol, numSub, kSub, iters)
     val codes = encode(spark, emb, idCol, vecCol, model)
-    val vecs = Ivf.vecsDF(emb, idCol, vecCol)
-    val queryVecs = vecs.filter(col("id").isin(queryIds: _*))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
-      .sortBy(_._1)
-    // LUT: lut(q)(m)(c) = dot(query subvector m, codeword c), each dot
-    // accumulated left-to-right — the oracle replays the same order
-    val lut: Array[(Long, Array[Array[Double]])] = queryVecs.map {
-      case (qid, qv) =>
-        val sd = qv.length / numSub
-        qid -> Array.tabulate(numSub, kSub) { (mi, c) =>
-          val cw = model.codebooks(mi)(c)
-          var s = 0.0
-          var i = 0
-          while (i < sd) { s += qv(mi * sd + i) * cw(i); i += 1 }
-          s
-        }
-    }
-    val bcLut = spark.sparkContext.broadcast(lut)
+    val queryVecs = collectQueryVecs(Ivf.vecsDF(emb, idCol, vecCol), queryIds)
+    val bcLut = spark.sparkContext.broadcast(lutFor(queryVecs, model))
     val scored = codes.select(col("id"), col("codes"))
       .as[(Long, Seq[Int])]
       .flatMap { case (id, cs) =>
         bcLut.value.iterator
           .filter { case (qid, _) => qid != id }
-          .map { case (qid, tab) =>
-            var s = 0.0
-            var mi = 0
-            while (mi < cs.length) { s += tab(mi)(cs(mi)); mi += 1 }
-            (qid, id, s)
-          }
+          .map { case (qid, tab) => (qid, id, adcScore(tab, cs)) }
       }
       .toDF("query_id", "item_id", "adot")
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("adot").desc, col("item_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("item_id").as("neighbor_id"),
-        col("rank").cast("bigint").as("rank"), col("adot"))
+    rankTopK(scored, k)
+  }
+
+  /** IVFADC (the production ANN layout at 10^9+ vectors): the IVF
+    * coarse quantizer bounds WHICH items are scored (~nProbe/nList of
+    * the corpus per query) and PQ bounds WHAT is read per item (M code
+    * bytes + LUT adds, never the raw vector). Candidates come from the
+    * probed inverted lists exactly as Ivf.topK builds them; scoring is
+    * the same broadcast-LUT ADC as [[topK]]; both training loops are
+    * the deterministic fixed-point constructions, so the composition
+    * replays end to end in the oracle.
+    */
+  def topKIvf(spark: SparkSession, emb: DataFrame, idCol: String,
+      vecCol: String, queryIds: Seq[Long], k: Int,
+      nList: Int = 16, nProbe: Int = 4, ivfIters: Int = 3,
+      numSub: Int = 4, kSub: Int = 8, pqIters: Int = 2): DataFrame = {
+    import spark.implicits._
+    val vecs = Ivf.vecsDF(emb, idCol, vecCol).cache()
+    val coarse = Ivf.train(spark, emb, idCol, vecCol, nList, ivfIters)
+    val assigned = Ivf.assign(spark, vecs, coarse)
+    val queryVecs = collectQueryVecs(vecs, queryIds)
+    val probeDF = queryVecs.toSeq
+      .flatMap { case (qid, qv) => coarse.nearest(qv, nProbe).map(c => (qid, c)) }
+      .toDF("query_id", "cluster")
+    val candidates = assigned.join(broadcast(probeDF), "cluster")
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("item_id"))
+      .distinct()
+    val model = train(spark, emb, idCol, vecCol, numSub, kSub, pqIters)
+    val codes = encode(spark, emb, idCol, vecCol, model)
+      .withColumnRenamed("id", "item_id")
+    val bcLut = spark.sparkContext.broadcast(lutFor(queryVecs, model).toMap)
+    val scored = candidates.join(codes, "item_id")
+      .select(col("query_id"), col("item_id"), col("codes"))
+      .as[(Long, Long, Seq[Int])]
+      .map { case (qid, id, cs) => (qid, id, adcScore(bcLut.value(qid), cs)) }
+      .toDF("query_id", "item_id", "adot")
+    val out = rankTopK(scored, k)
+    vecs.unpersist(blocking = false)
+    out
   }
 }

@@ -76,4 +76,24 @@ class PqSpec extends AnyFunSuite {
     }
     assert(run() == got) // bit-identical across runs
   }
+
+  test("IVFADC: neighbors come only from probed lists; ADC scores match full PQ") {
+    import spark.implicits._
+    val emb = syntheticEmb(30)
+    val ivfpq = Pq.topKIvf(spark, emb, "vec_id", "embedding",
+        queryIds = Seq(0L, 1L), k = 5,
+        nList = 4, nProbe = 2, ivfIters = 2, numSub = 2, kSub = 4, pqIters = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val full = Pq.topK(spark, emb, "vec_id", "embedding",
+        queryIds = Seq(0L, 1L), k = 30, numSub = 2, kSub = 4, iters = 2)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    assert(ivfpq.nonEmpty)
+    for ((q, n, rank, adot) <- ivfpq) {
+      assert(rank >= 1 && rank <= 5 && n != q)
+      // the ADC score of a candidate is the same whether or not IVF
+      // pre-filtered it — IVFADC only ever SHRINKS the candidate set
+      assert(full((q, n)) == adot, s"($q,$n)")
+    }
+  }
 }
