@@ -515,6 +515,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_cust"))
     }),
 
+    // ---- interval-overlap join (both sides have EXTENT, so neither
+    // pointInInterval nor a broadcast-NL survives two big sides):
+    // customers whose +-25 acctbal windows overlap, via bucketed
+    // equi-join with first-shared-bucket pair dedup — a codegen'd
+    // filter, not a distinct() second shuffle
+    "q_overlap_join" -> ((s, dir) => {
+      val c = s.read.parquet(t(dir, "customer"))
+      val a = c.select(col("c_custkey").as("k_a"),
+        (col("c_acctbal") - 25).as("lo_a"), (col("c_acctbal") + 25).as("hi_a"))
+      val b = c.select(col("c_custkey").as("k_b"),
+        (col("c_acctbal") - 25).as("lo_b"), (col("c_acctbal") + 25).as("hi_b"))
+      graft.operators.RangeJoin.intervalOverlap(
+          a, "lo_a", "hi_a", b, "lo_b", "hi_b", width = 50.0)
+        .filter(col("k_a") < col("k_b"))
+        .groupBy(col("k_a").as("c_custkey"))
+        .agg(count(lit(1)).as("n_overlap"))
+    }),
+
     // ---- dedup (exact): normalize + hash + group
     "q_dedup_exact" -> ((s, dir) =>
       s.read.parquet(t(dir, "documents"))
@@ -641,6 +659,16 @@ object SparkEntry {
       Ann.bruteForceTopK(
         s.read.parquet(t(dir, "embeddings")), "vec_id", "embedding",
         queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
+
+    // ---- ANN: Matryoshka two-stage retrieval — coarse rank over the
+    // first 16 embedding dims (the MRL nested-representation prefix),
+    // top-50 shortlist, full-dim exact rerank: the candidate pass
+    // touches 1/4 of every vector, the full vectors only 50/query
+    "q_ann_matryoshka" -> ((s, dir) =>
+      Ann.matryoshkaTopK(
+        s.read.parquet(t(dir, "embeddings")), "vec_id", "embedding",
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10,
+        coarseDims = 16, shortlist = 50)),
 
     // ---- ANN: LSH-bucketed top-k (scale path; portable md5-derived
     // hyperplanes, DuckDB-oracled)
@@ -869,6 +897,15 @@ object SparkEntry {
     "q_tfidf" -> ((s, dir) =>
       graft.corpus.CorpusStats.tfidf(
         s.read.parquet(t(dir, "documents")), "doc_id", "text", minTf = 3)),
+
+    // ---- corpus analytics: BM25 retrieval scores for a fixed query
+    // (term-partitioned inverted-index probe: the query-term filter
+    // lands on the token stream, so only 3 terms' postings shuffle;
+    // rank-free for the q_tfidf ln()-ulp reason)
+    "q_bm25" -> ((s, dir) =>
+      graft.corpus.CorpusStats.bm25(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text",
+        queryTerms = Seq("hash", "join", "stream"))),
 
     // ---- dedup family: winnowing fingerprints (SIGMOD 2003 local
     // fingerprinting — any shared run of >= w+k-1 tokens across docs
@@ -2504,6 +2541,31 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE CAST('0x' || substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
         |  % 1000000 < 200000""".stripMargin,
+    "q_bm25" ->
+      // exact formula replay, parenthesized as the engine evaluates it;
+      // the per-doc sum folds term-sorted scores left-to-right
+      // (list(... ORDER BY term) + list_sum == array_sort + aggregate)
+      """WITH toks AS (
+        |  SELECT doc_id, t AS term
+        |  FROM documents, unnest(string_split(text, ' ')) AS u(t) WHERE t <> ''
+        |), dl AS (
+        |  SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+        |), corpus AS (
+        |  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE term IN ('hash', 'join', 'stream') GROUP BY 1, 2
+        |), dfr AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |), ts AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    (ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2)) /
+        |    (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS ts
+        |  FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus
+        |)
+        |SELECT doc_id, count(*) AS n_matched,
+        |  list_sum(list(ts ORDER BY term)) AS score
+        |FROM ts GROUP BY doc_id""".stripMargin,
     "q_tfidf" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
@@ -2856,6 +2918,15 @@ object SparkEntry {
       """SELECT s_suppkey, count(*) AS n_cust FROM supplier
         |JOIN customer ON c_acctbal >= s_acctbal - 500 AND c_acctbal <= s_acctbal + 500
         |GROUP BY s_suppkey""".stripMargin,
+    "q_overlap_join" ->
+      // plain overlap theta-join: the engine's bucketed equi-join +
+      // first-shared-bucket dedup must reproduce it exactly
+      """SELECT a.c_custkey, count(*) AS n_overlap
+        |FROM customer a JOIN customer b
+        |  ON a.c_custkey < b.c_custkey
+        | AND a.c_acctbal - 25 <= b.c_acctbal + 25
+        | AND b.c_acctbal - 25 <= a.c_acctbal + 25
+        |GROUP BY a.c_custkey""".stripMargin,
     "q_dedup_exact" ->
       "SELECT sha256(lower(text)) AS checksum, min(doc_id) AS keep_id, count(*) AS n_dupes FROM documents GROUP BY 1",
     "q_text_tokens" ->
@@ -3197,6 +3268,36 @@ object SparkEntry {
         |FROM com JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b
         |WHERE CAST(n_common AS DOUBLE) / CAST(ca.n + cb.n - n_common AS DOUBLE) >= 0.05""".stripMargin,
     "q_ann_topk" -> annTopkOracle,
+    "q_ann_matryoshka" ->
+      // two-stage replay: coarse cosine over dims 1..16 (same
+      // left-to-right list_sum as the engine's sliced fold), top-50
+      // shortlist with (csim DESC, item_id) tiebreak, full-dim rerank
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id IN (0, 1, 2, 3, 4)
+        |), c AS (
+        |  SELECT q.query_id, v.vec_id AS item_id, v.e, q.qe,
+        |    list_sum(list_transform(range(1, 17), i -> q.qe[i] * v.e[i])) /
+        |    (sqrt(list_sum(list_transform(range(1, 17), i -> q.qe[i] * q.qe[i]))) *
+        |     sqrt(list_sum(list_transform(range(1, 17), i -> v.e[i] * v.e[i])))) AS csim
+        |  FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id
+        |), sl AS (
+        |  SELECT query_id, item_id, e, qe,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, item_id) AS crn
+        |  FROM c
+        |), s AS (
+        |  SELECT query_id, item_id,
+        |    list_sum(list_transform(range(1, len(e) + 1), i -> qe[i] * e[i])) /
+        |    (sqrt(list_sum(list_transform(range(1, len(qe) + 1), i -> qe[i] * qe[i]))) *
+        |     sqrt(list_sum(list_transform(range(1, len(e) + 1), i -> e[i] * e[i])))) AS sim
+        |  FROM sl WHERE crn <= 50
+        |), r AS (
+        |  SELECT query_id, item_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, item_id) AS rank
+        |  FROM s
+        |)
+        |SELECT query_id, item_id AS neighbor_id, rank, sim FROM r WHERE rank <= 10""".stripMargin,
     "q_ann_neardup" -> annNearDupOracle,
     "q_media_meta" ->
       """SELECT doc_id,

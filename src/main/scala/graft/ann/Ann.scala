@@ -188,6 +188,57 @@ object Ann {
         col("rank").cast("bigint").as("rank"), col("sim"))
   }
 
+  /** Matryoshka two-stage retrieval: rank the corpus by cosine over
+    * only the FIRST `coarseDims` embedding dimensions (MRL-style nested
+    * representations put the information-dense prefix first), keep the
+    * top `shortlist` per query, then rerank just that shortlist with
+    * full-dimension cosine. The scale lever is I/O + FLOPs: the coarse
+    * pass touches coarseDims/D of every vector (a genuinely smaller
+    * column when the prefix is stored separately), and only
+    * `shortlist * |queries|` full vectors are ever scored — the same
+    * candidates-then-exact-rerank shape as [[lshTopK]] but with a
+    * deterministic, trainable-free candidate generator.
+    *
+    * Fully deterministic (slice + IEEE left-to-right dots, ties to the
+    * lower item id at both stages), so the DuckDB oracle replays it
+    * exactly. Output: (query_id, neighbor_id, rank, sim) with `sim` the
+    * full-dimension cosine.
+    */
+  def matryoshkaTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIds: Seq[Long],
+      k: Int,
+      coarseDims: Int,
+      shortlist: Int): DataFrame = {
+    require(coarseDims > 0, s"coarseDims must be positive, got $coarseDims")
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val items = emb.select(col(idCol).cast("long").as("item_id"),
+      asDouble(col(vecCol)).as("item_vec"),
+      slice(asDouble(col(vecCol)), 1, coarseDims).as("item_head"))
+    val queries = items
+      .filter(col("item_id").isin(queryIds: _*))
+      .select(col("item_id").as("query_id"), col("item_vec").as("query_vec"),
+        col("item_head").as("query_head"))
+    val coarse = items.crossJoin(broadcast(queries))
+      .filter(col("item_id") =!= col("query_id"))
+      .withColumn("csim",
+        dot(col("query_head"), col("item_head")) /
+          (norm(col("query_head")) * norm(col("item_head"))))
+    val cw = Window.partitionBy("query_id").orderBy(col("csim").desc, col("item_id"))
+    val reranked = coarse.withColumn("crank", row_number().over(cw))
+      .filter(col("crank") <= shortlist)
+      .withColumn("sim",
+        dot(col("query_vec"), col("item_vec")) /
+          (norm(col("query_vec")) * norm(col("item_vec"))))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("item_id"))
+    reranked.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("item_id").as("neighbor_id"),
+        col("rank").cast("bigint").as("rank"), col("sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (sim >= threshold) among a
     * bounded id range — exact via self-join; the LSH path above is the
     * unbounded-scale variant.

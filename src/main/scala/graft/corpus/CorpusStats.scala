@@ -67,6 +67,55 @@ object CorpusStats {
         (col("tf") * log(col("n_docs").cast("double") / col("df"))).as("tfidf"))
   }
 
+  /** BM25 retrieval scores (Robertson/Zaragoza, with the Lucene
+    * `ln(1 + (N - df + 0.5)/(df + 0.5))` idf that stays positive for
+    * df > N/2): per document matching >= 1 query term,
+    * score = sum over matched terms of
+    * idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)).
+    *
+    * Scale posture: the query-term filter lands directly on the
+    * exploded token stream, so the tf shuffle carries only
+    * |queryTerms| terms' postings — the term-partitioned inverted-
+    * index probe, not a corpus-wide score. Document length and avgdl
+    * are one map-side-combined count plus a broadcast 1-row corpus
+    * aggregate.
+    *
+    * Determinism: per-(doc, term) scores are single IEEE formulas; the
+    * per-doc sum folds the matched terms in TERM-SORTED order
+    * (array_sort + left fold), never agg-arrival order, so the oracle
+    * replays the accumulation exactly. Output is rank-free for the
+    * same reason as [[tfidf]]: a ranked oracle could hash-flip on a
+    * 1-ulp ln() divergence between engines; consumers rank with their
+    * own tiebreak.
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val toks = graft.Parallelize.bySplits(
+        docs.select(col(idCol).as("doc_id"), col(textCol).as("__t")), "doc_id")
+      .select(col("doc_id"), explode(TextOps.tokens(col("__t"))).as("term"))
+      .filter(col("term") =!= "")
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val tf = toks.filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val termScore = log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+      (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    tf.join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .select(col("doc_id"), col("term"), termScore.as("ts"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("term"), col("ts"))).as("parts"))
+      .select(col("doc_id"),
+        size(col("parts")).cast("bigint").as("n_matched"),
+        aggregate(array_sort(col("parts")), lit(0.0),
+          (acc, x) => acc + x.getField("ts")).as("score"))
+  }
+
   /** Per-token KL(A||B) contributions between two corpus slices — the
     * domain-shift / drift report: which tokens make slice A diverge
     * from slice B (sums to the full KL divergence under add-one

@@ -50,4 +50,42 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bucket")
   }
+
+  /** Inner join of two INTERVAL sides on closed-interval overlap
+    * (`lLo <= rHi AND rLo <= lHi`) via the same bucketed equi-join —
+    * the two-un-broadcastable-sides plan for time-range / span-overlap
+    * joins where [[pointInInterval]] doesn't apply because both sides
+    * have extent. Column names must be disjoint.
+    *
+    * An overlapping pair shares every bucket in the intersection of
+    * the two bucket ranges, so a naive bucket join emits it once PER
+    * SHARED BUCKET. Rather than a `distinct()` (a second shuffle over
+    * the whole candidate set), each pair is kept only in the FIRST
+    * bucket both intervals cover — `floor(max(lLo, rLo) / width)` —
+    * which every overlapping pair covers exactly once: dedup becomes a
+    * codegen'd filter on the join output. Inverted intervals are
+    * dropped on both sides for the same descending-`sequence` reason
+    * as [[pointInInterval]].
+    */
+  def intervalOverlap(
+      left: DataFrame,
+      lLo: String,
+      lHi: String,
+      right: DataFrame,
+      rLo: String,
+      rHi: String,
+      width: Double): DataFrame = {
+    require(width > 0, s"width must be positive, got $width")
+    def buckets(df: DataFrame, lo: String, hi: String) = df
+      .filter(col(lo) <= col(hi))
+      .withColumn("__bucket",
+        explode(sequence(
+          floor(col(lo) / width).cast("long"),
+          floor(col(hi) / width).cast("long"))))
+    buckets(left, lLo, lHi).join(buckets(right, rLo, rHi), Seq("__bucket"))
+      .filter(col(lLo) <= col(rHi) && col(rLo) <= col(lHi))
+      .filter(col("__bucket") ===
+        floor(greatest(col(lLo), col(rLo)) / width).cast("long"))
+      .drop("__bucket")
+  }
 }

@@ -212,4 +212,44 @@ class CorpusPropertySpec extends AnyFunSuite {
       assert(got == want, s"seed $seed n=$n")
     }
   }
+
+  test("property: bm25 equals the local computation, term-sorted fold included") {
+    import spark.implicits._
+    import graft.corpus.CorpusStats
+    val (k1, b) = (1.2, 0.75)
+    for (seed <- 1 to 6) {
+      val rng = new Random(seed * 1237L)
+      val docs = (0 until 15).map(i =>
+        (i.toLong, (0 until 3 + rng.nextInt(30)).map(_ => word(rng, "abc")).mkString(" ")))
+      val queryTerms = Seq("a", "ab", "abc")
+      val toks = docs.map { case (id, text) => id -> text.split(" ", -1).filter(_.nonEmpty) }
+      val dl = toks.map { case (id, ts) => id -> ts.length.toLong }.toMap
+      val nDocs = dl.size.toLong
+      val avgdl = dl.values.sum.toDouble / nDocs
+      val tf = toks.flatMap { case (id, ts) =>
+        ts.filter(queryTerms.contains).groupBy(identity)
+          .map { case (t, o) => (id, t, o.length.toLong) }
+      }
+      val dfm = tf.groupBy(_._2).map { case (t, rows) => t -> rows.size.toLong }
+      // per-(doc, term) IEEE formula, then LEFT fold in term order —
+      // the exact accumulation the operator and the oracle both use
+      val want = tf.groupBy(_._1).map { case (id, rows) =>
+        val sorted = rows.sortBy(_._2)
+        val score = sorted.foldLeft(0.0) { case (acc, (_, t, f)) =>
+          // StrictMath, not math.log: Catalyst's Log codegen calls
+          // java.lang.StrictMath.log, which can differ from Math.log
+          // by 1 ulp on some inputs
+          val idf = StrictMath.log(1.0 + (nDocs - dfm(t) + 0.5) / (dfm(t) + 0.5))
+          acc + (idf * (f * (k1 + 1.0))) / (f + k1 * (1.0 - b + b * dl(id) / avgdl))
+        }
+        id -> (sorted.size.toLong, score)
+      }
+      val got = CorpusStats.bm25(docs.toDF("doc_id", "text"), "doc_id", "text",
+          queryTerms, k1, b)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(got.keySet == want.keySet, s"seed $seed")
+      for ((id, (nm, s)) <- want)
+        assert(got(id)._1 == nm && got(id)._2 == s, s"seed $seed doc $id: ${got(id)} vs ($nm, $s)")
+    }
+  }
 }

@@ -593,4 +593,58 @@ class OpsSpec extends AnyFunSuite {
     val hits = ivf.count(r => bf10((r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))))
     assert(hits > 0, s"IVF found none of the true top-10")
   }
+
+  test("interval overlap join: == brute-force theta join, each pair exactly once") {
+    import spark.implicits._
+    val rng = new scala.util.Random(17)
+    val mk = (base: Long, n: Int) => (0 until n).map { i =>
+      val lo = rng.nextDouble() * 40 - 22
+      (base + i, lo, lo + rng.nextDouble() * 6)
+    }
+    val left = mk(0L, 120).toDF("l_id", "l_lo", "l_hi")
+    val right = mk(1000L, 90).toDF("r_id", "r_lo", "r_hi")
+    // compare as SORTED SEQS, not sets: a pair sharing several buckets
+    // that escaped the first-shared-bucket dedup would show up here as
+    // a duplicate row even though the set view hides it
+    val got = graft.operators.RangeJoin.intervalOverlap(
+        left, "l_lo", "l_hi", right, "r_lo", "r_hi", width = 2.5)
+      .select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq.sorted
+    val expected = left.crossJoin(right)
+      .filter(col("l_lo") <= col("r_hi") && col("r_lo") <= col("l_hi"))
+      .select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq.sorted
+    assert(got == expected && got.nonEmpty)
+    // closed boundaries: touching endpoints overlap; inverted dropped
+    val l2 = Seq((1L, 0.0, 5.0), (2L, 9.0, 2.0)).toDF("l_id", "l_lo", "l_hi")
+    val r2 = Seq((9L, 5.0, 7.0), (10L, 5.0001, 7.0)).toDF("r_id", "r_lo", "r_hi")
+    val b = graft.operators.RangeJoin.intervalOverlap(
+        l2, "l_lo", "l_hi", r2, "r_lo", "r_hi", width = 2.0)
+      .select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(b == Set((1L, 9L)))
+  }
+
+  test("matryoshka: full shortlist == brute force; narrowed shortlist reranks exactly") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb.count().toInt
+    val qids = Seq(0L, 1L, 2L)
+    // shortlist = whole corpus -> the coarse stage prunes nothing and
+    // the rerank must reproduce brute force bit-for-bit, ranks included
+    val full = Ann.matryoshkaTopK(emb, "vec_id", "embedding", qids, k = 10,
+        coarseDims = 16, shortlist = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val bf = Ann.bruteForceTopK(emb, "vec_id", "embedding", qids, k = 10)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("rank"), r.getAs[Double]("sim"))).toSet
+    assert(full == bf)
+    // narrowed shortlist: every surviving (q, n) keeps its exact
+    // full-dim sim — the coarse stage only SHRINKS the candidate set
+    val narrow = Ann.matryoshkaTopK(emb, "vec_id", "embedding", qids, k = 10,
+      coarseDims = 16, shortlist = 50).collect()
+    val exact = Ann.bruteForceTopK(emb, "vec_id", "embedding", qids, k = n)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("sim")).toMap
+    assert(narrow.length == qids.length * 10)
+    for (r <- narrow)
+      assert(exact((r.getLong(0), r.getLong(1))) == r.getDouble(3))
+  }
 }

@@ -125,6 +125,19 @@ class PlanSpec extends AnyFunSuite {
       s"expected a shuffled equi-join on the bucket key:\n${p.take(2000)}")
   }
 
+  test("interval-overlap join stays an equi-join even with broadcasts off") {
+    // two interval sides: the raw overlap theta-predicate would plan a
+    // nested loop / cartesian; the bucketed construction must not
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val p = SparkEntry.queries("q_overlap_join")(s2, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"expected a shuffled equi-join on the bucket key:\n${p.take(2000)}")
+  }
+
   test("resume anti-join plans as a join, not a driver-side collect (S9)") {
     val p = plan("q_antijoin_resume")
     assert(p.contains("LeftAnti"), p)
