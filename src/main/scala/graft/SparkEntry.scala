@@ -670,6 +670,14 @@ object SparkEntry {
         queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10,
         coarseDims = 16, shortlist = 50)),
 
+    // ---- embedding analytics: PCA top-component projection — one
+    // fixed-point covariance shuffle (d^2 partial sums per partition),
+    // a driver-side 64x64 power-iteration eigen step, and a broadcast
+    // projection map; no vector leaves its executor un-reduced
+    "q_pca_project" -> ((s, dir) =>
+      graft.ann.Pca.project(s,
+        s.read.parquet(t(dir, "embeddings")), "vec_id", "embedding", iters = 5)),
+
     // ---- ANN: LSH-bucketed top-k (scale path; portable md5-derived
     // hyperplanes, DuckDB-oracled)
     "q_ann_lsh" -> ((s, dir) =>
@@ -3268,6 +3276,7 @@ object SparkEntry {
         |FROM com JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b
         |WHERE CAST(n_common AS DOUBLE) / CAST(ca.n + cb.n - n_common AS DOUBLE) >= 0.05""".stripMargin,
     "q_ann_topk" -> annTopkOracle,
+    "q_pca_project" -> pcaProjectOracle,
     "q_ann_matryoshka" ->
       // two-stage replay: coarse cosine over dims 1..16 (same
       // left-to-right list_sum as the engine's sliced fold), top-50
@@ -4563,6 +4572,59 @@ object SparkEntry {
       |WHERE list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm) >= 0.3""".stripMargin
 
   /** q_ann_topk oracle (also nested by q_ann_recall). */
+  /** q_pca_project oracle: full deterministic replay of Pca.scala —
+    * fixed-point mean and covariance (per-term floor(x*2^20+0.5) longs,
+    * order-independent integer sums, one IEEE division back), 5
+    * unrolled power-iteration steps from the exact 0.125 start
+    * (1/sqrt(64)) with index-ordered list_sum matvecs and per-step
+    * normalization, the exact-zero first-nonzero sign fix, then the
+    * per-vector (v - mean) . w projection fold.
+    */
+  private def pcaProjectOracle: String = {
+    val S = "1048576.0" // 2^20, Pca.Scale
+    val iters = 5
+    val rng = s"range(1, ${IvfDim + 1})"
+    val steps = (1 to iters).map { i =>
+      s"""u$i AS (
+         |  SELECT m, list_transform($rng, j ->
+         |    list_sum(list_transform($rng, k -> m[j][k] * w[k]))) AS u
+         |  FROM it${i - 1}
+         |), it$i AS (
+         |  SELECT m, list_transform(u, x ->
+         |    x / sqrt(list_sum(list_transform(u, y -> y * y)))) AS w
+         |  FROM u$i
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH vecs AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+       |), nrow AS (SELECT count(*) AS n FROM vecs
+       |), dims AS (SELECT unnest($rng) AS j
+       |), mean AS (
+       |  SELECT j, CAST(sum(CAST(floor(v[j] * $S + 0.5) AS BIGINT)) AS DOUBLE)
+       |    / ($S * (SELECT n FROM nrow)) AS m
+       |  FROM vecs CROSS JOIN dims GROUP BY j
+       |), muv AS (SELECT list(m ORDER BY j) AS mu FROM mean
+       |), cov AS (
+       |  SELECT d1.j AS j, d2.j AS k,
+       |    CAST(sum(CAST(floor((v[d1.j] - mu[d1.j]) * (v[d2.j] - mu[d2.j]) * $S + 0.5) AS BIGINT)) AS DOUBLE)
+       |      / ($S * ((SELECT n FROM nrow) - 1)) AS c
+       |  FROM vecs CROSS JOIN dims d1 CROSS JOIN dims d2 CROSS JOIN muv
+       |  GROUP BY 1, 2
+       |), cm AS (
+       |  SELECT list(rw ORDER BY j) AS m
+       |  FROM (SELECT j, list(c ORDER BY k) AS rw FROM cov GROUP BY j)
+       |), it0 AS (
+       |  SELECT m, list_transform($rng, j -> 0.125) AS w FROM cm
+       |), $steps, pc AS (
+       |  SELECT CASE WHEN COALESCE(list_filter(w, x -> x <> 0.0)[1], 1.0) < 0
+       |              THEN list_transform(w, x -> -1.0 * x) ELSE w END AS w
+       |  FROM it$iters
+       |)
+       |SELECT vec_id,
+       |  list_sum(list_transform($rng, j -> (v[j] - mu[j]) * w[j])) AS pc1
+       |FROM vecs CROSS JOIN muv CROSS JOIN pc""".stripMargin
+  }
+
   private def annTopkOracle: String =
     """WITH v AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
