@@ -449,6 +449,40 @@ object SparkEntry {
           max(col("sec")).as("s_end"))
     }),
 
+    // ---- time-bucket resample with zero-fill: per-user daily event
+    // counts over the user's OWN [first, last] day span, absent days
+    // materialized as 0 — the gap-fill shape every time-series feature
+    // pipeline needs; the day sequence explodes from the per-user span
+    // row (bounded fan-out), never from a global calendar cross join
+    "q_resample" -> ((s, dir) => {
+      val perDay = s.read.parquet(t(dir, "events"))
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("n"))
+      val days = perDay.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      days.join(perDay, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n_events"))
+    }),
+
+    // ---- SCD2 validity intervals from a change log: runs of the same
+    // per-user event_type compress to one row with [valid_from,
+    // valid_to) from lag-change detection + lead; open current rows
+    // flagged — the dimension-history build MERGE pipelines feed on
+    "q_scd2" -> ((s, dir) => {
+      val ev = s.read.parquet(t(dir, "events"))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_timestamp(col("ts")).as("sec"))
+      val w = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
+      ev.withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .withColumn("valid_to", lead(col("sec"), 1).over(w))
+        .select(col("user_id"), col("event_type"), col("sec").as("valid_from"),
+          col("valid_to"), col("valid_to").isNull.as("is_current"))
+    }),
+
     // ---- as-of join (composition: tag-union + one keyed window pass;
     // one shuffle, no range cross-product): each click matched to the
     // user's latest view at or before it
@@ -2885,6 +2919,28 @@ object SparkEntry {
         |)
         |SELECT user_id, session, count(*) AS n_events, min(sec) AS s_start, max(sec) AS s_end
         |FROM g GROUP BY user_id, session""".stripMargin,
+    "q_resample" ->
+      """WITH perday AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1, 2
+        |), days AS (
+        |  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        |  FROM (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM perday GROUP BY 1)
+        |)
+        |SELECT days.user_id, days.day, COALESCE(n, 0) AS n_events
+        |FROM days LEFT JOIN perday ON days.user_id = perday.user_id AND days.day = perday.day""".stripMargin,
+    "q_scd2" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
+        |), ch AS (
+        |  SELECT user_id, event_type, event_id, sec FROM (
+        |    SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS prev
+        |    FROM ev)
+        |  WHERE prev IS NULL OR prev <> event_type
+        |)
+        |SELECT user_id, event_type, sec AS valid_from,
+        |  lead(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS valid_to,
+        |  lead(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) IS NULL AS is_current
+        |FROM ch""".stripMargin,
     // as-of semantics replayed as a correlated lookup: greatest
     // (sec, event_id) view at or before each click — identical to the
     // window construction's right-before-left, max-tiebreak pick

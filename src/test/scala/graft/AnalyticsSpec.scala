@@ -300,4 +300,49 @@ class AnalyticsSpec extends AnyFunSuite {
     // fr has no dim row -> dropped by inner semantics
     assert(got == Seq((1L, "en", 1.0), (3L, "de", 0.7), (4L, "en", 1.0)))
   }
+
+  test("resample: gap days zero-filled over each user's own span, counts preserved") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q_resample")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2)))
+    val byUser = got.groupBy(_._1)
+    for ((_, rows) <- byUser) {
+      val days = rows.map(_._2).sorted
+      // span is contiguous: every day between first and last is present
+      val first = java.time.LocalDate.parse(days.head)
+      val last = java.time.LocalDate.parse(days.last)
+      assert(days.length == java.time.temporal.ChronoUnit.DAYS.between(first, last) + 1)
+      assert(days.distinct.length == days.length)
+      // first and last day of a span always have events
+      assert(rows.minBy(_._2)._3 > 0 && rows.maxBy(_._2)._3 > 0)
+    }
+    // zero-fill adds rows, never counts: totals equal the raw table's
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byUser.map { case (u, rs) => u -> rs.map(_._3).sum } == raw)
+    assert(got.exists(_._3 == 0L), "expected at least one gap day")
+  }
+
+  test("scd2: runs compressed, intervals chain, exactly one open row per user") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q_scd2")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))
+    for ((_, rows) <- got.groupBy(_._1)) {
+      val sorted = rows.sortBy(_._3)
+      // adjacent rows never share event_type (runs are compressed)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._2 != b._2, s"uncompressed run: $a $b")
+        case _ =>
+      }
+      // valid_to chains to the next valid_from; only the last is open
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4.contains(b._3))
+        case _ =>
+      }
+      assert(sorted.count(_._4.isEmpty) == 1 && sorted.last._4.isEmpty)
+      assert(sorted.forall(r => r._5 == r._4.isEmpty))
+    }
+  }
 }
