@@ -483,6 +483,61 @@ object SparkEntry {
           col("valid_to"), col("valid_to").isNull.as("is_current"))
     }),
 
+    // ---- funnel analysis: strictly-ordered view -> click -> purchase
+    // stage times per user (each stage's min time AFTER the previous
+    // stage's), nulls where the funnel stops — three keyed aggregations
+    // + user-keyed joins, no window over the whole event stream
+    "q_funnel" -> ((s, dir) => {
+      val ev = s.read.parquet(t(dir, "events"))
+        .select(col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("sec"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("sec")).as("t_view"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("sec") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("sec")).as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("sec") > col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("sec")).as("t_purchase"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+    }),
+
+    // ---- retention cohorts: users bucketed by first-active day, then
+    // (cohort, day-offset) distinct-active counts — the activation/
+    // retention triangle; act is pre-deduped so the count is exact
+    "q_retention" -> ((s, dir) => {
+      val act = s.read.parquet(t(dir, "events"))
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val cohort = act.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+      act.join(cohort, "user_id")
+        .groupBy(col("cohort"),
+          datediff(col("day"), col("cohort")).as("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
+    // ---- per-user EWMA (alpha=0.3) over time-ordered event values:
+    // the recurrence folds LEFT over the (sec, event_id)-sorted value
+    // list with the first value as seed — per-user state is one list
+    // bounded by that user's event count, and the oracle's list_reduce
+    // replays the identical accumulation (0.7 written as a literal,
+    // never 1-0.3, which is a different double)
+    "q_ewma" -> ((s, dir) => {
+      val ev = s.read.parquet(t(dir, "events"))
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("sec"), col("value"))
+      ev.groupBy(col("user_id"))
+        .agg(array_sort(collect_list(
+          struct(col("sec"), col("event_id"), col("value")))).as("arr"))
+        .select(col("user_id"),
+          transform(col("arr"), _.getField("value")).as("vals"))
+        .select(col("user_id"),
+          size(col("vals")).cast("bigint").as("n_events"),
+          aggregate(
+            slice(col("vals"), lit(2), greatest(size(col("vals")) - 1, lit(0))),
+            element_at(col("vals"), 1),
+            (acc, x) => x * lit(0.3) + acc * lit(0.7)).as("ewma"))
+    }),
+
     // ---- as-of join (composition: tag-union + one keyed window pass;
     // one shuffle, no range cross-product): each click matched to the
     // user's latest view at or before it
@@ -2919,6 +2974,38 @@ object SparkEntry {
         |)
         |SELECT user_id, session, count(*) AS n_events, min(sec) AS s_start, max(sec) AS s_end
         |FROM g GROUP BY user_id, session""".stripMargin,
+    "q_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
+        |), v AS (
+        |  SELECT user_id, min(sec) AS t_view FROM ev WHERE event_type = 'view' GROUP BY 1
+        |), c AS (
+        |  SELECT ev.user_id, min(ev.sec) AS t_click FROM ev JOIN v USING (user_id)
+        |  WHERE ev.event_type = 'click' AND ev.sec > v.t_view GROUP BY 1
+        |), p AS (
+        |  SELECT ev.user_id, min(ev.sec) AS t_purchase FROM ev JOIN c USING (user_id)
+        |  WHERE ev.event_type = 'purchase' AND ev.sec > c.t_click GROUP BY 1
+        |)
+        |SELECT user_id, t_view, t_click, t_purchase
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin,
+    "q_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), cohort AS (
+        |  SELECT user_id, min(day) AS cohort FROM act GROUP BY 1
+        |)
+        |SELECT cohort, date_diff('day', cohort, day) AS day_offset, count(*) AS n_users
+        |FROM act JOIN cohort USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+    "q_ewma" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events
+        |), g AS (
+        |  SELECT user_id, list(value ORDER BY sec, event_id) AS vals FROM ev GROUP BY 1
+        |)
+        |SELECT user_id, len(vals) AS n_events,
+        |  list_reduce(vals, (acc, x) -> x * 0.3 + acc * 0.7) AS ewma
+        |FROM g""".stripMargin,
     "q_resample" ->
       """WITH perday AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1, 2

@@ -324,6 +324,63 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.exists(_._3 == 0L), "expected at least one gap day")
   }
 
+  test("funnel: stage times strictly ordered, local recomputation matches") {
+    val sf = "/root/testdata/sf0.001"
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), col("event_type"), unix_timestamp(col("ts")).as("sec"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = ev.groupBy(_._1).flatMap { case (u, rows) =>
+      val vs = rows.filter(_._2 == "view").map(_._3)
+      if (vs.isEmpty) None else {
+        val tv = vs.min
+        val tc = rows.filter(r => r._2 == "click" && r._3 > tv).map(_._3)
+          .minOption
+        val tp = tc.flatMap(t =>
+          rows.filter(r => r._2 == "purchase" && r._3 > t).map(_._3).minOption)
+        Some(u -> (tv, tc, tp))
+      }
+    }.toMap
+    val got = SparkEntry.queries("q_funnel")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got == want)
+    for ((_, (tv, tc, tp)) <- got) {
+      tc.foreach(t => assert(t > tv))
+      tp.foreach(t => assert(tc.exists(t > _)))
+    }
+  }
+
+  test("retention: offset-0 counts cohort sizes, totals match distinct activity") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q_retention")(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2)))
+    assert(got.forall(_._2 >= 0))
+    // every cohort has a day_offset=0 row (its members are active on
+    // their own first day by construction)
+    val cohorts = got.map(_._1).distinct
+    assert(cohorts.forall(c => got.exists(r => r._1 == c && r._2 == 0)))
+    // total (cohort, offset) mass == distinct (user, day) activity
+    val act = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct().count()
+    assert(got.map(_._3).sum == act)
+  }
+
+  test("ewma: fold matches the local recurrence, single-event user is its value") {
+    val sf = "/root/testdata/sf0.001"
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("sec"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val want = ev.groupBy(_._1).map { case (u, rows) =>
+      val vals = rows.sortBy(r => (r._3, r._2)).map(_._4)
+      u -> (vals.length.toLong,
+        vals.tail.foldLeft(vals.head)((acc, x) => x * 0.3 + acc * 0.7))
+    }
+    val got = SparkEntry.queries("q_ewma")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == want)
+  }
+
   test("scd2: runs compressed, intervals chain, exactly one open row per user") {
     val sf = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("q_scd2")(spark, sf).collect()
