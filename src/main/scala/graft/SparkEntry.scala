@@ -622,6 +622,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_overlap"))
     }),
 
+    // ---- optimizer-rule range join: the SAME raw theta join as
+    // q_containment_join (no library call in sight), but through a
+    // session with RangeJoinRule injected + the width conf set — the
+    // rule rewrites the nested-loop shape into the bucketed equi-join
+    // behind the user's back; oracle identical to the baseline
+    "q_rangejoin_rule" -> ((s, dir) => {
+      val s2 = s.newSession()
+      s2.experimental.extraOptimizations ++= Seq(graft.plans.RangeJoinRule)
+      s2.conf.set(graft.plans.RangeJoinRule.WidthConf, "500.0")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val sup = s2.read.parquet(t(dir, "supplier"))
+      val c = s2.read.parquet(t(dir, "customer"))
+      sup.join(c,
+          c("c_acctbal") >= sup("s_acctbal") - 500 &&
+            c("c_acctbal") <= sup("s_acctbal") + 500)
+        .groupBy(col("s_suppkey"))
+        .agg(count(lit(1)).as("n_cust"))
+    }),
+
     // ---- dedup (exact): normalize + hash + group
     "q_dedup_exact" -> ((s, dir) =>
       s.read.parquet(t(dir, "documents"))
@@ -3066,6 +3085,10 @@ object SparkEntry {
     // the bucketed scale path must produce byte-identical results to
     // the plain range join
     "q_range_join" ->
+      """SELECT s_suppkey, count(*) AS n_cust FROM supplier
+        |JOIN customer ON c_acctbal >= s_acctbal - 500 AND c_acctbal <= s_acctbal + 500
+        |GROUP BY s_suppkey""".stripMargin,
+    "q_rangejoin_rule" ->
       """SELECT s_suppkey, count(*) AS n_cust FROM supplier
         |JOIN customer ON c_acctbal >= s_acctbal - 500 AND c_acctbal <= s_acctbal + 500
         |GROUP BY s_suppkey""".stripMargin,

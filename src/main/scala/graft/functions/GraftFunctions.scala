@@ -80,11 +80,15 @@ object GraftFunctions {
   * extract_spans available in every session without code access.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.Builders.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.functions.ExtractSpansExpr", name),
         builder))
     }
+    // no-op until spark.graft.rangeJoin.width is set, so global
+    // injection is safe
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
+  }
 }
