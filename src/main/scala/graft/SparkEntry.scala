@@ -2000,6 +2000,62 @@ object SparkEntry {
           col("_corrupt_record").isNotNull.cast("int").as("is_corrupt"))
     }),
 
+    // ---- data-quality constraint panel (Deequ VerificationSuite
+    // shape): one aggregation pass computes every metric, then the
+    // constraint rows unfold from that single row — adding a
+    // constraint never adds a scan
+    "q_constraint_panel" -> ((s, dir) =>
+      s.read.parquet(t(dir, "documents"))
+        .agg(
+          count(lit(1)).as("n"),
+          count(col("text")).as("n_text"),
+          countDistinct(col("doc_id")).as("n_ids"),
+          sum(when(col("n_chars") < 0, 1L).otherwise(0L)).as("n_neg"),
+          sum(when(length(col("text")) =!= col("n_chars"), 1L).otherwise(0L))
+            .as("n_lenmismatch"))
+        .select(explode(array(
+          struct(lit("completeness_text").as("constraint"),
+            (col("n_text").cast("double") / col("n")).as("metric"),
+            (col("n_text") === col("n")).as("passed")),
+          struct(lit("unique_doc_id").as("constraint"),
+            (col("n_ids").cast("double") / col("n")).as("metric"),
+            (col("n_ids") === col("n")).as("passed")),
+          struct(lit("non_negative_n_chars").as("constraint"),
+            (col("n_neg").cast("double") / col("n")).as("metric"),
+            (col("n_neg") === 0).as("passed")),
+          struct(lit("n_chars_matches_text").as("constraint"),
+            (col("n_lenmismatch").cast("double") / col("n")).as("metric"),
+            (col("n_lenmismatch") === 0).as("passed")))).as("c"))
+        .select(col("c.constraint").as("constraint"),
+          col("c.metric").as("metric"), col("c.passed").as("passed"))),
+
+    // ---- line-text source: the rawest landing format (one record per
+    // line, tab-separated), read via spark.read.text + a codegen'd
+    // parse projection; malformed lines survive as null-field rows
+    // (try_cast/try_element_at — ANSI mode would fail the task on the
+    // first bad line otherwise). Landing zone derived from documents
+    // with one malformed sidecar line, so the oracle can reconstruct.
+    "q_text_source" -> ((s, dir) => {
+      streamCleanupHook
+      val root = streamLandingDirs.computeIfAbsent(s"$dir#text", _ => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_text").toString
+        s.read.parquet(t(dir, "documents"))
+          .select(concat_ws("\t",
+            col("doc_id"), col("lang"), col("n_chars")).as("value"))
+          .coalesce(1).write.text(s"$tmp/in")
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$tmp/in/part-malformed.txt"),
+          "not_a_long\tonly_two\n".getBytes("UTF-8"))
+        tmp
+      })
+      s.read.text(s"$root/in")
+        .select(split(col("value"), "\t").as("f"))
+        .select(
+          expr("try_cast(try_element_at(f, 1) AS BIGINT)").as("doc_id"),
+          expr("try_element_at(f, 2)").as("lang"),
+          expr("try_cast(try_element_at(f, 3) AS BIGINT)").as("n_chars"))
+    }),
+
     // ---- lakehouse: MERGE upsert (corpus versioning) — a derived
     // delta of disjoint updates (%7, not %13), inserts (+1e6 ids for
     // %11) and tombstones (%13) merged into the documents table via
@@ -4623,6 +4679,25 @@ object SparkEntry {
       """SELECT doc_id, lang, n_chars, 0 AS is_corrupt FROM documents
         |UNION ALL
         |SELECT CAST(NULL AS BIGINT), 'xx', CAST(NULL AS BIGINT), 1""".stripMargin,
+    "q_text_source" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |UNION ALL
+        |SELECT CAST(NULL AS BIGINT), 'only_two', CAST(NULL AS BIGINT)""".stripMargin,
+    "q_constraint_panel" ->
+      """WITH m AS (
+        |  SELECT count(*) AS n, count(text) AS n_text,
+        |    count(DISTINCT doc_id) AS n_ids,
+        |    sum(CASE WHEN n_chars < 0 THEN 1 ELSE 0 END) AS n_neg,
+        |    sum(CASE WHEN length(text) <> n_chars THEN 1 ELSE 0 END) AS n_lenmismatch
+        |  FROM documents
+        |)
+        |SELECT 'completeness_text' AS constraint, CAST(n_text AS DOUBLE) / n AS metric, n_text = n AS passed FROM m
+        |UNION ALL
+        |SELECT 'unique_doc_id', CAST(n_ids AS DOUBLE) / n, n_ids = n FROM m
+        |UNION ALL
+        |SELECT 'non_negative_n_chars', CAST(n_neg AS DOUBLE) / n, n_neg = 0 FROM m
+        |UNION ALL
+        |SELECT 'n_chars_matches_text', CAST(n_lenmismatch AS DOUBLE) / n, n_lenmismatch = 0 FROM m""".stripMargin,
     // MERGE replay: same derived delta + full-outer upsert semantics
     "q_merge_upsert" ->
       """WITH src AS (

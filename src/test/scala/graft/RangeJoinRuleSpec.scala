@@ -7,15 +7,20 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class RangeJoinRuleSpec extends AnyFunSuite {
 
+  // an isolated child session: getOrCreate would APPLY builder confs to
+  // the one session every suite in this JVM shares, so setting the
+  // broadcast threshold there would silently break other suites'
+  // broadcast plan gates
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-rangejoin-rule-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+      .newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     s.experimental.extraOptimizations ++= Seq(RangeJoinRule)
     s
   }
