@@ -1014,6 +1014,26 @@ object SparkEntry {
       graft.corpus.CorpusStats.tfidf(
         s.read.parquet(t(dir, "documents")), "doc_id", "text", minTf = 3)),
 
+    // ---- text analysis: token entropy + type-token ratio (lexical
+    // diversity) per document — the Shannon entropy folds LEFT over the
+    // TOKEN-SORTED (token, count) list (the q_bm25 discipline), so the
+    // oracle replays the float accumulation exactly; ratios are one
+    // double division each
+    "q_text_entropy" -> ((s, dir) =>
+      s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          array_sort(collect_list(struct(col("token"), col("cnt")))).as("parts"))
+        .select(col("doc_id"), col("n_tokens"), col("n_types"),
+          (col("n_types").cast("double") / col("n_tokens")).as("ttr"),
+          (-aggregate(col("parts"), lit(0.0), (acc, x) =>
+            acc + (x.getField("cnt") / col("n_tokens")) *
+              log(x.getField("cnt") / col("n_tokens")))).as("entropy"))),
+
     // ---- corpus analytics: BM25 retrieval scores for a fixed query
     // (term-partitioned inverted-index probe: the query-term filter
     // lands on the token stream, so only 3 terms' postings shuffle;
@@ -2713,6 +2733,23 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE CAST('0x' || substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
         |  % 1000000 < 200000""".stripMargin,
+    "q_text_entropy" ->
+      // token-sorted left fold; Spark's `/` on BIGINTs is double
+      // division, so every quotient casts explicitly here
+      """WITH tf AS (
+        |  SELECT doc_id, t AS token, count(*) AS cnt
+        |  FROM documents, unnest(string_split(text, ' ')) AS u(t) WHERE t <> ''
+        |  GROUP BY 1, 2
+        |), g AS (
+        |  SELECT doc_id, sum(cnt) AS n_tokens, count(*) AS n_types,
+        |    list(cnt ORDER BY token) AS cnts
+        |  FROM tf GROUP BY 1
+        |)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, n_types,
+        |  CAST(n_types AS DOUBLE) / n_tokens AS ttr,
+        |  -(list_sum(list_transform(cnts, c ->
+        |    (CAST(c AS DOUBLE) / n_tokens) * ln(CAST(c AS DOUBLE) / n_tokens)))) AS entropy
+        |FROM g""".stripMargin,
     "q_bm25" ->
       // exact formula replay, parenthesized as the engine evaluates it;
       // the per-doc sum folds term-sorted scores left-to-right
