@@ -778,6 +778,14 @@ object SparkEntry {
         queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10,
         coarseDims = 16, shortlist = 50)),
 
+    // ---- embedding analytics: JL random projection 64 -> 16 dims —
+    // the data-independent reduction (no training pass; one broadcast
+    // map; a row's projection never changes as the corpus grows)
+    "q_random_project" -> ((s, dir) =>
+      Ann.randomProject(s,
+        s.read.parquet(t(dir, "embeddings")), "vec_id", "embedding",
+        k = 16, seed = 42L)),
+
     // ---- embedding analytics: PCA top-component projection — one
     // fixed-point covariance shuffle (d^2 partial sums per partition),
     // a driver-side 64x64 power-iteration eigen step, and a broadcast
@@ -3536,6 +3544,22 @@ object SparkEntry {
         |WHERE CAST(n_common AS DOUBLE) / CAST(ca.n + cb.n - n_common AS DOUBLE) >= 0.05""".stripMargin,
     "q_ann_topk" -> annTopkOracle,
     "q_pca_project" -> pcaProjectOracle,
+    "q_random_project" ->
+      // plane-weight replay (same md5 formula as the LSH oracle, table
+      // pinned to 0), index-ordered fold, sqrt(3/k) applied after it
+      """WITH planes AS (
+        |  SELECT b, list_transform(range(1, 65), i ->
+        |    CAST(((CAST('0x' || substr(md5('42:0:' || CAST(b AS VARCHAR) || ':' ||
+        |      CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % 2001) - 1000) AS DOUBLE) / 1000.0) AS w
+        |  FROM (SELECT unnest(range(0, 16)) AS b)
+        |), v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        |), p AS (
+        |  SELECT vec_id, b,
+        |    list_sum(list_transform(range(1, 65), i -> w[i] * e[i])) * sqrt(3.0 / 16) AS x
+        |  FROM v CROSS JOIN planes
+        |)
+        |SELECT vec_id, list(x ORDER BY b) AS proj FROM p GROUP BY vec_id""".stripMargin,
     "q_ann_matryoshka" ->
       // two-stage replay: coarse cosine over dims 1..16 (same
       // left-to-right list_sum as the engine's sliced fold), top-50

@@ -188,6 +188,51 @@ object Ann {
         col("rank").cast("bigint").as("rank"), col("sim"))
   }
 
+  /** Johnson-Lindenstrauss random projection to `k` dims: the
+    * DATA-INDEPENDENT dimensionality-reduction path (Pca is the
+    * data-dependent one) — no training pass at all, so it runs as a
+    * single broadcast map over the corpus and the projection of a new
+    * row never changes as the corpus grows. Plane weights are the same
+    * portable md5-derived uniform[-1,1] draws as the LSH hyperplanes
+    * (table index pinned to 0), scaled by sqrt(3/k) so squared
+    * distances are unbiased (Var(U[-1,1]) = 1/3; Achlioptas 2003 shows
+    * sub-Gaussian entries suffice for the JL bound). Index-ordered
+    * left-fold dots, scale applied once after the fold — the oracle
+    * replays both.
+    */
+  def randomProject(
+      spark: SparkSession,
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    val dim = emb.select(size(col(vecCol))).head().getInt(0)
+    val planes = Array.tabulate(k, dim)((b, i) => planeWeight(seed, 0, b, i + 1))
+    val scale = math.sqrt(3.0 / k)
+    val bc = spark.sparkContext.broadcast(planes)
+    emb.select(col(idCol).cast("long"), asDouble(col(vecCol)))
+      .as[(Long, Seq[Double])]
+      .map { case (id, v) =>
+        val arr = v.toArray
+        val ps = bc.value
+        val out = new Array[Double](ps.length)
+        var b = 0
+        while (b < ps.length) {
+          val p = ps(b)
+          var s = 0.0
+          var i = 0
+          val n = math.min(p.length, arr.length)
+          while (i < n) { s += p(i) * arr(i); i += 1 }
+          out(b) = s * scale
+          b += 1
+        }
+        (id, out.toSeq)
+      }
+      .toDF("vec_id", "proj")
+  }
+
   /** Matryoshka two-stage retrieval: rank the corpus by cosine over
     * only the FIRST `coarseDims` embedding dimensions (MRL-style nested
     * representations put the information-dense prefix first), keep the

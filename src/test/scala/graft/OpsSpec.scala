@@ -594,6 +594,36 @@ class OpsSpec extends AnyFunSuite {
     assert(hits > 0, s"IVF found none of the true top-10")
   }
 
+  test("JL random projection: unbiased norms, exact local replay") {
+    import spark.implicits._
+    val rng = new scala.util.Random(31)
+    val rows = (0 until 300).map(i =>
+      (i.toLong, Seq.fill(64)(rng.nextGaussian().toFloat)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val got = Ann.randomProject(spark, emb, "vec_id", "embedding", k = 16, seed = 42L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // exact replay: same planes, same fold, same late scale
+    val planes = Ann.hyperplanes(1, 16, 64, 42L)(0)
+    val scale = math.sqrt(3.0 / 16)
+    for ((id, v) <- rows.take(10)) {
+      val x = v.map(_.toDouble).toArray
+      val want = planes.map { p =>
+        var s = 0.0; var i = 0
+        while (i < 64) { s += p(i) * x(i); i += 1 }
+        s * scale
+      }.toSeq
+      assert(got(id) == want, s"row $id")
+    }
+    // sqrt(3/k) makes squared norms unbiased: the corpus-mean ratio
+    // E[||proj||^2 / ||x||^2] concentrates near 1
+    val ratios = rows.map { case (id, v) =>
+      val x2 = v.map(f => f.toDouble * f).sum
+      got(id).map(p => p * p).sum / x2
+    }
+    val mean = ratios.sum / ratios.length
+    assert(math.abs(mean - 1.0) < 0.15, s"mean ratio $mean")
+  }
+
   test("interval overlap join: == brute-force theta join, each pair exactly once") {
     import spark.implicits._
     val rng = new scala.util.Random(17)
