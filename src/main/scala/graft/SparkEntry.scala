@@ -538,6 +538,35 @@ object SparkEntry {
             (acc, x) => x * lit(0.3) + acc * lit(0.7)).as("ewma"))
     }),
 
+    // ---- per-user OLS trend (distributed regression with
+    // ORDER-INDEPENDENT sums): slope of value over time from the five
+    // classic sufficient statistics — x is exact epoch seconds
+    // (centered on 2024-01-01 so x^2 sums fit longs), y and x*y
+    // quantized per term as floor(v * 2^20 + 0.5) longs (the Ivf/Pca
+    // fixed-point discipline: integer sums cannot drift with shuffle
+    // arrival order where float sums do), one IEEE expression at the
+    // end that both engines replay. Degenerate groups (all events at
+    // one second) are filtered on the EXACT integer determinant, not a
+    // float comparison.
+    "q_group_trend" -> ((s, dir) => {
+      val S = 1048576.0 // 2^20
+      val ev = s.read.parquet(t(dir, "events"))
+        .select(col("user_id"),
+          (unix_timestamp(col("ts")) - 1704067200L).as("xs"), col("value"))
+        .withColumn("ys", floor(col("value") * S + 0.5))
+        .withColumn("xys", floor(col("xs") * col("value") * S + 0.5))
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("xs")).as("sx"), sum(col("xs") * col("xs")).as("sxx"),
+          sum(col("ys")).as("sy"), sum(col("xys")).as("sxy"))
+        .filter(col("n") * col("sxx") - col("sx") * col("sx") > 0)
+        .select(col("user_id"), col("n").as("n_events"),
+          ((d(col("sxy")) - d(col("sx")) * d(col("sy")) / d(col("n"))) /
+            (d(col("sxx")) - d(col("sx")) * d(col("sx")) / d(col("n"))) / S)
+            .as("slope"))
+    }),
+
     // ---- as-of join (composition: tag-union + one keyed window pass;
     // one shuffle, no range cross-product): each click matched to the
     // user's latest view at or before it
@@ -3094,6 +3123,27 @@ object SparkEntry {
         |)
         |SELECT user_id, session, count(*) AS n_events, min(sec) AS s_start, max(sec) AS s_end
         |FROM g GROUP BY user_id, session""".stripMargin,
+    "q_group_trend" ->
+      // sufficient-statistics replay: exact integer sums (quantized per
+      // term exactly as the engine), integer-determinant filter, the
+      // same parenthesized IEEE expression at the end
+      """WITH e0 AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) - 1704067200 AS xs, value FROM events
+        |), e1 AS (
+        |  SELECT user_id, xs,
+        |    CAST(floor(value * 1048576.0 + 0.5) AS BIGINT) AS ys,
+        |    CAST(floor(xs * value * 1048576.0 + 0.5) AS BIGINT) AS xys
+        |  FROM e0
+        |), g AS (
+        |  SELECT user_id, count(*) AS n,
+        |    CAST(sum(xs) AS BIGINT) AS sx, CAST(sum(xs * xs) AS BIGINT) AS sxx,
+        |    CAST(sum(ys) AS BIGINT) AS sy, CAST(sum(xys) AS BIGINT) AS sxy
+        |  FROM e1 GROUP BY 1
+        |)
+        |SELECT user_id, n AS n_events,
+        |  (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) /
+        |  (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / 1048576.0 AS slope
+        |FROM g WHERE n * sxx - sx * sx > 0""".stripMargin,
     "q_funnel" ->
       """WITH ev AS (
         |  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events

@@ -381,6 +381,29 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("group trend: slope equals the local sufficient-statistics computation") {
+    val sf = "/root/testdata/sf0.001"
+    val S = 1048576.0
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), (unix_timestamp(col("ts")) - 1704067200L).as("xs"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val want = ev.groupBy(_._1).flatMap { case (u, rows) =>
+      val n = rows.length.toLong
+      val sx = rows.map(_._2).sum
+      val sxx = rows.map(r => r._2 * r._2).sum
+      val sy = rows.map(r => math.floor(r._3 * S + 0.5).toLong).sum
+      val sxy = rows.map(r => math.floor(r._2 * r._3 * S + 0.5).toLong).sum
+      if (n * sxx - sx * sx <= 0) None
+      else Some(u -> (n,
+        (sxy.toDouble - sx.toDouble * sy.toDouble / n.toDouble) /
+          (sxx.toDouble - sx.toDouble * sx.toDouble / n.toDouble) / S))
+    }
+    val got = SparkEntry.queries("q_group_trend")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("scd2: runs compressed, intervals chain, exactly one open row per user") {
     val sf = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("q_scd2")(spark, sf).collect()
