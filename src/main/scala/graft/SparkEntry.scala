@@ -823,6 +823,13 @@ object SparkEntry {
       graft.ann.Pca.project(s,
         s.read.parquet(t(dir, "embeddings")), "vec_id", "embedding", iters = 5)),
 
+    // ---- embedding analytics: top-2 PCA via Hotelling deflation —
+    // the distributed pass (mean + covariance) runs ONCE regardless of
+    // k; each further component is driver-side d x d arithmetic
+    "q_pca2_project" -> ((s, dir) =>
+      graft.ann.Pca.project2(s,
+        s.read.parquet(t(dir, "embeddings")), "vec_id", "embedding", iters = 5)),
+
     // ---- ANN: LSH-bucketed top-k (scale path; portable md5-derived
     // hyperplanes, DuckDB-oracled)
     "q_ann_lsh" -> ((s, dir) =>
@@ -3594,6 +3601,7 @@ object SparkEntry {
         |WHERE CAST(n_common AS DOUBLE) / CAST(ca.n + cb.n - n_common AS DOUBLE) >= 0.05""".stripMargin,
     "q_ann_topk" -> annTopkOracle,
     "q_pca_project" -> pcaProjectOracle,
+    "q_pca2_project" -> pca2ProjectOracle,
     "q_random_project" ->
       // plane-weight replay (same md5 formula as the LSH oracle, table
       // pinned to 0), index-ordered fold, sqrt(3/k) applied after it
@@ -4975,6 +4983,68 @@ object SparkEntry {
        |SELECT vec_id,
        |  list_sum(list_transform($rng, j -> (v[j] - mu[j]) * w[j])) AS pc1
        |FROM vecs CROSS JOIN muv CROSS JOIN pc""".stripMargin
+  }
+
+  /** q_pca2_project oracle: the q_pca_project construction plus one
+    * unrolled Hotelling deflation — lambda = w^T C w (matvec then dot,
+    * index-ordered), C2[a][b] = C[a][b] - lambda*w[a]*w[b]
+    * (left-associated exactly as Pca.deflate) — then a second 5-step
+    * power iteration + sign fix over C2, and both projection folds.
+    */
+  private def pca2ProjectOracle: String = {
+    val S = "1048576.0"
+    val iters = 5
+    val rng = s"range(1, ${IvfDim + 1})"
+    def steps(tag: String, fromCte: String) = {
+      val blocks = (1 to iters).map { i =>
+        val prev = s"it$tag${i - 1}"
+        s"""u$tag$i AS (
+           |  SELECT m, list_transform($rng, j ->
+           |    list_sum(list_transform($rng, k -> m[j][k] * w[k]))) AS u
+           |  FROM $prev
+           |), it$tag$i AS (
+           |  SELECT m, list_transform(u, x ->
+           |    x / sqrt(list_sum(list_transform(u, y -> y * y)))) AS w
+           |  FROM u$tag$i
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""it${tag}0 AS (
+         |  SELECT m, list_transform($rng, j -> 0.125) AS w FROM $fromCte
+         |), $blocks, pc$tag AS (
+         |  SELECT m, CASE WHEN COALESCE(list_filter(w, x -> x <> 0.0)[1], 1.0) < 0
+         |              THEN list_transform(w, x -> -1.0 * x) ELSE w END AS w
+         |  FROM it$tag$iters
+         |)""".stripMargin
+    }
+    s"""WITH vecs AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+       |), nrow AS (SELECT count(*) AS n FROM vecs
+       |), dims AS (SELECT unnest($rng) AS j
+       |), mean AS (
+       |  SELECT j, CAST(sum(CAST(floor(v[j] * $S + 0.5) AS BIGINT)) AS DOUBLE)
+       |    / ($S * (SELECT n FROM nrow)) AS m
+       |  FROM vecs CROSS JOIN dims GROUP BY j
+       |), muv AS (SELECT list(m ORDER BY j) AS mu FROM mean
+       |), cov AS (
+       |  SELECT d1.j AS j, d2.j AS k,
+       |    CAST(sum(CAST(floor((v[d1.j] - mu[d1.j]) * (v[d2.j] - mu[d2.j]) * $S + 0.5) AS BIGINT)) AS DOUBLE)
+       |      / ($S * ((SELECT n FROM nrow) - 1)) AS c
+       |  FROM vecs CROSS JOIN dims d1 CROSS JOIN dims d2 CROSS JOIN muv
+       |  GROUP BY 1, 2
+       |), cm AS (
+       |  SELECT list(rw ORDER BY j) AS m
+       |  FROM (SELECT j, list(c ORDER BY k) AS rw FROM cov GROUP BY j)
+       |), ${steps("a", "cm")}, defl AS (
+       |  SELECT list_transform($rng, a -> list_transform($rng, b ->
+       |      m[a][b] - list_sum(list_transform($rng, j -> w[j] *
+       |        list_sum(list_transform($rng, k -> m[j][k] * w[k])))) * w[a] * w[b])) AS m,
+       |    w AS w1
+       |  FROM pca
+       |), ${steps("b", "defl")}
+       |SELECT vec_id,
+       |  list_sum(list_transform($rng, j -> (v[j] - mu[j]) * w1[j])) AS pc1,
+       |  list_sum(list_transform($rng, j -> (v[j] - mu[j]) * pcb.w[j])) AS pc2
+       |FROM vecs CROSS JOIN muv CROSS JOIN (SELECT w1 FROM defl) dw CROSS JOIN pcb""".stripMargin
   }
 
   private def annTopkOracle: String =

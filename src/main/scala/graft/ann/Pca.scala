@@ -133,13 +133,70 @@ object Pca {
   /** Fit mean + top principal component. */
   def fit(spark: SparkSession, emb: DataFrame, idCol: String, vecCol: String,
       iters: Int = 5): Model = {
+    val (mean, comps) = fitK(spark, emb, idCol, vecCol, k = 1, iters)
+    Model(mean, comps(0))
+  }
+
+  /** Hotelling deflation: lambda = w^T C w (matvec then dot, both
+    * index-ordered), C' = C - lambda * w w^T (one subtraction per
+    * entry, `lambda * w(j) * w(k)` left-associated) — every arithmetic
+    * step replayable, so the k-component oracle unrolls it verbatim.
+    */
+  private[graft] def deflate(cov: Array[Array[Double]],
+      w: Array[Double]): Array[Array[Double]] = {
+    val d = cov.length
+    val t = new Array[Double](d)
+    var j = 0
+    while (j < d) {
+      var s = 0.0
+      var k = 0
+      while (k < d) { s += cov(j)(k) * w(k); k += 1 }
+      t(j) = s
+      j += 1
+    }
+    var lam = 0.0
+    j = 0
+    while (j < d) { lam += w(j) * t(j); j += 1 }
+    Array.tabulate(d, d)((a, b) => cov(a)(b) - lam * w(a) * w(b))
+  }
+
+  /** Mean + top-k principal components (power iteration + deflation):
+    * the distributed pass (mean, covariance) runs ONCE regardless of k;
+    * each further component is driver-side d x d arithmetic.
+    */
+  def fitK(spark: SparkSession, emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 5): (Array[Double], Array[Array[Double]]) = {
+    require(k >= 1, s"k must be positive, got $k")
     val vecs = Ivf.vecsDF(emb, idCol, vecCol).cache()
     val dim = vecs.select(size(col("vec"))).head().getInt(0)
     val (mean, n) = meanOf(vecs, dim)
     require(n > 1, s"need > 1 vectors, got $n")
-    val cov = covarianceOf(spark, vecs, mean, n, dim)
+    var cov = covarianceOf(spark, vecs, mean, n, dim)
     vecs.unpersist(blocking = false)
-    Model(mean, powerIterate(cov, iters))
+    val comps = new Array[Array[Double]](k)
+    var c = 0
+    while (c < k) {
+      comps(c) = powerIterate(cov, iters)
+      c += 1
+      if (c < k) cov = deflate(cov, comps(c - 1))
+    }
+    (mean, comps)
+  }
+
+  /** (id, pc1, pc2): coordinates along the top two components. */
+  def project2(spark: SparkSession, emb: DataFrame, idCol: String,
+      vecCol: String, iters: Int = 5): DataFrame = {
+    import spark.implicits._
+    val (mean, comps) = fitK(spark, emb, idCol, vecCol, k = 2, iters)
+    val m1 = Model(mean, comps(0))
+    val m2 = Model(mean, comps(1))
+    val bc = spark.sparkContext.broadcast((m1, m2))
+    Ivf.vecsDF(emb, idCol, vecCol).as[(Long, Seq[Double])]
+      .map { case (id, v) =>
+        val arr = v.toArray
+        (id, bc.value._1.project(arr), bc.value._2.project(arr))
+      }
+      .toDF("vec_id", "pc1", "pc2")
   }
 
   /** (id, pc1): every vector's coordinate along the top component —

@@ -54,6 +54,36 @@ class PcaSpec extends AnyFunSuite {
     }
   }
 
+  test("deflation: second component recovers the second planted direction") {
+    import spark.implicits._
+    // points = t1 * u1 + t2 * u2 + noise with Var(t1) >> Var(t2):
+    // pc1 -> u1, pc2 -> u2, and the two learned components are
+    // near-orthogonal
+    val dim = 8
+    def unit(raw: Array[Double]) = {
+      val n = math.sqrt(raw.map(x => x * x).sum); raw.map(_ / n)
+    }
+    val u1 = unit(Array.tabulate(dim)(j => math.sin(j + 1.0)))
+    // Gram-Schmidt the second direction against the first
+    val raw2 = Array.tabulate(dim)(j => math.cos(2.0 * j + 0.5))
+    val d12 = raw2.zip(u1).map { case (a, b) => a * b }.sum
+    val u2 = unit(raw2.zip(u1).map { case (a, b) => a - d12 * b })
+    val rng = new scala.util.Random(11)
+    val rows = (0 until 500).map { i =>
+      val t1 = rng.nextGaussian() * 8
+      val t2 = rng.nextGaussian() * 3
+      (i.toLong, Seq.tabulate(dim)(j =>
+        (t1 * u1(j) + t2 * u2(j) + rng.nextGaussian() * 0.05).toFloat))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val (_, comps) = Pca.fitK(spark, emb, "vec_id", "embedding", k = 2, iters = 30)
+    def cos(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    assert(math.abs(cos(comps(0), u1)) > 0.99, comps(0).toSeq.toString)
+    assert(math.abs(cos(comps(1), u2)) > 0.99, comps(1).toSeq.toString)
+    assert(math.abs(cos(comps(0), comps(1))) < 0.02, "components not orthogonal")
+  }
+
   test("fixed-point covariance: result is partitioning-invariant, bit for bit") {
     import spark.implicits._
     val rng = new scala.util.Random(23)
