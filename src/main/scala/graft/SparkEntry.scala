@@ -1266,6 +1266,32 @@ object SparkEntry {
       s.read.parquet(out).select(col("checksum"))
     }),
 
+    // ---- streaming: per-user running totals on transformWithState
+    // (Spark 4's arbitrary-state v2: declared ValueState + RocksDB
+    // required). Landing = 8 files, maxFilesPerTrigger=1, so state
+    // genuinely carries ACROSS micro-batches inside the drain; per user
+    // the emitted n_events sequence is strictly increasing, so max()
+    // over the sink equals the batch totals regardless of file order
+    "stream_running" -> ((s, dir) => {
+      streamCleanupHook
+      val root = streamLandingDirs.computeIfAbsent(s"$dir#running", _ => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_srun").toString
+        s.read.parquet(t(dir, "events"))
+          .select(col("user_id"),
+            floor(col("value") * 100 + 0.5).as("cents"))
+          .coalesce(8).write.parquet(s"$tmp/in")
+        tmp
+      })
+      val run = streamRunSeq.incrementAndGet()
+      val out = s"$root/out$run"
+      graft.streaming.StreamingState.runningTotalsRunOnce(
+        s, s"$root/in", out, s"$root/cp$run", shufflePartitions = Some(8))
+      s.read.parquet(out)
+        .groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n_events"),
+          max(col("sum_cents")).as("sum_cents"))
+    }),
+
     // ---- streaming: stream-static enrichment join — the doc firehose
     // broadcast-joined per micro-batch against a tiny per-lang weight
     // dim; inner semantics drop langs absent from the dim (es/fr)
@@ -3934,6 +3960,13 @@ object SparkEntry {
     // micro-batch), so the batch distinct states the expected set
     "stream_dedup" ->
       "SELECT DISTINCT sha256(text) AS checksum FROM documents",
+    "stream_running" ->
+      // running totals drained via transformWithState reduce to the
+      // plain batch aggregate (max of a strictly increasing per-user
+      // sequence = its final value); integer cents, no float drift
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY 1""".stripMargin,
     // stream-static enrichment: the drained sink is documents inner-
     // joined per micro-batch to the partial per-lang dim (es/fr drop);
     // VALUES literals are DECIMAL in DuckDB -> cast to DOUBLE

@@ -268,4 +268,72 @@ object StreamingState {
       .start()
     q.awaitTermination()
   }
+
+  final case class UserVal(user_id: Long, cents: Long)
+  final case class RunningTotal(user_id: Long, n_events: Long, sum_cents: Long)
+
+  /** Per-user running totals on transformWithState — Spark 4's
+    * arbitrary-state v2 API (StatefulProcessor + typed state handles),
+    * the successor to flatMapGroupsWithState: state is DECLARED
+    * (named ValueState with its own encoder and TTL policy) instead of
+    * carried in one opaque blob, and the operator requires the RocksDB
+    * provider — the production state backend. Values ride as exact
+    * integer cents so totals cannot drift with batch order.
+    *
+    * Each batch that touches a user emits that user's UPDATED running
+    * total; per user the emitted n_events sequence is strictly
+    * increasing, so `max(n_events)` over the sink equals the user's
+    * total REGARDLESS of how the landing files split into
+    * micro-batches — which is what makes the drain batch-oracle-able.
+    */
+  class RunningTotalProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, UserVal, RunningTotal] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)]("totals",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[UserVal],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[RunningTotal] = {
+      var n = 0L
+      var sum = 0L
+      if (st.exists()) { val cur = st.get(); n = cur._1; sum = cur._2 }
+      rows.foreach { r => n += 1; sum += r.cents }
+      st.update((n, sum))
+      Iterator.single(RunningTotal(key, n, sum))
+    }
+  }
+
+  /** One AvailableNow drain of the running-total processor over a
+    * parquet landing dir of (user_id, cents) rows — maxFilesPerTrigger=1
+    * so a multi-file landing zone genuinely exercises state continuity
+    * ACROSS micro-batches inside the one drain. RocksDB is forced:
+    * transformWithState only runs on the RocksDB provider.
+    */
+  def runningTotalsRunOnce(spark: SparkSession, inputPath: String,
+      outPath: String, checkpoint: String,
+      shufflePartitions: Option[Int] = None): Unit = {
+    val s = sessionFor(spark, shufflePartitions, useRocksDb = true)
+    import s.implicits._
+    val schema = s.read.parquet(inputPath).schema
+    val src = s.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inputPath)
+      .as[UserVal]
+    val q = src.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+      .writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

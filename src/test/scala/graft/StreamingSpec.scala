@@ -158,4 +158,40 @@ class StreamingSpec extends AnyFunSuite {
       .map(d => d.doc_id -> d.spans).toMap
     assert(got2 == batchOut)
   }
+
+  test("transformWithState running totals carry state ACROSS micro-batches") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_tws").toString
+    // 3 landing files, maxFilesPerTrigger=1 -> 3 micro-batches; user 1
+    // appears in every batch, so the drain must emit an increasing
+    // running total that spans batches — a per-batch-only aggregate
+    // would reset to the batch count instead
+    Seq((1L, 10L), (1L, 20L), (2L, 5L)).toDF("user_id", "cents")
+      .coalesce(1).write.parquet(s"$root/in")
+    Thread.sleep(1100) // distinct mtimes -> deterministic file order
+    Seq((1L, 30L)).toDF("user_id", "cents")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(s"$root/in")
+    Thread.sleep(1100)
+    Seq((1L, 40L), (2L, 7L)).toDF("user_id", "cents")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(s"$root/in")
+    graft.streaming.StreamingState.runningTotalsRunOnce(
+      spark, s"$root/in", s"$root/out", s"$root/cp", shufflePartitions = Some(2))
+    val rows = spark.read.parquet(s"$root/out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val u1 = rows.filter(_._1 == 1L).sortBy(_._2)
+    // user 1 emitted once per batch containing it, totals accumulating
+    assert(u1.map(r => (r._2, r._3)).toSeq == Seq((2L, 30L), (3L, 60L), (4L, 100L)), u1.toSeq.toString)
+    val u2 = rows.filter(_._1 == 2L).sortBy(_._2)
+    assert(u2.map(r => (r._2, r._3)).toSeq == Seq((1L, 5L), (2L, 12L)))
+    // a SECOND drain over a new file resumes from the checkpointed state
+    Thread.sleep(1100)
+    Seq((2L, 100L)).toDF("user_id", "cents")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(s"$root/in")
+    graft.streaming.StreamingState.runningTotalsRunOnce(
+      spark, s"$root/in", s"$root/out", s"$root/cp", shufflePartitions = Some(2))
+    val after = spark.read.parquet(s"$root/out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(_._1 == 2L).maxBy(_._2)
+    assert(after == ((2L, 3L, 112L)), after.toString)
+  }
 }
