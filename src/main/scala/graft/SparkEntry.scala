@@ -2838,7 +2838,7 @@ object SparkEntry {
         |  SELECT term, count(*) AS df FROM tf GROUP BY 1
         |), ts AS (
         |  SELECT tf.doc_id, tf.term,
-        |    (ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2)) /
+        |    ((floor(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * 1000000.0 + 0.5) / 1000000.0) * (tf * 2.2)) /
         |    (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS ts
         |  FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus
         |)

@@ -83,10 +83,15 @@ object CorpusStats {
     * Determinism: per-(doc, term) scores are single IEEE formulas; the
     * per-doc sum folds the matched terms in TERM-SORTED order
     * (array_sort + left fold), never agg-arrival order, so the oracle
-    * replays the accumulation exactly. Output is rank-free for the
-    * same reason as [[tfidf]]: a ranked oracle could hash-flip on a
-    * 1-ulp ln() divergence between engines; consumers rank with their
-    * own tiebreak.
+    * replays the accumulation exactly. The idf is DISCRETIZED to
+    * integer micro-nats (floor(ln * 1e6 + 0.5) / 1e6 — the bigram-LM
+    * precedent): JVM StrictMath.log and C libm genuinely disagree by
+    * 1 ulp on some arguments (measured: df=3857/N=5000 at sf0.1), and
+    * raw ln would leak that into every score containing the term; after
+    * discretization a 1-ulp ln flip changes the score only when
+    * ln*1e6+0.5 sits within ~3e-11 of an integer. Output is rank-free
+    * for the same reason as [[tfidf]]; consumers rank with their own
+    * tiebreak.
     */
   def bm25(docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
@@ -100,8 +105,9 @@ object CorpusStats {
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val corpus = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-    val termScore = log(lit(1.0) +
+    val termScore = (floor(log(lit(1.0) +
         (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        lit(1000000.0) + lit(0.5)) / lit(1000000.0)) *
       (col("tf") * lit(k1 + 1.0)) /
       (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
     tf.join(broadcast(df), "term")

@@ -238,8 +238,10 @@ class CorpusPropertySpec extends AnyFunSuite {
         val score = sorted.foldLeft(0.0) { case (acc, (_, t, f)) =>
           // StrictMath, not math.log: Catalyst's Log codegen calls
           // java.lang.StrictMath.log, which can differ from Math.log
-          // by 1 ulp on some inputs
-          val idf = StrictMath.log(1.0 + (nDocs - dfm(t) + 0.5) / (dfm(t) + 0.5))
+          // by 1 ulp on some inputs; the micro-nat floor then absorbs
+          // exactly that class of divergence vs the libm-based oracle
+          val idf = math.floor(StrictMath.log(
+            1.0 + (nDocs - dfm(t) + 0.5) / (dfm(t) + 0.5)) * 1000000.0 + 0.5) / 1000000.0
           acc + (idf * (f * (k1 + 1.0))) / (f + k1 * (1.0 - b + b * dl(id) / avgdl))
         }
         id -> (sorted.size.toLong, score)
