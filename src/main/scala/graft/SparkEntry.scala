@@ -1074,9 +1074,13 @@ object SparkEntry {
           array_sort(collect_list(struct(col("token"), col("cnt")))).as("parts"))
         .select(col("doc_id"), col("n_tokens"), col("n_types"),
           (col("n_types").cast("double") / col("n_tokens")).as("ttr"),
+          // ln discretized to micro-nats like q_bm25's idf: StrictMath
+          // and libm disagree by 1 ulp on some arguments, and entropy
+          // evaluates ln over many distinct p values per corpus
           (-aggregate(col("parts"), lit(0.0), (acc, x) =>
             acc + (x.getField("cnt") / col("n_tokens")) *
-              log(x.getField("cnt") / col("n_tokens")))).as("entropy"))),
+              (floor(log(x.getField("cnt") / col("n_tokens")) * lit(1000000.0) +
+                lit(0.5)) / lit(1000000.0)))).as("entropy"))),
 
     // ---- corpus analytics: BM25 retrieval scores for a fixed query
     // (term-partitioned inverted-index probe: the query-term filter
@@ -2818,7 +2822,8 @@ object SparkEntry {
         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, n_types,
         |  CAST(n_types AS DOUBLE) / n_tokens AS ttr,
         |  -(list_sum(list_transform(cnts, c ->
-        |    (CAST(c AS DOUBLE) / n_tokens) * ln(CAST(c AS DOUBLE) / n_tokens)))) AS entropy
+        |    (CAST(c AS DOUBLE) / n_tokens) *
+        |    (floor(ln(CAST(c AS DOUBLE) / n_tokens) * 1000000.0 + 0.5) / 1000000.0)))) AS entropy
         |FROM g""".stripMargin,
     "q_bm25" ->
       // exact formula replay, parenthesized as the engine evaluates it;
