@@ -567,6 +567,41 @@ object SparkEntry {
             .as("slope"))
     }),
 
+    // ---- per-user Pearson correlation of value vs time — the same
+    // order-independent sufficient-statistics machinery as
+    // q_group_trend plus the y^2 moment (per-term fixed-point on y^2 so
+    // the sum is exact); corr = cov / (sd_x * sd_y) assembled in one
+    // replayed IEEE expression; degenerate groups (constant x or
+    // constant quantized y) filtered on EXACT integer determinants
+    "q_group_corr" -> ((s, dir) => {
+      // S = 2^10, smaller than the trend's 2^20: every MOMENT here is a
+      // product of quantized longs (ys*ys, xs*ys), and 2^20 would push
+      // sum(ys^2) past Long.MaxValue at this value range (<= 560.21,
+      // ANSI mode would throw loudly). Single quantization — y_q =
+      // floor(y*S+0.5) IS the series — so a constant series has an
+      // EXACTLY zero variance (mixing y and y^2 quantizations instead
+      // can go slightly negative and NaN the sqrt)
+      val S = 1024.0 // 2^10
+      val ev = s.read.parquet(t(dir, "events"))
+        .select(col("user_id"),
+          (unix_timestamp(col("ts")) - 1704067200L).as("xs"), col("value"))
+        .withColumn("ys", floor(col("value") * S + 0.5))
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("xs")).as("sx"), sum(col("xs") * col("xs")).as("sxx"),
+          sum(col("ys")).as("sy"), sum(col("ys") * col("ys")).as("syy"),
+          sum(col("xs") * col("ys")).as("sxy"),
+          min(col("xs")).as("x0"), max(col("xs")).as("x1"),
+          min(col("ys")).as("y0"), max(col("ys")).as("y1"))
+        .filter(col("x0") < col("x1") && col("y0") < col("y1"))
+        .select(col("user_id"), col("n").as("n_events"),
+          ((d(col("sxy")) - d(col("sx")) * d(col("sy")) / d(col("n"))) /
+            (sqrt(d(col("sxx")) - d(col("sx")) * d(col("sx")) / d(col("n"))) *
+             sqrt(d(col("syy")) - d(col("sy")) * d(col("sy")) / d(col("n")))))
+            .as("corr"))
+    }),
+
     // ---- as-of join (composition: tag-union + one keyed window pass;
     // one shuffle, no range cross-product): each click matched to the
     // user's latest view at or before it
@@ -3161,6 +3196,27 @@ object SparkEntry {
         |)
         |SELECT user_id, session, count(*) AS n_events, min(sec) AS s_start, max(sec) AS s_end
         |FROM g GROUP BY user_id, session""".stripMargin,
+    "q_group_corr" ->
+      // quantized-series correlation replay: all five moments are exact
+      // integer sums over the SAME quantized ys, degenerate groups
+      // filtered on exact min/max, one IEEE expression at the end
+      """WITH e0 AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) - 1704067200 AS xs,
+        |    CAST(floor(value * 1024.0 + 0.5) AS BIGINT) AS ys
+        |  FROM events
+        |), g AS (
+        |  SELECT user_id, count(*) AS n,
+        |    CAST(sum(xs) AS BIGINT) AS sx, CAST(sum(xs * xs) AS BIGINT) AS sxx,
+        |    CAST(sum(ys) AS BIGINT) AS sy, CAST(sum(ys * ys) AS BIGINT) AS syy,
+        |    CAST(sum(xs * ys) AS BIGINT) AS sxy,
+        |    min(xs) AS x0, max(xs) AS x1, min(ys) AS y0, max(ys) AS y1
+        |  FROM e0 GROUP BY 1
+        |)
+        |SELECT user_id, n AS n_events,
+        |  (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) /
+        |  (sqrt(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) *
+        |   sqrt(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)) AS corr
+        |FROM g WHERE x0 < x1 AND y0 < y1""".stripMargin,
     "q_group_trend" ->
       // sufficient-statistics replay: exact integer sums (quantized per
       // term exactly as the engine), integer-determinant filter, the

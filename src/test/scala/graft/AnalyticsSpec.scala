@@ -404,6 +404,28 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("group corr: quantized-series Pearson equals local computation, bounded") {
+    val sf = "/root/testdata/sf0.001"
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), (unix_timestamp(col("ts")) - 1704067200L).as("xs"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), math.floor(r.getDouble(2) * 1024.0 + 0.5).toLong))
+    val want = ev.groupBy(_._1).flatMap { case (u, rows) =>
+      val n = rows.length.toLong
+      val (sx, sxx) = (rows.map(_._2).sum, rows.map(r => r._2 * r._2).sum)
+      val (sy, syy) = (rows.map(_._3).sum, rows.map(r => r._3 * r._3).sum)
+      val sxy = rows.map(r => r._2 * r._3).sum
+      if (rows.map(_._2).distinct.length < 2 || rows.map(_._3).distinct.length < 2) None
+      else Some(u -> (n,
+        (sxy.toDouble - sx.toDouble * sy.toDouble / n.toDouble) /
+          (math.sqrt(sxx.toDouble - sx.toDouble * sx.toDouble / n.toDouble) *
+           math.sqrt(syy.toDouble - sy.toDouble * sy.toDouble / n.toDouble))))
+    }
+    val got = SparkEntry.queries("q_group_corr")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == want && got.nonEmpty)
+    assert(got.values.forall { case (_, c) => c >= -1.0 - 1e-12 && c <= 1.0 + 1e-12 })
+  }
+
   test("scd2: runs compressed, intervals chain, exactly one open row per user") {
     val sf = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("q_scd2")(spark, sf).collect()
