@@ -1305,6 +1305,31 @@ object SparkEntry {
       s.read.parquet(out).select(col("checksum"))
     }),
 
+    // ---- streaming: latest-3 events per user on ListState (the
+    // online-feature-store drain — transformWithState v2, RocksDB).
+    // Largest-k by event_id, not arrival, so the cross-batch merge is
+    // order-independent; the sink row with max(n_seen) per user is the
+    // final feature vector, which the batch oracle states directly
+    "stream_latest_k" -> ((s, dir) => {
+      streamCleanupHook
+      val root = streamLandingDirs.computeIfAbsent(s"$dir#latestk", _ => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_slk").toString
+        s.read.parquet(t(dir, "events"))
+          .select(col("user_id"), col("event_id"),
+            floor(col("value") * 100 + 0.5).as("cents"))
+          .coalesce(8).write.parquet(s"$tmp/in")
+        tmp
+      })
+      val run = streamRunSeq.incrementAndGet()
+      val out = s"$root/out$run"
+      graft.streaming.StreamingState.latestKRunOnce(
+        s, s"$root/in", out, s"$root/cp$run", k = 3, shufflePartitions = Some(8))
+      val w = Window.partitionBy("user_id").orderBy(col("n_seen").desc)
+      s.read.parquet(out)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("n_seen"), col("ids"), col("cents"))
+    }),
+
     // ---- streaming: per-user running totals on transformWithState
     // (Spark 4's arbitrary-state v2: declared ValueState + RocksDB
     // required). Landing = 8 files, maxFilesPerTrigger=1, so state
@@ -4021,6 +4046,16 @@ object SparkEntry {
     // micro-batch), so the batch distinct states the expected set
     "stream_dedup" ->
       "SELECT DISTINCT sha256(text) AS checksum FROM documents",
+    "stream_latest_k" ->
+      // the final ListState content per user == the 3 largest event_ids
+      // (and their cents) — plain batch top-k by a total order
+      """WITH ev AS (
+        |  SELECT user_id, event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events
+        |)
+        |SELECT user_id, count(*) AS n_seen,
+        |  (list(event_id ORDER BY event_id DESC))[1:3] AS ids,
+        |  (list(cents ORDER BY event_id DESC))[1:3] AS cents
+        |FROM ev GROUP BY 1""".stripMargin,
     "stream_running" ->
       // running totals drained via transformWithState reduce to the
       // plain batch aggregate (max of a strictly increasing per-user

@@ -307,6 +307,76 @@ object StreamingState {
     }
   }
 
+  final case class UserEventVal(user_id: Long, event_id: Long, cents: Long)
+  final case class LatestK(user_id: Long, n_seen: Long,
+      ids: Seq[Long], cents: Seq[Long])
+
+  /** Latest-k events per key on ListState — the online-feature-store
+    * shape (each key's freshest k observations, ready to serve):
+    * per batch the stored list merges with the batch's rows and keeps
+    * the k LARGEST event_ids. Keyed on event_id, not arrival, because
+    * arrival order is not deterministic (a user's rows scatter across
+    * landing files and arrive unordered within a batch) — largest-k by
+    * a total order is merge-order-independent, which is what makes the
+    * drain batch-oracle-able. n_seen (ValueState) counts every row the
+    * key ever saw, so the sink row with max(n_seen) per key is the
+    * final feature vector.
+    */
+  class LatestKProcessor(k: Int) extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, UserEventVal, LatestK] {
+    @transient private var seen: org.apache.spark.sql.streaming.ValueState[Long] = _
+    @transient private var latest: org.apache.spark.sql.streaming.ListState[(Long, Long)] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      seen = getHandle.getValueState[Long]("seen",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      latest = getHandle.getListState[(Long, Long)]("latest",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[UserEventVal],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[LatestK] = {
+      val incoming = rows.map(r => (r.event_id, r.cents)).toArray
+      val cur = if (latest.exists()) latest.get().toArray else Array.empty[(Long, Long)]
+      val merged = (cur ++ incoming).sortBy(-_._1).take(k)
+      latest.put(merged)
+      val n = (if (seen.exists()) seen.get() else 0L) + incoming.length
+      seen.update(n)
+      Iterator.single(LatestK(key, n, merged.map(_._1).toSeq, merged.map(_._2).toSeq))
+    }
+  }
+
+  /** One AvailableNow drain of the latest-k processor (RocksDB forced,
+    * transformWithState requires it; maxFilesPerTrigger=1 for genuine
+    * cross-batch list-state merging).
+    */
+  def latestKRunOnce(spark: SparkSession, inputPath: String,
+      outPath: String, checkpoint: String, k: Int,
+      shufflePartitions: Option[Int] = None): Unit = {
+    val s = sessionFor(spark, shufflePartitions, useRocksDb = true)
+    import s.implicits._
+    val schema = s.read.parquet(inputPath).schema
+    val src = s.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inputPath)
+      .as[UserEventVal]
+    val q = src.groupByKey(_.user_id)
+      .transformWithState(new LatestKProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+      .writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** One AvailableNow drain of the running-total processor over a
     * parquet landing dir of (user_id, cents) rows — maxFilesPerTrigger=1
     * so a multi-file landing zone genuinely exercises state continuity

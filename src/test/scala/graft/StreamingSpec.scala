@@ -194,4 +194,32 @@ class StreamingSpec extends AnyFunSuite {
       .filter(_._1 == 2L).maxBy(_._2)
     assert(after == ((2L, 3L, 112L)), after.toString)
   }
+
+  test("ListState latest-k merges across batches by event_id, not arrival") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_lk").toString
+    // event_ids arrive OUT OF ORDER across batches: batch 2 carries a
+    // LOWER id (5) than batch 1's max (20), and batch 3 a higher one —
+    // largest-k semantics must keep {20,30,40}, never the 3 freshest
+    // arrivals {5,30,40}... wait 30,40 arrive later; final top-3 of
+    // {10,20,5,30,40} = {40,30,20}
+    Seq((1L, 10L, 100L), (1L, 20L, 200L)).toDF("user_id", "event_id", "cents")
+      .coalesce(1).write.parquet(s"$root/in")
+    Thread.sleep(1100)
+    Seq((1L, 5L, 50L), (1L, 30L, 300L)).toDF("user_id", "event_id", "cents")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(s"$root/in")
+    Thread.sleep(1100)
+    Seq((1L, 40L, 400L)).toDF("user_id", "event_id", "cents")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(s"$root/in")
+    graft.streaming.StreamingState.latestKRunOnce(
+      spark, s"$root/in", s"$root/out", s"$root/cp", k = 3,
+      shufflePartitions = Some(2))
+    val rows = spark.read.parquet(s"$root/out")
+      .collect().map(r => (r.getLong(1),
+        r.getSeq[Long](2).toList, r.getSeq[Long](3).toList)).sortBy(_._1)
+    assert(rows.toList == List(
+      (2L, List(20L, 10L), List(200L, 100L)),
+      (4L, List(30L, 20L, 10L), List(300L, 200L, 100L)),
+      (5L, List(40L, 30L, 20L), List(400L, 300L, 200L))), rows.toList.toString)
+  }
 }
