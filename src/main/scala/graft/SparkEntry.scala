@@ -1305,6 +1305,29 @@ object SparkEntry {
       s.read.parquet(out).select(col("checksum"))
     }),
 
+    // ---- streaming: per-user per-type counts on MapState (the third
+    // v2 state handle): one map entry per (user, type), emitted as
+    // type-sorted parallel arrays; row with max(n_seen) per user ==
+    // the plain batch pivot
+    "stream_type_counts" -> ((s, dir) => {
+      streamCleanupHook
+      val root = streamLandingDirs.computeIfAbsent(s"$dir#typec", _ => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_stc").toString
+        s.read.parquet(t(dir, "events"))
+          .select(col("user_id"), col("event_type"))
+          .coalesce(8).write.parquet(s"$tmp/in")
+        tmp
+      })
+      val run = streamRunSeq.incrementAndGet()
+      val out = s"$root/out$run"
+      graft.streaming.StreamingState.typeCountsRunOnce(
+        s, s"$root/in", out, s"$root/cp$run", shufflePartitions = Some(8))
+      val w = Window.partitionBy("user_id").orderBy(col("n_seen").desc)
+      s.read.parquet(out)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("n_seen"), col("types"), col("counts"))
+    }),
+
     // ---- streaming: latest-3 events per user on ListState (the
     // online-feature-store drain — transformWithState v2, RocksDB).
     // Largest-k by event_id, not arrival, so the cross-batch merge is
@@ -4046,6 +4069,16 @@ object SparkEntry {
     // micro-batch), so the batch distinct states the expected set
     "stream_dedup" ->
       "SELECT DISTINCT sha256(text) AS checksum FROM documents",
+    "stream_type_counts" ->
+      // the final MapState per user == the plain batch pivot, emitted
+      // as type-sorted parallel arrays
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1, 2
+        |)
+        |SELECT user_id, CAST(sum(cnt) AS BIGINT) AS n_seen,
+        |  list(event_type ORDER BY event_type) AS types,
+        |  list(cnt ORDER BY event_type) AS counts
+        |FROM c GROUP BY 1""".stripMargin,
     "stream_latest_k" ->
       // the final ListState content per user == the 3 largest event_ids
       // (and their cents) — plain batch top-k by a total order

@@ -349,6 +349,74 @@ object StreamingState {
     }
   }
 
+  final case class UserTyped(user_id: Long, event_type: String)
+  final case class TypeCounts(user_id: Long, n_seen: Long,
+      types: Seq[String], counts: Seq[Long])
+
+  /** Per-user per-event-type counts on MapState — the third v2 state
+    * handle (ValueState: running totals; ListState: latest-k; MapState
+    * here): each (user, type) count lives under its own map key, so a
+    * batch touching one type reads/writes ONE entry instead of
+    * deserializing the whole per-user blob — the point of composite
+    * state at production key x subkey cardinality. Emission sorts the
+    * map's entries by type (map iteration order is not a contract), so
+    * the final row per user is the plain batch pivot the oracle states.
+    */
+  class TypeCountsProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, UserTyped, TypeCounts] {
+    @transient private var seen: org.apache.spark.sql.streaming.ValueState[Long] = _
+    @transient private var counts: org.apache.spark.sql.streaming.MapState[String, Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      seen = getHandle.getValueState[Long]("seen",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      counts = getHandle.getMapState[String, Long]("counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[UserTyped],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[TypeCounts] = {
+      var n = if (seen.exists()) seen.get() else 0L
+      rows.foreach { r =>
+        val cur = if (counts.containsKey(r.event_type)) counts.getValue(r.event_type) else 0L
+        counts.updateValue(r.event_type, cur + 1L)
+        n += 1
+      }
+      seen.update(n)
+      val sorted = counts.iterator().toArray.sortBy(_._1)
+      Iterator.single(TypeCounts(key, n, sorted.map(_._1).toSeq, sorted.map(_._2).toSeq))
+    }
+  }
+
+  /** One AvailableNow drain of the type-counts processor (RocksDB
+    * forced; maxFilesPerTrigger=1 for genuine cross-batch map updates).
+    */
+  def typeCountsRunOnce(spark: SparkSession, inputPath: String,
+      outPath: String, checkpoint: String,
+      shufflePartitions: Option[Int] = None): Unit = {
+    val s = sessionFor(spark, shufflePartitions, useRocksDb = true)
+    import s.implicits._
+    val schema = s.read.parquet(inputPath).schema
+    val src = s.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inputPath)
+      .as[UserTyped]
+    val q = src.groupByKey(_.user_id)
+      .transformWithState(new TypeCountsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+      .writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** One AvailableNow drain of the latest-k processor (RocksDB forced,
     * transformWithState requires it; maxFilesPerTrigger=1 for genuine
     * cross-batch list-state merging).

@@ -222,4 +222,22 @@ class StreamingSpec extends AnyFunSuite {
       (4L, List(30L, 20L, 10L), List(300L, 200L, 100L)),
       (5L, List(40L, 30L, 20L), List(400L, 300L, 200L))), rows.toList.toString)
   }
+
+  test("MapState type counts accumulate per (user, type) across batches") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_mc").toString
+    Seq((1L, "view"), (1L, "click"), (1L, "view")).toDF("user_id", "event_type")
+      .coalesce(1).write.parquet(s"$root/in")
+    Thread.sleep(1100)
+    Seq((1L, "view"), (1L, "purchase")).toDF("user_id", "event_type")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(s"$root/in")
+    graft.streaming.StreamingState.typeCountsRunOnce(
+      spark, s"$root/in", s"$root/out", s"$root/cp", shufflePartitions = Some(2))
+    val rows = spark.read.parquet(s"$root/out")
+      .collect().map(r => (r.getLong(1),
+        r.getSeq[String](2).toList, r.getSeq[Long](3).toList)).sortBy(_._1)
+    assert(rows.toList == List(
+      (3L, List("click", "view"), List(1L, 2L)),
+      (5L, List("click", "purchase", "view"), List(1L, 1L, 3L))), rows.toList.toString)
+  }
 }
