@@ -230,6 +230,18 @@ object SparkEntry {
     out
   }
 
+  /** Same landing zone, drained through the v2 timer sessionizer. */
+  private def streamSessionV2Drain(s: SparkSession, dir: String): String = {
+    streamSessionDrain(s, dir) // materializes the shared landing
+    val root = streamLandingDirs.get(s"$dir#session")
+    val run = streamRunSeq.incrementAndGet()
+    val out = s"$root/out$run"
+    graft.streaming.StreamingState.sessionizeV2RunOnce(
+      s, s"$root/in", out, s"$root/cp$run", gapSec = 1800L,
+      shufflePartitions = Some(8))
+    out
+  }
+
   /** Per-language weight dimension for the stream-static enrichment
     * drain — deliberately PARTIAL (no es/fr rows) so the inner join's
     * filter semantics are observable in the oracle row count.
@@ -1416,6 +1428,15 @@ object SparkEntry {
     // window agg, stream-stream join, custom state)
     "stream_session" -> ((s, dir) =>
       s.read.parquet(streamSessionDrain(s, dir))
+        .select(col("user_id"), col("s_start"), col("s_end"),
+          col("n_events"))),
+
+    // ---- streaming: the SAME sessionization on the v2 API — explicit
+    // EVENT-TIME TIMERS (registerTimer/handleExpiredTimer) instead of
+    // the v1 single implicit timeout; output-identical by construction,
+    // same sentinel landing, same batch oracle
+    "stream_session_v2" -> ((s, dir) =>
+      s.read.parquet(streamSessionV2Drain(s, dir))
         .select(col("user_id"), col("s_start"), col("s_end"),
           col("n_events"))),
 
@@ -4137,6 +4158,19 @@ object SparkEntry {
     // the plain batch gap-split (strict > 1800 s break) with the
     // session index projected away
     "stream_session" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
+        |), l AS (
+        |  SELECT user_id, event_id, sec, sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS gap FROM ev
+        |), b AS (
+        |  SELECT user_id, event_id, sec, CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS brk FROM l
+        |), g AS (
+        |  SELECT user_id, sec, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY sec, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session FROM b
+        |)
+        |SELECT user_id, min(sec) AS s_start, max(sec) AS s_end, count(*) AS n_events
+        |FROM g GROUP BY user_id, session""".stripMargin,
+    "stream_session_v2" ->
+      // identical semantics through the v2 timer processor
       """WITH ev AS (
         |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
         |), l AS (

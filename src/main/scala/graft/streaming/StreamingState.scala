@@ -307,6 +307,88 @@ object StreamingState {
     }
   }
 
+  /** Sessionization on the v2 API with EVENT-TIME TIMERS — the same
+    * gap-split semantics as [[sessionize]] (flatMapGroupsWithState +
+    * EventTimeTimeout), re-expressed as a StatefulProcessor: in-batch
+    * gaps close inside handleInputRows, cross-batch gaps close in
+    * handleExpiredTimer when the watermark passes end + gap. Old timers
+    * are deleted before the new one registers (v2 timers are explicit
+    * objects, not the single implicit timeout of the v1 API). Output-
+    * identical to the v1 operator by construction — gated in
+    * StreamingSpec — so the same sentinel landing convention and batch
+    * oracle apply.
+    */
+  class SessionV2Processor(gapSec: Long) extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, UserEvent, Session] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[(Long, Long, Long)] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long)]("session",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(uid: Long, it: Iterator[UserEvent],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[Session] = {
+      val times = it.map(_.ts.getTime / 1000).toArray.sorted
+      var closed = List.empty[Session]
+      var cur = if (st.exists()) st.get()
+        else (times.head, times.head, 0L)
+      for (t <- times) {
+        if (cur._3 > 0 && t - cur._2 > gapSec) {
+          closed ::= Session(uid, cur._1, cur._2, cur._3)
+          cur = (t, t, 1L)
+        } else {
+          cur = (math.min(cur._1, t), math.max(cur._2, t), cur._3 + 1)
+        }
+      }
+      st.update(cur)
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer((cur._2 + gapSec) * 1000)
+      closed.reverseIterator
+    }
+    override def handleExpiredTimer(uid: Long,
+        tv: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[Session] = {
+      val s = st.get()
+      st.clear()
+      Iterator.single(Session(uid, s._1, s._2, s._3))
+    }
+  }
+
+  /** One AvailableNow drain of the v2 timer sessionizer — same landing
+    * convention (sentinel-flushed, maxFilesPerTrigger=1) as
+    * [[sessionizeRunOnce]]; RocksDB forced (transformWithState).
+    */
+  def sessionizeV2RunOnce(spark: SparkSession, inputPath: String,
+      outPath: String, checkpoint: String, gapSec: Long,
+      watermarkDelay: String = "10 seconds",
+      shufflePartitions: Option[Int] = None): Unit = {
+    val s = sessionFor(spark, shufflePartitions, useRocksDb = true)
+    import s.implicits._
+    val schema = s.read.parquet(inputPath).schema
+    val src = s.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inputPath)
+      .as[UserEvent]
+    val q = src
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionV2Processor(gapSec),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+      .filter(_.user_id >= 0L)
+      .writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   final case class UserEventVal(user_id: Long, event_id: Long, cents: Long)
   final case class LatestK(user_id: Long, n_seen: Long,
       ids: Seq[Long], cents: Seq[Long])

@@ -223,6 +223,39 @@ class StreamingSpec extends AnyFunSuite {
       (5L, List(40L, 30L, 20L), List(400L, 300L, 200L))), rows.toList.toString)
   }
 
+  test("v2 timer sessionization == v1 flatMapGroupsWithState on a sentinel landing") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_sv2").toString
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    // user 1: two sessions split by a 2000s gap that SPANS batches
+    // (only the timer path can close the first one); sentinel user -9
+    // advances the watermark, its own session stays open and is dropped
+    Seq((1L, ts(1000)), (1L, ts(1500))).toDF("user_id", "ts")
+      .coalesce(1).write.parquet(s"$root/in")
+    Thread.sleep(1100)
+    Seq((1L, ts(3500))).toDF("user_id", "ts")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(s"$root/in")
+    Thread.sleep(1100)
+    Seq((-9L, ts(100000))).toDF("user_id", "ts")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(s"$root/in")
+    Thread.sleep(1100)
+    Seq((-9L, ts(100001))).toDF("user_id", "ts")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(s"$root/in")
+    graft.streaming.StreamingState.sessionizeV2RunOnce(
+      spark, s"$root/in", s"$root/outv2", s"$root/cpv2", gapSec = 1000L,
+      shufflePartitions = Some(2))
+    graft.streaming.StreamingState.sessionizeRunOnce(
+      spark, s"$root/in", s"$root/outv1", s"$root/cpv1", gapSec = 1000L,
+      shufflePartitions = Some(2))
+    def readOut(p: String) = spark.read.parquet(p)
+      .filter(org.apache.spark.sql.functions.col("user_id") >= 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val v2 = readOut(s"$root/outv2")
+    assert(v2 == Set((1L, 1000L, 1500L, 2L), (1L, 3500L, 3500L, 1L)), v2.toString)
+    assert(v2 == readOut(s"$root/outv1"))
+  }
+
   test("MapState type counts accumulate per (user, type) across batches") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_mc").toString
