@@ -495,6 +495,28 @@ object SparkEntry {
           col("valid_to"), col("valid_to").isNull.as("is_current"))
     }),
 
+    // ---- SCD2 point-in-time lookup: enrich each purchase event with
+    // the state run (q_scd2's dimension) in effect at its timestamp —
+    // the canonical consumer of a validity-interval dimension. Composed
+    // as an as-of join on the run's valid_from (runs are non-overlapping
+    // per user, so latest-start-before == covering interval); run-start
+    // event_id breaks equal-valid_from ties identically in both engines
+    "q_scd2_lookup" -> ((s, dir) => {
+      val ev = s.read.parquet(t(dir, "events"))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_timestamp(col("ts")).as("sec"))
+      val w = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
+      val dim = ev.withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .select(col("user_id"), col("sec"), col("event_id"),
+          col("event_type").as("st"))
+      val probe = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("sec"))
+      graft.operators.AsOf.asofJoin(probe, dim, key = "user_id",
+        time = "sec", rightTiebreak = "event_id", rightPayload = "st",
+        outCol = "state")
+    }),
+
     // ---- funnel analysis: strictly-ordered view -> click -> purchase
     // stage times per user (each stage's min time AFTER the previous
     // stage's), nulls where the funnel stops — three keyed aggregations
@@ -1306,6 +1328,21 @@ object SparkEntry {
       graft.operators.PageRank.pageRank(
         fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))),
         "src", "dst", iters = 8, d = 0.85)
+    }),
+
+    // ---- native aggregate: exact top-k doc lengths per language via
+    // the bounded-heap TypedImperativeAggregate (O(k) state per group
+    // vs collect_list's O(n)); ranks are value-deterministic because
+    // ties resolve by value only, so the window-row_number oracle
+    // replays the distributed heap exactly
+    "q_topk_agg" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      s.read.parquet(t(dir, "documents"))
+        .groupBy(col("lang"))
+        .agg(call_function("topk_longs", col("n_chars"), lit(5)).as("tk"))
+        .select(col("lang"), posexplode(col("tk")))
+        .select(col("lang"), (col("pos") + 1).cast("int").as("rank"),
+          col("col").as("n_chars"))
     }),
 
     // ---- streaming: exact-dedup drain (dropDuplicatesWithinWatermark
@@ -3361,6 +3398,27 @@ object SparkEntry {
         |  lead(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS valid_to,
         |  lead(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) IS NULL AS is_current
         |FROM ch""".stripMargin,
+    // point-in-time lookup replayed as join + greatest-(valid_from,
+    // start-id) pick — identical to the as-of window's
+    // right-before-left, max-tiebreak semantics
+    "q_scd2_lookup" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
+        |), ch AS (
+        |  SELECT user_id, event_type, event_id, sec FROM (
+        |    SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS prev
+        |    FROM ev)
+        |  WHERE prev IS NULL OR prev <> event_type
+        |), p AS (
+        |  SELECT user_id, event_id, sec FROM ev WHERE event_type = 'purchase'
+        |), j AS (
+        |  SELECT p.user_id, p.event_id, p.sec, c.event_type AS state,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY c.sec DESC, c.event_id DESC) AS rn
+        |  FROM p JOIN ch c ON c.user_id = p.user_id AND c.sec <= p.sec
+        |)
+        |SELECT user_id, event_id, sec, state FROM j WHERE rn = 1""".stripMargin,
     // as-of semantics replayed as a correlated lookup: greatest
     // (sec, event_id) view at or before each click — identical to the
     // window construction's right-before-left, max-tiebreak pick
@@ -3873,6 +3931,16 @@ object SparkEntry {
          |  SELECT DISTINCT CAST(1000000 + c_nationkey AS BIGINT) AS src,
          |    CAST(c_custkey AS BIGINT) AS dst FROM customer
          |)""".stripMargin + pagerankTail(iters = 8, d = 0.85)),
+    // top-k per group: window row_number on value DESC replays the
+    // bounded-heap aggregate (ties resolve by value, so the rank->value
+    // mapping is deterministic either way)
+    "q_topk_agg" ->
+      """WITH r AS (
+        |  SELECT lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC) AS rn
+        |  FROM documents
+        |)
+        |SELECT lang, CAST(rn AS INT) AS rank, n_chars FROM r WHERE rn <= 5""".stripMargin,
     // triangles: the winnow pair query as a nested CTE, canonical
     // orientation (pairs already satisfy id_a < id_b), wedge join +
     // closing-edge join — the same two equi-joins the engine plans

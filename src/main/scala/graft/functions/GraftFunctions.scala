@@ -19,7 +19,8 @@ object GraftFunctions {
     "simhash60" -> (exprs => Simhash60Expr(exprs.head)),
     "nfc_norm" -> (exprs => NfcNormalizeExpr(exprs.head)),
     "html_main_content" -> (exprs => HtmlMainContentExpr(exprs.head)),
-    "bpe_count" -> (exprs => BpeCountExpr(exprs(0), exprs(1))))
+    "bpe_count" -> (exprs => BpeCountExpr(exprs(0), exprs(1))),
+    "topk_longs" -> (exprs => TopKLongsAgg(exprs(0), exprs(1))))
 
   /** Trained-BPE token count Column over `text` — the merge table rides
     * as an in-plan literal so the registry builder stays stateless.
