@@ -1330,6 +1330,21 @@ object SparkEntry {
         "src", "dst", iters = 8, d = 0.85)
     }),
 
+    // ---- graph: fixed-iteration HITS hubs/authorities over the same
+    // deterministic doc->doc link graph as q_link_graph (3 arithmetic
+    // out-links per doc); integer-quantum contributions keep every sum
+    // order-immune, L1 normalization keeps the division portable
+    "q_hits" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents")).select(col("doc_id"))
+      val withCnt = docs.crossJoin(broadcast(docs.agg(count(lit(1)).as("cnt"))))
+      val e = withCnt.select(col("doc_id").as("src"),
+        explode(array(
+          (col("doc_id") * 31 + 97) % col("cnt"),
+          (col("doc_id") * 31 + 194) % col("cnt"),
+          (col("doc_id") * 31 + 291) % col("cnt"))).as("dst"))
+      graft.operators.Hits.hits(e, "src", "dst", iters = 3)
+    }),
+
     // ---- native aggregate: exact top-k doc lengths per language via
     // the bounded-heap TypedImperativeAggregate (O(k) state per group
     // vs collect_list's O(n)); ranks are value-deterministic because
@@ -3931,6 +3946,17 @@ object SparkEntry {
          |  SELECT DISTINCT CAST(1000000 + c_nationkey AS BIGINT) AS src,
          |    CAST(c_custkey AS BIGINT) AS dst FROM customer
          |)""".stripMargin + pagerankTail(iters = 8, d = 0.85)),
+    // HITS: the same quantized-contribution unrolled chain as the
+    // engine, alternating a/h normalizations (hitsTail)
+    "q_hits" ->
+      ("""WITH c AS (SELECT count(*) AS cnt FROM documents),
+         |ed AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS src,
+         |    CAST((doc_id * 31 + 97) % cnt AS BIGINT) AS dst FROM documents, c
+         |  UNION ALL SELECT doc_id, (doc_id * 31 + 194) % cnt FROM documents, c
+         |  UNION ALL SELECT doc_id, (doc_id * 31 + 291) % cnt FROM documents, c
+         |), e AS (SELECT DISTINCT src, dst FROM ed)""".stripMargin +
+        hitsTail(iters = 3)),
     // top-k per group: window row_number on value DESC replays the
     // bounded-heap aggregate (ties resolve by value, so the rank->value
     // mapping is deterministic either way)
@@ -5625,5 +5651,41 @@ object SparkEntry {
          |)""".stripMargin
     }.mkString
     s"$head$steps\nSELECT node, r AS pr FROM it$iters"
+  }
+
+  /** Unrolled HITS chain appended after an `e(src, dst)` CTE —
+    * Hits.hits's exact arithmetic: per-edge contributions floored to
+    * integer quantum units, integer-exact global normalizer, L1
+    * division on bit-identical longs.
+    */
+  private def hitsTail(iters: Int): String = {
+    val q = "1000000000000.0"
+    val head =
+      """, nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e
+        |), h0 AS (SELECT node, 1.0 AS h FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s""", a${k}raw AS (
+         |  SELECT e.dst AS node,
+         |    CAST(sum(CAST(floor(p.h * $q) AS BIGINT)) AS BIGINT) AS m
+         |  FROM e JOIN h${k - 1} p ON p.node = e.src GROUP BY e.dst
+         |), a$k AS (
+         |  SELECT r.node, CAST(r.m AS DOUBLE) / CAST(t.s AS DOUBLE) AS a
+         |  FROM a${k}raw r CROSS JOIN
+         |    (SELECT CAST(sum(m) AS BIGINT) AS s FROM a${k}raw) t
+         |), h${k}raw AS (
+         |  SELECT e.src AS node,
+         |    CAST(sum(CAST(floor(p.a * $q) AS BIGINT)) AS BIGINT) AS m
+         |  FROM e JOIN a$k p ON p.node = e.dst GROUP BY e.src
+         |), h$k AS (
+         |  SELECT r.node, CAST(r.m AS DOUBLE) / CAST(t.s AS DOUBLE) AS h
+         |  FROM h${k}raw r CROSS JOIN
+         |    (SELECT CAST(sum(m) AS BIGINT) AS s FROM h${k}raw) t
+         |)""".stripMargin
+    }.mkString
+    s"""$head$steps
+       |SELECT n.node, coalesce(hh.h, 0.0) AS hub, coalesce(aa.a, 0.0) AS auth
+       |FROM nodes n
+       |LEFT JOIN h$iters hh ON hh.node = n.node
+       |LEFT JOIN a$iters aa ON aa.node = n.node""".stripMargin
   }
 }
