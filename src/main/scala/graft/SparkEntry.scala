@@ -955,6 +955,19 @@ object SparkEntry {
         .select(col("doc_id"), col("width"), col("height"),
           col("n_frames"), col("format"), col("decode_ok"))),
 
+    // ---- audio decode: REAL RIFF/PCM WAV bytes round-tripped through
+    // the chunk-walking parser — rate/channels/duration from the
+    // payload header, never the metadata row
+    "q_audio_meta" -> ((s, dir) =>
+      graft.media.Wav.decode(graft.media.Wav.synthesize(s, dir))),
+
+    // ---- audio features: fixed-window integer energy + peak over the
+    // decoded PCM — the audio analog of frame sampling (silence trim /
+    // loudness bucket inputs); exact integer sums, record-local fan-out
+    "q_audio_energy" -> ((s, dir) =>
+      graft.media.Wav.windowEnergy(graft.media.Wav.synthesize(s, dir),
+        window = 256)),
+
     // ---- source: binaryFile ingestion — the multimodal LANDING path.
     // Raw blobs live as objects/files, not parquet cells; Spark's
     // binaryFile source scans them file-per-task with path/length
@@ -3886,6 +3899,31 @@ object SparkEntry {
         |  CASE WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 THEN 'jpg' ELSE 'mp4' END AS format,
         |  true AS decode_ok
         |FROM documents""".stripMargin,
+    // WAV metadata: the generator parameters replayed through the real
+    // binary round-trip (encode -> RIFF parse) on the engine side
+    "q_audio_meta" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS INTEGER) AS sample_rate,
+        |  1 AS channels, 16 AS bits,
+        |  CAST(1024 + (doc_id % 3) * 512 AS BIGINT) AS n_samples,
+        |  CAST((1024 + (doc_id % 3) * 512) * 1000
+        |    // (CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END) AS BIGINT) AS duration_ms,
+        |  true AS decode_ok
+        |FROM documents""".stripMargin,
+    // windowed PCM energy: the sample formula replayed per index via
+    // generate_series, grouped into the same 256-sample windows
+    "q_audio_energy" ->
+      """WITH n AS (
+        |  SELECT doc_id, 1024 + (doc_id % 3) * 512 AS ns FROM documents
+        |), s AS (
+        |  SELECT doc_id, i, (doc_id * 31 + i * 7919) % 4096 - 2048 AS v
+        |  FROM n, generate_series(0, 2047) AS t(i)
+        |  WHERE i < ns
+        |)
+        |SELECT doc_id, CAST(i // 256 AS INTEGER) AS win_idx,
+        |  CAST(sum(v * v) AS BIGINT) AS energy,
+        |  CAST(max(abs(v)) AS INTEGER) AS peak
+        |FROM s GROUP BY doc_id, win_idx""".stripMargin,
     // binaryFile round-trip: same decode-invertibility arithmetic on
     // the %17 landing sample — a changed byte anywhere in the file
     // round-trip flips decode_ok or the decoded dims
