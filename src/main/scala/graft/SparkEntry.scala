@@ -1358,6 +1358,20 @@ object SparkEntry {
       graft.operators.Hits.hits(e, "src", "dst", iters = 3)
     }),
 
+    // ---- graph: k-core peeling over the symmetrized doc link graph —
+    // the degeneracy filter separating the densely interlinked core
+    // from pendant/spam chains; 4 rounds cover this graph's peel depth
+    "q_kcore" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents")).select(col("doc_id"))
+      val withCnt = docs.crossJoin(broadcast(docs.agg(count(lit(1)).as("cnt"))))
+      val e = withCnt.select(col("doc_id").as("src"),
+        explode(array(
+          (col("doc_id") * 31 + 97) % col("cnt"),
+          (col("doc_id") * 31 + 194) % col("cnt"),
+          (col("doc_id") * 31 + 291) % col("cnt"))).as("dst"))
+      graft.operators.KCore.kcore(e, "src", "dst", k = 6, rounds = 4)
+    }),
+
     // ---- native aggregate: exact top-k doc lengths per language via
     // the bounded-heap TypedImperativeAggregate (O(k) state per group
     // vs collect_list's O(n)); ranks are value-deterministic because
@@ -2359,6 +2373,16 @@ object SparkEntry {
     "q_rollup_report" -> ((s, dir) =>
       s.read.parquet(t(dir, "documents"))
         .rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          grouping_id().as("gid"))),
+
+    // ---- reporting: CUBE over (lang, source) — all four grouping
+    // sets in one pass (rollup's superset: adds the source-only
+    // marginals), disambiguated by grouping_id; one shuffle total
+    "q_cube_report" -> ((s, dir) =>
+      s.read.parquet(t(dir, "documents"))
+        .cube(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("total_chars"),
           grouping_id().as("gid"))),
@@ -3995,6 +4019,19 @@ object SparkEntry {
          |  UNION ALL SELECT doc_id, (doc_id * 31 + 291) % cnt FROM documents, c
          |), e AS (SELECT DISTINCT src, dst FROM ed)""".stripMargin +
         hitsTail(iters = 3)),
+    // k-core: the same peel unrolled (kcoreTail) over the symmetrized
+    // deduped link edges
+    "q_kcore" ->
+      ("""WITH c AS (SELECT count(*) AS cnt FROM documents),
+         |ed AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS src,
+         |    CAST((doc_id * 31 + 97) % cnt AS BIGINT) AS dst FROM documents, c
+         |  UNION ALL SELECT doc_id, (doc_id * 31 + 194) % cnt FROM documents, c
+         |  UNION ALL SELECT doc_id, (doc_id * 31 + 291) % cnt FROM documents, c
+         |), sym AS (
+         |  SELECT src, dst FROM ed UNION ALL SELECT dst, src FROM ed
+         |), e0 AS (SELECT DISTINCT src, dst FROM sym)""".stripMargin +
+        kcoreTail(k = 6, rounds = 4)),
     // top-k per group: window row_number on value DESC replays the
     // bounded-heap aggregate (ties resolve by value, so the rank->value
     // mapping is deterministic either way)
@@ -5180,6 +5217,11 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  CAST(GROUPING(lang, source) AS BIGINT) AS gid
         |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
+    "q_cube_report" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(GROUPING(lang, source) AS BIGINT) AS gid
+        |FROM documents GROUP BY CUBE (lang, source)""".stripMargin,
     // Unpivot replay as stacked UNION ALL over the same metric exprs
     "q_unpivot_metrics" ->
       """WITH m AS (
@@ -5689,6 +5731,23 @@ object SparkEntry {
          |)""".stripMargin
     }.mkString
     s"$head$steps\nSELECT node, r AS pr FROM it$iters"
+  }
+
+  /** Unrolled k-core peel appended after a symmetric deduped
+    * `e0(src, dst)` CTE — KCore.kcore's exact rounds: degree filter,
+    * then two-sided semi-join of the surviving node set.
+    */
+  private def kcoreTail(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s""", n$r AS (
+         |  SELECT src AS node FROM e${r - 1} GROUP BY src HAVING count(*) >= $k
+         |), e$r AS (
+         |  SELECT e.src, e.dst FROM e${r - 1} e
+         |  JOIN n$r a ON a.node = e.src
+         |  JOIN n$r b ON b.node = e.dst
+         |)""".stripMargin
+    }.mkString
+    s"$steps\nSELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM e$rounds GROUP BY src"
   }
 
   /** Unrolled HITS chain appended after an `e(src, dst)` CTE —
