@@ -1372,6 +1372,35 @@ object SparkEntry {
       graft.operators.KCore.kcore(e, "src", "dst", k = 6, rounds = 4)
     }),
 
+    // ---- graph: synchronous label-propagation communities over the
+    // same symmetrized doc link graph — densely knit topical
+    // neighborhoods inside one giant component, where connected
+    // components would answer only "reachable"; integer votes +
+    // min-label tie-break make the fixed 3 rounds bit-deterministic
+    "q_labelprop" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents")).select(col("doc_id"))
+      val withCnt = docs.crossJoin(broadcast(docs.agg(count(lit(1)).as("cnt"))))
+      val e = withCnt.select(col("doc_id").as("src"),
+        explode(array(
+          (col("doc_id") * 31 + 97) % col("cnt"),
+          (col("doc_id") * 31 + 194) % col("cnt"),
+          (col("doc_id") * 31 + 291) % col("cnt"))).as("dst"))
+      graft.operators.LabelProp.propagate(e, "src", "dst", rounds = 3)
+    }),
+
+    // ---- graph x dedup composition: per-node clustering coefficient
+    // of the winnowing local-overlap graph — high-degree/low-coeff
+    // nodes are boilerplate hubs stitching UNRELATED duplicate
+    // families (the false-merge suspects components cannot see);
+    // integer T/deg, one IEEE division, directly comparable
+    "q_clustering_coeff" -> ((s, dir) =>
+      graft.operators.Triangles.clusteringCoefficient(
+        graft.dedup.Winnow.candidatePairs(
+          graft.dedup.Winnow.fingerprints(
+            s.read.parquet(t(dir, "documents")), "doc_id", "text", k = 4, w = 4),
+          minShared = 2),
+        "id_a", "id_b")),
+
     // ---- native aggregate: exact top-k doc lengths per language via
     // the bounded-heap TypedImperativeAggregate (O(k) state per group
     // vs collect_list's O(n)); ranks are value-deterministic because
@@ -4032,6 +4061,19 @@ object SparkEntry {
          |  SELECT src, dst FROM ed UNION ALL SELECT dst, src FROM ed
          |), e0 AS (SELECT DISTINCT src, dst FROM sym)""".stripMargin +
         kcoreTail(k = 6, rounds = 4)),
+    // label propagation: the same symmetrized link edges (self-loops
+    // dropped), then the unrolled synchronous vote rounds (lpaTail)
+    "q_labelprop" ->
+      ("""WITH c AS (SELECT count(*) AS cnt FROM documents),
+         |ed AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS src,
+         |    CAST((doc_id * 31 + 97) % cnt AS BIGINT) AS dst FROM documents, c
+         |  UNION ALL SELECT doc_id, (doc_id * 31 + 194) % cnt FROM documents, c
+         |  UNION ALL SELECT doc_id, (doc_id * 31 + 291) % cnt FROM documents, c
+         |), sym AS (
+         |  SELECT src, dst FROM ed UNION ALL SELECT dst, src FROM ed
+         |), e0 AS (SELECT DISTINCT src, dst FROM sym WHERE src <> dst)""".stripMargin +
+        lpaTail(rounds = 3)),
     // top-k per group: window row_number on value DESC replays the
     // bounded-heap aggregate (ties resolve by value, so the rank->value
     // mapping is deterministic either way)
@@ -4054,6 +4096,34 @@ object SparkEntry {
           |  FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
           |)
           |SELECT a, b, c FROM w JOIN e e3 ON w.b = e3.u AND w.c = e3.v""".stripMargin),
+    // clustering coefficient: same wedge enumeration, then per-node
+    // triangle and degree counts; one integer/integer IEEE division
+    "q_clustering_coeff" ->
+      (s"""WITH wp AS (
+          |$winnowPairsSql
+          |), e AS (SELECT DISTINCT id_a AS u, id_b AS v FROM wp
+          |), w AS (
+          |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+          |  FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+          |), tr AS (
+          |  SELECT a, b, c FROM w JOIN e e3 ON w.b = e3.u AND w.c = e3.v
+          |), deg AS (
+          |  SELECT node, count(*) AS deg FROM (
+          |    SELECT u AS node FROM e UNION ALL SELECT v FROM e
+          |  ) GROUP BY 1
+          |), tn AS (
+          |  SELECT node, count(*) AS tri_cnt FROM (
+          |    SELECT a AS node FROM tr UNION ALL SELECT b FROM tr
+          |    UNION ALL SELECT c FROM tr
+          |  ) GROUP BY 1
+          |)
+          |SELECT d.node, CAST(d.deg AS BIGINT) AS deg,
+          |  CAST(coalesce(tn.tri_cnt, 0) AS BIGINT) AS tri_cnt,
+          |  CASE WHEN d.deg >= 2 THEN
+          |    CAST(coalesce(tn.tri_cnt, 0) * 2 AS DOUBLE) /
+          |      CAST(d.deg * (d.deg - 1) AS DOUBLE)
+          |  ELSE 0.0 END AS coeff
+          |FROM deg d LEFT JOIN tn ON tn.node = d.node""".stripMargin),
     // duplication centrality: the winnow local-overlap pair query as a
     // nested CTE, symmetrized, then the shared power-iteration chain
     "q_dup_centrality" ->
@@ -5731,6 +5801,27 @@ object SparkEntry {
          |)""".stripMargin
     }.mkString
     s"$head$steps\nSELECT node, r AS pr FROM it$iters"
+  }
+
+  /** Unrolled synchronous label-propagation rounds appended after a
+    * symmetric deduped self-loop-free `e0(src, dst)` CTE —
+    * LabelProp.propagate's exact dynamics: integer neighbor-label
+    * votes, argmax by (cnt DESC, label ASC).
+    */
+  private def lpaTail(rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s""", v$r AS (
+         |  SELECT e.src AS node, l.label, count(*) AS cnt
+         |  FROM e0 e JOIN l${r - 1} l ON l.node = e.dst GROUP BY 1, 2
+         |), l$r AS (
+         |  SELECT node, label FROM (
+         |    SELECT node, label, row_number() OVER (
+         |      PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn FROM v$r
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString
+    s""", l0 AS (SELECT DISTINCT src AS node, src AS label FROM e0)$steps
+       |SELECT node, label FROM l$rounds""".stripMargin
   }
 
   /** Unrolled k-core peel appended after a symmetric deduped
