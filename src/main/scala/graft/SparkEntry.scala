@@ -1789,6 +1789,16 @@ object SparkEntry {
         s.read.parquet(t(dir, "documents")).select(col("doc_id"), col("n_chars")),
         "n_chars", "doc_id", bandWidth = 50.0)),
 
+    // ---- entity resolution: sorted-neighborhood blocking — docs
+    // adjacent under the (n_chars, doc_id) total order become
+    // candidate pairs (window w=4), bounded at n*(w-1) pairs by
+    // construction; rank from the band-offset machinery, pairing via
+    // the width-w rank-bucket equi-join (each pair exactly one key)
+    "q_sorted_neighborhood" -> ((s, dir) =>
+      graft.operators.SortedNeighborhood.candidatePairs(
+        s.read.parquet(t(dir, "documents")).select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", w = 4, bandWidth = 50.0)),
+
     // ---- web curation: per-registered-domain quality profile over
     // deterministic synthesized URLs (cdn. subdomains every third doc
     // exercise the host->domain fold); integer micro-quality sums
@@ -4597,6 +4607,16 @@ object SparkEntry {
       """SELECT doc_id, n_chars,
         |  row_number() OVER (ORDER BY n_chars, doc_id) AS global_rank
         |FROM documents""".stripMargin,
+    // Sorted-neighborhood: the brute-force rank self-join the bucketed
+    // plan avoids (same total order, same pair orientation)
+    "q_sorted_neighborhood" ->
+      """WITH r AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY n_chars, doc_id) AS rk
+        |  FROM documents
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(b.rk - a.rk AS BIGINT) AS dist
+        |FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk <= 3""".stripMargin,
     // Full regex replay of the URL parse (host, registered domain)
     // plus the micro-quality discretization, per-domain sums cast out
     // of DuckDB's HUGEINT
