@@ -1799,6 +1799,20 @@ object SparkEntry {
         s.read.parquet(t(dir, "documents")).select(col("doc_id"), col("n_chars")),
         "doc_id", "n_chars", w = 4, bandWidth = 50.0)),
 
+    // ---- scale infrastructure: incremental aggregate maintenance —
+    // the per-(lang, source) stats state bootstrapped from the 90%
+    // base, then refreshed with the doc_id%10==0 delta batch WITHOUT
+    // rescanning the base; the oracle recomputes over everything, so a
+    // hash match proves refresh(state(A), B) == state(A union B)
+    "q_incremental_agg" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+      val base = docs.filter(col("doc_id") % 10 =!= 0)
+      val delta = docs.filter(col("doc_id") % 10 === 0)
+      graft.operators.IncrementalAgg.refresh(
+        graft.operators.IncrementalAgg.state(base, Seq("lang", "source"), "n_chars"),
+        delta, Seq("lang", "source"), "n_chars")
+    }),
+
     // ---- web curation: per-registered-domain quality profile over
     // deterministic synthesized URLs (cdn. subdomains every third doc
     // exercise the host->domain fold); integer micro-quality sums
@@ -4617,6 +4631,14 @@ object SparkEntry {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(b.rk - a.rk AS BIGINT) AS dist
         |FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk <= 3""".stripMargin,
+    // Incremental agg: the full-recompute ground truth the refresh
+    // must equal without ever rescanning the base
+    "q_incremental_agg" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_v,
+        |  CAST(min(n_chars) AS BIGINT) AS min_v,
+        |  CAST(max(n_chars) AS BIGINT) AS max_v
+        |FROM documents GROUP BY lang, source""".stripMargin,
     // Full regex replay of the URL parse (host, registered domain)
     // plus the micro-quality discretization, per-domain sums cast out
     // of DuckDB's HUGEINT
