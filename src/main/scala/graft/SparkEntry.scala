@@ -1140,6 +1140,16 @@ object SparkEntry {
       graft.corpus.CorpusStats.tfidf(
         s.read.parquet(t(dir, "documents")), "doc_id", "text", minTf = 3)),
 
+    // ---- retrieval: sparse lexical top-k similar docs — idf-weighted
+    // integer dot product over the inverted-index self-join (the
+    // embedding-free related-documents query); [2, 100] df band bounds
+    // postings fan-out, canonical pairs mirrored post-agg, rank-limit
+    // window pushed down as WindowGroupLimit
+    "q_lexical_topk" -> ((s, dir) =>
+      graft.corpus.LexicalSim.topKSimilar(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text",
+        k = 5, minDf = 2L, dfCap = 100L)),
+
     // ---- text analysis: token entropy + type-token ratio (lexical
     // diversity) per document — the Shannon entropy folds LEFT over the
     // TOKEN-SORTED (token, count) list (the q_bm25 discipline), so the
@@ -3110,6 +3120,38 @@ object SparkEntry {
         |  tf * ln(CAST(n_docs AS DOUBLE) / df) AS tfidf
         |FROM tf JOIN dfr USING (term) CROSS JOIN n
         |WHERE tf >= 3""".stripMargin,
+    // Lexical top-k: same tokenization, micro-nat idf discretization,
+    // canonical-pair integer dot product, mirrored, ranked
+    "q_lexical_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+        |), dfr AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY term
+        |), n AS (
+        |  SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+        |), w AS (
+        |  SELECT doc_id, term, tf,
+        |    CAST(floor(ln(CAST(n_docs AS DOUBLE) / df) * 1e6 + 0.5) AS BIGINT) AS idfm
+        |  FROM tf JOIN dfr USING (term) CROSS JOIN n
+        |  WHERE df BETWEEN 2 AND 100
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    sum(a.tf * b.tf * a.idfm) AS score
+        |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), s AS (
+        |  SELECT id_a, id_b, score FROM p
+        |  UNION ALL SELECT id_b, id_a, score FROM p
+        |), r AS (
+        |  SELECT id_a, id_b, score, row_number() OVER (
+        |    PARTITION BY id_a ORDER BY score DESC, id_b ASC) AS rn
+        |  FROM s
+        |)
+        |SELECT id_a AS doc_id, id_b AS neighbor_id,
+        |  CAST(score AS BIGINT) AS score, CAST(rn AS INT) AS rank
+        |FROM r WHERE rn <= 5""".stripMargin,
     "q_ngram_topk" ->
       // trigram counts per language, row_number by (cnt desc, shingle)
       // — the engine's two-level salted top-k emits identical rows
