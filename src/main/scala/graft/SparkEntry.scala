@@ -1809,6 +1809,45 @@ object SparkEntry {
         s.read.parquet(t(dir, "documents")).select(col("doc_id"), col("n_chars")),
         "doc_id", "n_chars", w = 4, bandWidth = 50.0)),
 
+    // ---- scale infrastructure: consistent-hash shard rebalance audit
+    // — Karger-ring placement growing 8 -> 9 shards (8 vnodes each):
+    // per-doc old/new shard + moved flag; the ring collapses to one
+    // broadcast sorted array, assignment is a record-local HOF lookup
+    // with ZERO shuffles of the corpus (vs hash%N relocating ~8/9)
+    "q_shard_moves" -> ((s, dir) =>
+      graft.operators.ConsistentHash.rebalanceAudit(
+        s.read.parquet(t(dir, "documents")).select(col("doc_id")),
+        "doc_id", nOld = 8, nNew = 9, vnodes = 8)),
+
+    // ---- analytics: trailing 7-event rolling sum/mean of spend per
+    // user — the per-entity moving baseline; integer cents inside the
+    // frame (order-pinned by (ts, event_id)), one shuffle on user_id
+    "q_rolling_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-6, 0)
+      s.read.parquet(t(dir, "events"))
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+        .select(col("user_id"), col("event_id"),
+          sum(col("cents")).over(w).as("roll_sum_cents"),
+          count(lit(1)).over(w).as("roll_n"))
+        .withColumn("roll_mean",
+          col("roll_sum_cents").cast("double") / col("roll_n"))
+    }),
+
+    // ---- corpus construction: curriculum difficulty buckets — global
+    // decile of (n_chars, doc_id) via the band-offset rank (NO
+    // single-partition sort); bucket arithmetic is one exact-below-2^53
+    // double division, identical in any IEEE engine
+    "q_curriculum_buckets" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), col("n_chars"))
+      graft.operators.GlobalRank.rankBy(docs, "n_chars", "doc_id", bandWidth = 50.0)
+        .crossJoin(broadcast(docs.agg(count(lit(1)).as("__n"))))
+        .select(col("doc_id"), col("n_chars"), col("global_rank"),
+          (floor(((col("global_rank") - 1) * 10).cast("double") / col("__n")) + 1)
+            .cast("long").as("bucket"))
+    }),
+
     // ---- scale infrastructure: incremental aggregate maintenance —
     // the per-(lang, source) stats state bootstrapped from the 90%
     // base, then refreshed with the doc_id%10==0 delta batch WITHOUT
@@ -4673,6 +4712,69 @@ object SparkEntry {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(b.rk - a.rk AS BIGINT) AS dist
         |FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk <= 3""".stripMargin,
+    // Consistent hashing: ring positions + key positions replayed via
+    // the portable md5-60bit hash; ownership via the flagged argmin
+    // (wrapped-last, then pos, shard, vnode — the sorted-array order)
+    "q_shard_moves" ->
+      """WITH ro AS (
+        |  SELECT CAST(i // 8 AS BIGINT) AS shard, CAST(i % 8 AS BIGINT) AS vnode,
+        |    CAST('0x' || substr(md5('ring:' || CAST(i // 8 AS VARCHAR) || ':'
+        |      || CAST(i % 8 AS VARCHAR)), 1, 15) AS BIGINT) AS pos
+        |  FROM range(64) t(i)
+        |), rn AS (
+        |  SELECT CAST(i // 8 AS BIGINT) AS shard, CAST(i % 8 AS BIGINT) AS vnode,
+        |    CAST('0x' || substr(md5('ring:' || CAST(i // 8 AS VARCHAR) || ':'
+        |      || CAST(i % 8 AS VARCHAR)), 1, 15) AS BIGINT) AS pos
+        |  FROM range(72) t(i)
+        |), k AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS kpos
+        |  FROM documents
+        |), ao AS (
+        |  SELECT doc_id, shard AS old_shard FROM (
+        |    SELECT k.doc_id, r.shard, row_number() OVER (PARTITION BY k.doc_id
+        |      ORDER BY (CASE WHEN r.pos >= k.kpos THEN 0 ELSE 1 END),
+        |        r.pos, r.shard, r.vnode) AS rnk
+        |    FROM k CROSS JOIN ro r
+        |  ) WHERE rnk = 1
+        |), an AS (
+        |  SELECT doc_id, shard AS new_shard FROM (
+        |    SELECT k.doc_id, r.shard, row_number() OVER (PARTITION BY k.doc_id
+        |      ORDER BY (CASE WHEN r.pos >= k.kpos THEN 0 ELSE 1 END),
+        |        r.pos, r.shard, r.vnode) AS rnk
+        |    FROM k CROSS JOIN rn r
+        |  ) WHERE rnk = 1
+        |)
+        |SELECT ao.doc_id, old_shard, new_shard,
+        |  CAST(old_shard <> new_shard AS INT) AS moved
+        |FROM ao JOIN an ON ao.doc_id = an.doc_id""".stripMargin,
+    // Rolling window: the same integer-cents frame replayed
+    "q_rolling_window" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events
+        |)
+        |SELECT user_id, event_id,
+        |  sum(cents) OVER w AS roll_sum_cents,
+        |  count(*) OVER w AS roll_n,
+        |  CAST(sum(cents) OVER w AS DOUBLE) / (count(*) OVER w) AS roll_mean
+        |FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // Curriculum deciles: single-partition global rank (the plan the
+    // engine avoids) + the same floor-of-double-division bucket
+    "q_curriculum_buckets" ->
+      """WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) AS global_rank,
+        |    count(*) OVER () AS n
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_chars, global_rank,
+        |  CAST(floor(CAST((global_rank - 1) * 10 AS DOUBLE) / n) + 1 AS BIGINT)
+        |    AS bucket
+        |FROM r""".stripMargin,
     // Incremental agg: the full-recompute ground truth the refresh
     // must equal without ever rescanning the base
     "q_incremental_agg" ->
