@@ -178,6 +178,24 @@ object SparkEntry {
     out
   }
 
+  private def streamSessionWinDrain(s: SparkSession, dir: String): String = {
+    streamCleanupHook
+    val root = streamLandingDirs.computeIfAbsent(s"$dir#swinsess", _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_swsess").toString
+      s.read.parquet(t(dir, "events"))
+        .select(col("ts").cast("timestamp").as("ts"), col("user_id"),
+          col("event_id"))
+        .coalesce(1).write.parquet(s"$tmp/in")
+      tmp
+    })
+    val run = streamRunSeq.incrementAndGet()
+    val out = s"$root/out$run"
+    graft.streaming.StreamingState.sessionWindowCountsRunOnce(
+      s, s"$root/in", out, s"$root/cp$run", "ts", "user_id",
+      shufflePartitions = Some(8))
+    out
+  }
+
   /** Streaming-sessionization drain over the events table. Landing
     * layout is three files drained in mtime order (maxFilesPerTrigger
     * = 1, one micro-batch each): (a) every real (user_id, ts) event in
@@ -860,6 +878,52 @@ object SparkEntry {
         s.read.parquet(t(dir, "documents")), "doc_id", "text",
         n = 3, k = 64, bands = 16, threshold = 0.5)),
 
+    // ---- dedup ACTION: canonical-representative selection — per
+    // near-dup cluster keep the best doc by (n_chars desc, doc_id asc)
+    // rather than q_dedup_cluster's min-id convention (real pipelines
+    // keep the highest-quality copy, not an arbitrary one); unclustered
+    // docs are their own canonical. argmax via min(struct) — map-side
+    // combinable, no window over members
+    "q_cluster_canonical" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+      val cc = Dedup.nearDupClusters(docs, "doc_id", "text",
+        n = 3, k = 64, bands = 16, threshold = 0.5)
+      val member = cc.select(col("doc_id"), col("cluster_id"))
+        .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      val best = member.groupBy(col("cluster_id"))
+        .agg(min(struct((-col("n_chars")).as("negq"), col("doc_id").as("id")))
+          .as("b"))
+        .select(col("cluster_id"), col("b.id").as("best_id"))
+      val clustered = member.join(best, Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"), col("n_chars"),
+          (col("doc_id") === col("best_id")).cast("int").as("canonical"))
+      val unclustered = docs.select(col("doc_id"), col("n_chars"))
+        .join(cc.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("doc_id").as("cluster_id"), col("n_chars"),
+          lit(1).as("canonical"))
+      clustered.unionByName(unclustered)
+    }),
+
+    // ---- analytics: percentile-rank normalization — per-language
+    // percent_rank + cume_dist of n_chars under a UNIQUE (n_chars,
+    // doc_id) order, so both built-ins reduce to exact rank arithmetic
+    // ((rn-1)/(n-1), rn/n) any IEEE engine replays
+    "q_percentile_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+      s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+    }),
+
+    // ---- semi-structured: JSON property extraction from the events
+    // props column — path extraction stays record-local inside
+    // whole-stage codegen (no parse-to-struct materialization)
+    "q_json_props" -> ((s, dir) =>
+      s.read.parquet(t(dir, "events"))
+        .select(col("event_id"), col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))),
+
     // ---- ANN: brute-force cosine top-k (exact baseline)
     "q_ann_topk" -> ((s, dir) =>
       Ann.bruteForceTopK(
@@ -1538,6 +1602,19 @@ object SparkEntry {
           col("w_end").cast("long").as("w_end"),
           col("event_type"), col("cnt"))
     }),
+
+    // ---- streaming: built-in session_window aggregation — the
+    // declarative sessionizer (state store merges per-(key, session)
+    // aggregates; no user state machine); append mode emits sessions
+    // whose end (last event + 30 min gap) <= the final watermark
+    // (max ts - 30 min); bounds in epoch seconds, microsecond-exact
+    // via the floor(last + gap) identity
+    "stream_session_win" -> ((s, dir) =>
+      s.read.parquet(streamSessionWinDrain(s, dir))
+        .select(col("user_id"),
+          col("w_start").cast("long").as("w_start"),
+          col("w_end").cast("long").as("w_end"),
+          col("n_events"))),
 
     // ---- streaming: custom-state sessionization drain
     // (flatMapGroupsWithState + event-time timeout; sentinel-flushed,
@@ -3980,6 +4057,49 @@ object SparkEntry {
          |)
          |SELECT u AS doc_id, min(r) AS cluster_id, min(r) = u AS keep
          |FROM reach GROUP BY u""".stripMargin,
+    // Canonical selection: the same recursive components, then the
+    // quality argmax per cluster + unclustered self-canonical rows
+    "q_cluster_canonical" ->
+      (s"""WITH RECURSIVE $minhashPairsCtes, pr AS (
+         |  SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5
+         |), e2 AS (
+         |  SELECT id_a AS u, id_b AS v FROM pr UNION SELECT id_b, id_a FROM pr
+         |), reach AS (
+         |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM e2)
+         |  UNION
+         |  SELECT e2.u, reach.r FROM e2 JOIN reach ON reach.u = e2.v
+         |), mem AS (
+         |  SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u
+         |), memq AS (
+         |  SELECT m.doc_id, m.cluster_id, d.n_chars
+         |  FROM mem m JOIN documents d USING (doc_id)
+         |), best AS (
+         |  SELECT cluster_id, doc_id AS best_id FROM (
+         |    SELECT cluster_id, doc_id, row_number() OVER (
+         |      PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC) AS rn
+         |    FROM memq
+         |  ) WHERE rn = 1
+         |)
+         |SELECT memq.doc_id, memq.cluster_id, memq.n_chars,
+         |  CAST(memq.doc_id = best.best_id AS INT) AS canonical
+         |FROM memq JOIN best USING (cluster_id)
+         |UNION ALL
+         |SELECT d.doc_id, d.doc_id AS cluster_id, d.n_chars, 1 AS canonical
+         |FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM mem)"""
+        .stripMargin),
+    // Percentile rank: unique ordering reduces both built-ins to exact
+    // rank arithmetic
+    "q_percentile_rank" ->
+      """SELECT doc_id, lang, n_chars,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM documents
+        |WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)""".stripMargin,
+    // JSON path extraction replay
+    "q_json_props" ->
+      """SELECT event_id, event_type,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events""".stripMargin,
     "q_dedup_ngram" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 200
@@ -4497,6 +4617,33 @@ object SparkEntry {
         |FROM b CROSS JOIN mx
         |GROUP BY w0, event_type, m
         |HAVING w0 + INTERVAL 1 HOUR <= m - INTERVAL 30 MINUTE""".stripMargin,
+    // session_window replay in integer MICROseconds (epoch_us — double
+    // epoch() is ~0.5 us ulp at 2024 epochs, enough to flip a gap-edge
+    // break): merge while next - last <= gap (Spark merges sessions
+    // whose ranges TOUCH, test-pinned), break on strict >; emit when
+    // last + gap <= max(ts) - delay — the pinned tumbling boundary
+    "stream_session_win" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+        |), l AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |      OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |), g AS (
+        |  SELECT user_id, us, sum(brk) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM l
+        |), se AS (
+        |  SELECT user_id, min(us) AS s_us, max(us) AS x_us,
+        |    count(*) AS n_events
+        |  FROM g GROUP BY user_id, sid
+        |), mx AS (SELECT max(epoch_us(ts)) AS m_us FROM events)
+        |SELECT user_id, CAST(s_us // 1000000 AS BIGINT) AS w_start,
+        |  CAST((x_us + 1800000000) // 1000000 AS BIGINT) AS w_end, n_events
+        |FROM se CROSS JOIN mx
+        |WHERE x_us + 1800000000 <= m_us - 1800000000""".stripMargin,
     // Streaming sessionization replay: the sentinel flush (see
     // streamSessionDrain) closes EVERY real session, so the oracle is
     // the plain batch gap-split (strict > 1800 s break) with the

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, count, lit, window}
+import org.apache.spark.sql.functions.{broadcast, col, count, lit, session_window, window}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Stateful streaming operators over the continuously-arriving span /
@@ -103,6 +103,44 @@ object StreamingState {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
         col(keyCol), col("cnt"))
+    val q = agg.writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Built-in session-window aggregation drain — Spark's native
+    * `session_window(ts, gap)` grouping (dynamic-width windows that
+    * merge while events arrive within `gap` of the session's end), the
+    * declarative counterpart of the custom flatMapGroupsWithState /
+    * StatefulProcessor sessionizers: no user state machine, the state
+    * store holds per-(key, session) aggregates and MERGES adjacent
+    * sessions as late-but-in-watermark events bridge them. Append mode:
+    * a session reaches the sink once its end (last event + gap) <= the
+    * watermark (max event time - delay) — the same boundary rule the
+    * tumbling-window drain pins. Window bounds land in the sink at
+    * full microsecond precision; an event arriving at exactly `gap`
+    * after the session's last event MERGES into it (touching ranges
+    * merge — the boundary is inclusive, test-pinned).
+    */
+  def sessionWindowCountsRunOnce(spark: SparkSession, inputPath: String,
+      outPath: String, checkpoint: String, tsCol: String, keyCol: String,
+      gap: String = "30 minutes", delay: String = "30 minutes",
+      shufflePartitions: Option[Int] = None): Unit = {
+    val s = sessionFor(spark, shufflePartitions)
+    val schema = s.read.parquet(inputPath).schema
+    val src = s.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 64)
+      .parquet(inputPath)
+    val agg = src.withWatermark(tsCol, delay)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("w_start"),
+        col("session_window.end").as("w_end"), col(keyCol), col("n_events"))
     val q = agg.writeStream
       .format("parquet")
       .option("path", outPath)

@@ -271,6 +271,30 @@ class AnalyticsSpec extends AnyFunSuite {
         ("2024-01-01T01:00:00Z", "a", 1L), ("2024-01-01T01:00:00Z", "b", 1L)))
   }
 
+  test("session_window drain: gap merge, end-exclusive boundary, watermark emission") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_swsess_test").toString
+    def ts(h: Int, m: Int) = java.sql.Timestamp.from(
+      java.time.LocalDateTime.of(2024, 1, 1, h, m)
+        .toInstant(java.time.ZoneOffset.UTC))
+    // u1: 00:00+00:10 merge (gap 10m < 30m), 01:00 splits (50m > 30m);
+    // u2: 00:00 then exactly 00:30 — touching ranges MERGE (inclusive
+    // boundary); u1's 03:00 event sets watermark 02:30 and its own
+    // open session is held back
+    Seq((ts(0, 0), 1L, 1L), (ts(0, 10), 1L, 2L), (ts(1, 0), 1L, 3L),
+        (ts(3, 0), 1L, 4L), (ts(0, 0), 2L, 5L), (ts(0, 30), 2L, 6L))
+      .toDF("ts", "user_id", "event_id").coalesce(1).write.parquet(s"$root/in")
+    graft.streaming.StreamingState.sessionWindowCountsRunOnce(
+      spark, s"$root/in", s"$root/out", s"$root/cp", "ts", "user_id")
+    val got = spark.read.parquet(s"$root/out").collect()
+      .map(r => (r.getLong(2), r.getTimestamp(0).toInstant.toString,
+        r.getTimestamp(1).toInstant.toString, r.getLong(3))).toSeq.sorted
+    assert(got == Seq(
+      (1L, "2024-01-01T00:00:00Z", "2024-01-01T00:40:00Z", 2L),
+      (1L, "2024-01-01T01:00:00Z", "2024-01-01T01:30:00Z", 1L),
+      (2L, "2024-01-01T00:00:00Z", "2024-01-01T01:00:00Z", 2L)), got)
+  }
+
   test("streaming dedup drain keeps one row per checksum (same-event-time dups)") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_sdedup_test").toString
