@@ -1876,6 +1876,39 @@ object SparkEntry {
         s.read.parquet(t(dir, "documents")).select(col("doc_id"), col("n_chars")),
         "n_chars", "doc_id", bandWidth = 50.0)),
 
+    // ---- corpus construction: deterministic training-order shuffle —
+    // seeded md5-60bit permutation key + band-offset global rank (the
+    // 60-bit key space bands uniformly, so no single-partition sort)
+    // materialized as (shard, pos_in_shard) manifest coordinates;
+    // bit-reproducible from the seed for restarts and epoch reshuffles
+    "q_corpus_shuffle" -> ((s, dir) =>
+      graft.corpus.Shuffle.manifest(
+        s.read.parquet(t(dir, "documents")).select(col("doc_id")),
+        "doc_id", seed = "ep0", shardSize = 128L)),
+
+    // ---- temporal join: linear interpolation — each click gets the
+    // purchase-value series interpolated AT its timestamp (the as-of
+    // join's numeric sibling); integer-microsecond brackets, one fixed
+    // IEEE expression, null outside the bracket (no extrapolation)
+    "q_interp_join" -> ((s, dir) => {
+      val ev = s.read.parquet(t(dir, "events"))
+      graft.operators.InterpJoin.interpolate(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "click"),
+        "user_id", "ts", "value", "event_id")
+    }),
+
+    // ---- analytics: period-over-period deltas — daily event counts
+    // per type with the previous day's count subtracted (lag over the
+    // aggregated series, integer-exact; first day's delta is null)
+    "q_period_delta" -> ((s, dir) => {
+      val daily = s.read.parquet(t(dir, "events"))
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      daily.withColumn("delta", col("cnt") - lag(col("cnt"), 1).over(
+        Window.partitionBy(col("event_type")).orderBy(col("day"))))
+    }),
+
     // ---- entity resolution: sorted-neighborhood blocking — docs
     // adjacent under the (n_chars, doc_id) total order become
     // candidate pairs (window w=4), bounded at n*(w-1) pairs by
@@ -4849,6 +4882,61 @@ object SparkEntry {
       """SELECT doc_id, n_chars,
         |  row_number() OVER (ORDER BY n_chars, doc_id) AS global_rank
         |FROM documents""".stripMargin,
+    // Corpus shuffle: seeded portable-hash key + the single-partition
+    // rank the band-offset plan avoids; // and % replay div/%
+    "q_corpus_shuffle" ->
+      """WITH k AS (
+        |  SELECT doc_id, CAST('0x' || substr(md5('ep0:' ||
+        |    CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS pk
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY pk, doc_id) AS rk FROM k
+        |)
+        |SELECT doc_id, CAST((rk - 1) // 128 AS BIGINT) AS shard,
+        |  CAST((rk - 1) % 128 AS BIGINT) AS pos_in_shard
+        |FROM r""".stripMargin,
+    // Interpolation join: the same tag-union window construction in
+    // integer microseconds; exact hit, strict-null outside brackets,
+    // then the identical IEEE interpolation expression
+    "q_interp_join" ->
+      """WITH s AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, 0 AS kind,
+        |    epoch_us(ts) AS s_us, value AS s_val
+        |  FROM events WHERE event_type = 'purchase'
+        |), q AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, 1 AS kind,
+        |    NULL AS s_us, NULL AS s_val
+        |  FROM events WHERE event_type = 'click'
+        |), u AS (
+        |  SELECT * FROM s UNION ALL SELECT * FROM q
+        |), w AS (
+        |  SELECT user_id, event_id, us, kind,
+        |    last_value(s_us IGNORE NULLS) OVER wb AS p_us,
+        |    last_value(s_val IGNORE NULLS) OVER wb AS p_val,
+        |    first_value(s_us IGNORE NULLS) OVER wf AS n_us,
+        |    first_value(s_val IGNORE NULLS) OVER wf AS n_val
+        |  FROM u
+        |  WINDOW wb AS (PARTITION BY user_id ORDER BY us, kind, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY user_id ORDER BY us, kind, event_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |)
+        |SELECT user_id, event_id, us AS q_us,
+        |  CASE WHEN p_us = us THEN p_val
+        |    WHEN p_us IS NULL OR n_us IS NULL THEN NULL
+        |    ELSE p_val + (n_val - p_val) *
+        |      (CAST(us - p_us AS DOUBLE) / CAST(n_us - p_us AS DOUBLE))
+        |  END AS interp_value
+        |FROM w WHERE kind = 1""".stripMargin,
+    // Period deltas: identical lag over the daily aggregate
+    "q_period_delta" ->
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT day, event_type, cnt,
+        |  cnt - lag(cnt) OVER (PARTITION BY event_type ORDER BY day) AS delta
+        |FROM d""".stripMargin,
     // Sorted-neighborhood: the brute-force rank self-join the bucketed
     // plan avoids (same total order, same pair orientation)
     "q_sorted_neighborhood" ->
