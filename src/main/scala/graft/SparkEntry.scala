@@ -1813,6 +1813,14 @@ object SparkEntry {
             explode(TextOps.shingleArray(TextOps.tokens(col("text")), 3)).as("sh")),
         "lang", "sh")),
 
+    // ---- sketch: sliding-window cardinality — distinct users over
+    // the trailing 3 days per observed day, as a register-max MERGE of
+    // per-day HLL sketches (never a re-scan of 3 days of raw rows);
+    // the reachable linear-counting branch uses the micro-nat ln
+    "q_sketch_sliding" -> ((s, dir) =>
+      graft.operators.Hll.slidingDistinct(
+        s.read.parquet(t(dir, "events")), "ts", "user_id", windowDays = 3)),
+
     // ---- sketch: count-min heavy-hitter bigrams with the per-value
     // overestimate audit (est >= exact always; the d x w cell table is
     // input-size-independent and broadcast)
@@ -4735,6 +4743,43 @@ object SparkEntry {
         |              / CAST(z_scaled AS DOUBLE) <= 160.0
         |            AND v_zero > 0
         |       THEN CAST(64 AS DOUBLE) * ln(CAST(64 AS DOUBLE) / CAST(v_zero AS DOUBLE))
+        |       ELSE CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) * CAST(36028797018963968 AS DOUBLE)
+        |              / CAST(z_scaled AS DOUBLE) END
+        |    AS est_distinct
+        |FROM g""".stripMargin,
+    // Sliding HLL: per-day registers, day+offset service explode,
+    // register-max merge, micro-nat linear-counting branch
+    "q_sketch_sliding" ->
+      """WITH v AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST('0x' || substr(md5('hllw' || CAST(user_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS h
+        |  FROM events
+        |), r AS (
+        |  SELECT day, h >> 54 AS bucket,
+        |    max(CASE WHEN (h & 18014398509481983) = 0 THEN 55
+        |         ELSE 55 - length(bin(h & 18014398509481983)) END) AS mj
+        |  FROM v GROUP BY 1, 2
+        |), dd AS (SELECT DISTINCT day FROM v
+        |), srv AS (
+        |  SELECT r.day + o.off AS day, bucket, mj
+        |  FROM r CROSS JOIN (SELECT unnest([0, 1, 2]) AS off) o
+        |), m AS (
+        |  SELECT s.day, bucket, max(mj) AS mj
+        |  FROM srv s JOIN dd ON dd.day = s.day GROUP BY 1, 2
+        |), g AS (
+        |  SELECT day,
+        |    CAST(sum(CAST(1 AS BIGINT) << CAST(55 - mj AS INT))
+        |      + (64 - count(*)) * CAST(36028797018963968 AS BIGINT) AS BIGINT) AS z_scaled,
+        |    CAST(64 - count(*) AS BIGINT) AS v_zero
+        |  FROM m GROUP BY 1
+        |)
+        |SELECT day, v_zero, z_scaled,
+        |  CASE WHEN CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) * CAST(36028797018963968 AS DOUBLE)
+        |              / CAST(z_scaled AS DOUBLE) <= 160.0
+        |            AND v_zero > 0
+        |       THEN CAST(64 AS DOUBLE) *
+        |         (floor(ln(CAST(64 AS DOUBLE) / CAST(v_zero AS DOUBLE)) * 1e6 + 0.5) / 1e6)
         |       ELSE CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) * CAST(36028797018963968 AS DOUBLE)
         |              / CAST(z_scaled AS DOUBLE) END
         |    AS est_distinct

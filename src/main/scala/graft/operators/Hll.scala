@@ -97,4 +97,51 @@ object Hll {
       salt: String = "hll"): DataFrame =
     estimateFromRegisters(registers(df, groupCol, valueCol, salt))
       .withColumnRenamed("grp", groupCol)
+
+  /** Sliding-window cardinality — distinct `valueCol` over the
+    * trailing `windowDays` days ending at each observed day: the
+    * "distinct users last N days" dashboard primitive, and THE reason
+    * the register state is mergeable — per-day sketches are built once
+    * and each window is a register-max MERGE, never a re-scan of N
+    * days of raw rows. Day fan-out is exactly `windowDays` (each day's
+    * 64-row register file is served to the days it covers), so the
+    * merged frame is days x windowDays x 64 rows regardless of input
+    * size.
+    *
+    * Unlike [[distinctPerGroup]]'s driver-oracled query (sized so the
+    * linear-counting branch never fires), small per-window
+    * cardinalities make the `m * ln(m/V)` correction REACHABLE here,
+    * so this estimate discretizes that ln to integer micro-nats —
+    * floor(ln(m/V) * 1e6 + 0.5) / 1e6, the engine-wide portable-ln
+    * convention — on both engines.
+    */
+  def slidingDistinct(df: DataFrame, tsCol: String, valueCol: String,
+      windowDays: Int, salt: String = "hllw"): DataFrame = {
+    require(windowDays >= 1, s"bad windowDays=$windowDays")
+    val byDay = df.select(to_date(col(tsCol)).as("day"), col(valueCol).as("v"))
+    val regs = registers(byDay, "day", "v", salt)
+    val days = byDay.select(col("day")).distinct()
+    val served = regs
+      .select(col("grp"), col("bucket"), col("mj"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("off"))
+      .select(date_add(col("grp"), col("off")).as("day"),
+        col("bucket"), col("mj"))
+      .join(days, Seq("day"), "leftsemi")
+    val merged = served.groupBy(col("day"), col("bucket"))
+      .agg(max(col("mj")).as("mj"))
+    val g = merged.groupBy(col("day"))
+      .agg(
+        (sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${WBits + 1} - mj AS INT))")) +
+          (lit(M.toLong) - count(lit(1))) * lit(1L << (WBits + 1))).as("z_scaled"),
+        (lit(M.toLong) - count(lit(1))).as("v_zero"))
+    val twoPowW = (1L << (WBits + 1)).toDouble
+    val estRaw = (lit(Alpha) * lit(M.toDouble * M.toDouble) * lit(twoPowW)) /
+      col("z_scaled").cast("double")
+    g.select(col("day"), col("v_zero"), col("z_scaled"),
+      when(estRaw <= lit(2.5 * M) && col("v_zero") > 0,
+        lit(M.toDouble) *
+          (floor(log(lit(M.toDouble) / col("v_zero").cast("double")) * 1e6 + 0.5)
+            / 1e6))
+        .otherwise(estRaw).as("est_distinct"))
+  }
 }

@@ -183,4 +183,27 @@ class SketchSpec extends AnyFunSuite {
       docs, "doc_id", "text", isNew = col("doc_id") >= 10L)
     assert(got.count() == 0L)
   }
+
+  test("hll sliding window equals a fresh sketch of each window's union") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val rows = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L),
+      (java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 2L),
+      (java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), 2L),
+      (java.sql.Timestamp.valueOf("2024-01-02 12:00:00"), 3L),
+      (java.sql.Timestamp.valueOf("2024-01-04 09:00:00"), 9L))
+      .toDF("ts", "user_id")
+    val got = Hll.slidingDistinct(rows, "ts", "user_id", windowDays = 3)
+      .collect().map(r => r.getDate(0) -> r.getAs[Long]("z_scaled")).toMap
+    // windows: 01-01 -> {1,2}; 01-02 -> {1,2,3}; 01-04 -> days 01-02..
+    // 01-04 -> {2,3,9}; no 01-03 row (no events that day)
+    assert(got.keySet == Set(d("2024-01-01"), d("2024-01-02"), d("2024-01-04")))
+    def fresh(vals: Seq[Long]): Long =
+      Hll.distinctPerGroup(vals.map(v => ("g", v)).toDF("grp", "v"), "grp", "v",
+        salt = "hllw").collect()(0).getAs[Long]("z_scaled")
+    assert(got(d("2024-01-01")) == fresh(Seq(1L, 2L)))
+    assert(got(d("2024-01-02")) == fresh(Seq(1L, 2L, 3L)))
+    assert(got(d("2024-01-04")) == fresh(Seq(2L, 3L, 9L)))
+  }
 }
