@@ -53,13 +53,16 @@ object LexicalSim {
       .select(col("doc_id"), col("term"), col("tf"),
         floor(log(col("n_docs").cast("double") / col("df")) * 1e6 + 0.5)
           .cast("long").as("idfm"))
-    val a = w.select(col("doc_id").as("id_a"), col("term"),
-      col("tf").as("tfa"), col("idfm"))
-    val b = w.select(col("doc_id").as("id_b"), col("term"),
-      col("tf").as("tfb"))
-    val pairs = a.join(b, Seq("term")).filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(sum(col("tfa") * col("tfb") * col("idfm")).as("score"))
+    // both self-join sides carry the IDENTICAL column set on purpose:
+    // canonically-equal term exchanges collapse to one ReusedExchange
+    // beyond the broadcast regime (plan-gated), so the corpus is
+    // tokenized and aggregated ONCE — shipping b's unused idfm through
+    // the shuffle is far cheaper than a second tokenize pass
+    val pairs = w.alias("a")
+      .join(w.alias("b"), col("a.term") === col("b.term") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(sum(col("a.tf") * col("b.tf") * col("a.idfm")).as("score"))
     val sym = pairs.unionByName(pairs.select(col("id_b").as("id_a"),
       col("id_a").as("id_b"), col("score")))
     sym

@@ -100,6 +100,32 @@ class PlanSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(p).length == 1, "fingerprints must be computed once")
   }
 
+  test("lexical top-k: both join sides + the mirror reuse exchanges; rank limit pushed") {
+    // Beyond the broadcast regime the identical-column-set self-join
+    // sides collapse onto ONE tf term-exchange and ONE df exchange
+    // (ReusedExchange), and the post-agg mirror union reuses the pair
+    // aggregation's exchange — the whole pair pipeline runs once.
+    // Tokenization deliberately runs TWICE (tf and df are different
+    // aggregates of the exploded stream; deriving df as a
+    // count-over-term window would reuse the exchange but funnel every
+    // hot stopword's postings into one window task — Zipf skew kills
+    // that at 100 TB, a second map-side-combined scan does not).
+    // Fixed scan budget: 2 tokenize + 1 one-column n_docs + 1
+    // zero-column crossJoin count = 4. Also pin the top-k rank-limit
+    // pushdown: a Partial WindowGroupLimit must bound map output at k
+    // rows per doc below the final exchange.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val p = graft.corpus.LexicalSim.topKSimilar(
+        s2.read.parquet(s"$sf/documents.parquet"), "doc_id", "text",
+        k = 5, minDf = 2L, dfCap = 100L)
+      .queryExecution.executedPlan.toString
+    assert("ReusedExchange".r.findAllIn(p).length >= 3, p.take(2000))
+    assert("Scan parquet".r.findAllIn(p).length == 4, "scan budget regressed")
+    assert("WindowGroupLimit".r.findAllIn(p).length == 2, "rank-limit pushdown lost")
+  }
+
   test("as-of join: one keyed exchange + one window, no join operator at all") {
     val p = plan("q_asof_join")
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p.take(2000))
