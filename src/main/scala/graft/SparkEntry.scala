@@ -196,6 +196,56 @@ object SparkEntry {
     out
   }
 
+  /** Streaming MERGE-sink drain: the q_merge_upsert delta split into
+    * two mtime-ordered files (updates, then inserts+tombstones — key-
+    * DISJOINT, so sequential per-batch merging equals the one-shot
+    * merge the oracle replays), foreachBatch-merged into a fresh
+    * ParquetCatalog table seeded with the base corpus. Landing files
+    * are cached per input dir; the table and checkpoint are per-run
+    * (a merge sink MUTATES its table — reuse would double-apply).
+    */
+  private def streamMergeDrain(s: SparkSession, dir: String): String = {
+    streamCleanupHook
+    val root = streamLandingDirs.computeIfAbsent(s"$dir#merge", _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_smerge").toString
+      val base = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val updates = base
+        .filter(col("doc_id") % 7 === 0 && col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") + 1000L).as("n_chars"), lit(false).as("_deleted"))
+      val insDel = base.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+          col("n_chars"), lit(false).as("_deleted"))
+        .unionByName(base.filter(col("doc_id") % 13 === 0)
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            lit(true).as("_deleted")))
+      def landOne(df: DataFrame, name: String, mtime: Long): Unit = {
+        val stage = s"$tmp/stage_$name"
+        df.coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .filter(f => f.getName.startsWith("part-")
+            && f.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(s"$tmp/in/$name.parquet")
+        dst.getParentFile.mkdirs()
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        require(dst.setLastModified(mtime), s"setLastModified failed: $dst")
+      }
+      val now = System.currentTimeMillis()
+      landOne(updates, "a_updates", now)
+      landOne(insDel, "b_insdel", now + 60000L)
+      base.write.parquet(s"$tmp/base")
+      tmp
+    })
+    val run = streamRunSeq.incrementAndGet()
+    val table = s"$root/tbl$run"
+    graft.lineage.ParquetCatalog.append(s.read.parquet(s"$root/base"), table)
+    graft.streaming.StreamingState.mergeSinkRunOnce(
+      s, s"$root/in", table, "doc_id", "_deleted", s"$root/cp$run",
+      shufflePartitions = Some(8))
+    table
+  }
+
   /** Streaming-sessionization drain over the events table. Landing
     * layout is three files drained in mtime order (maxFilesPerTrigger
     * = 1, one micro-batch each): (a) every real (user_id, ts) event in
@@ -1602,6 +1652,15 @@ object SparkEntry {
           col("w_end").cast("long").as("w_end"),
           col("event_type"), col("cnt"))
     }),
+
+    // ---- streaming: foreachBatch MERGE sink — a delta firehose
+    // maintains a lakehouse table (copy-on-write REWRITE snapshot per
+    // micro-batch; MERGE's per-key idempotence is what makes
+    // foreachBatch's at-least-once replay exactly-once in table
+    // state); the final table equals the one-shot MERGE the oracle
+    // replays because the two batches are key-disjoint
+    "stream_merge" -> ((s, dir) =>
+      graft.lineage.ParquetCatalog.readCurrent(s, streamMergeDrain(s, dir))),
 
     // ---- streaming: built-in session_window aggregation — the
     // declarative sessionizer (state store merges per-(key, session)
@@ -4658,6 +4717,27 @@ object SparkEntry {
         |FROM b CROSS JOIN mx
         |GROUP BY w0, event_type, m
         |HAVING w0 + INTERVAL 1 HOUR <= m - INTERVAL 30 MINUTE""".stripMargin,
+    // Streaming merge sink: the same one-shot MERGE replay as
+    // q_merge_upsert (batch splitting is invisible: key-disjoint
+    // deltas make sequential merging associative)
+    "stream_merge" ->
+      """WITH src AS (
+        |  SELECT doc_id, lang, n_chars + 1000 AS n_chars, FALSE AS del
+        |  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lang, n_chars, FALSE
+        |  FROM documents WHERE doc_id % 11 = 0
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars, TRUE
+        |  FROM documents WHERE doc_id % 13 = 0
+        |), tgt AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |)
+        |SELECT coalesce(s.doc_id, t.doc_id) AS doc_id,
+        |  CASE WHEN s.doc_id IS NOT NULL THEN s.lang ELSE t.lang END AS lang,
+        |  CASE WHEN s.doc_id IS NOT NULL THEN s.n_chars ELSE t.n_chars END AS n_chars
+        |FROM tgt t FULL OUTER JOIN src s ON t.doc_id = s.doc_id
+        |WHERE NOT (s.doc_id IS NOT NULL AND s.del)""".stripMargin,
     // session_window replay in integer MICROseconds (epoch_us — double
     // epoch() is ~0.5 us ulp at 2024 epochs, enough to flip a gap-edge
     // break): merge while next - last <= gap (Spark merges sessions

@@ -184,6 +184,19 @@ object ParquetCatalog extends TableCatalog {
       case None => read(spark, table)
     }
 
+  /** Copy-on-write overwrite: commit `df` as the table's new current
+    * view (a REWRITE snapshot referencing only the new files) — the
+    * commit a catalog executes under MERGE INTO. `df` may read the
+    * table's own current files (the merge case): the append-mode write
+    * adds new files while the pinned readAsOf file list keeps reading
+    * the old ones, and time travel to pre-merge snapshots keeps
+    * working until [[expireSnapshots]].
+    */
+  def overwrite(df: DataFrame, table: String): Unit =
+    commitSnapshot(df.sparkSession, table, rewrite = true) {
+      df.write.mode(SaveMode.Append).parquet(table)
+    }
+
   /** Small-file compaction (Iceberg's `rewrite_data_files`): rewrite
     * the current view into `targetFiles` files and commit a REWRITE
     * snapshot referencing only them. Old files stay on disk so time

@@ -150,6 +150,45 @@ object StreamingState {
     q.awaitTermination()
   }
 
+  /** foreachBatch MERGE sink drain — the production "stream of deltas
+    * maintains a lakehouse table" pattern: each micro-batch MERGEs
+    * (update / tombstone-delete / insert) into a ParquetCatalog table
+    * as a copy-on-write REWRITE snapshot. Exactly-once table state
+    * comes from MERGE's per-key IDEMPOTENCE (re-merging the same
+    * unique-keyed delta updates rows to the values they already hold,
+    * re-deletes nothing, re-inserts nothing new), which is precisely
+    * what makes foreachBatch's at-least-once replay contract safe for
+    * this sink; the checkpoint bounds replays to the failed batch.
+    *
+    * Scale posture: each batch pays MergeUpsert's one co-partitioned
+    * shuffle per side (elided on a bucketed target); the snapshot
+    * chain gives time travel across merges and [[graft.lineage
+    * .ParquetCatalog.expireSnapshots]]/compact handle retention and
+    * the small-file accretion every streaming table maintenance job
+    * must schedule.
+    */
+  def mergeSinkRunOnce(spark: SparkSession, inputPath: String,
+      table: String, keyCol: String, deleteCol: String,
+      checkpoint: String, shufflePartitions: Option[Int] = None): Unit = {
+    val s = sessionFor(spark, shufflePartitions)
+    val schema = s.read.parquet(inputPath).schema
+    val src = s.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inputPath)
+    val q = src.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val target = graft.lineage.ParquetCatalog.readCurrent(s, table)
+        graft.lineage.ParquetCatalog.overwrite(
+          graft.lineage.MergeUpsert.merge(target, batch.toDF(), keyCol, deleteCol),
+          table)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Stream-static enrichment drain: every streamed row inner-joins a
     * static dimension frame on `keyCol` — the canonical pattern for
     * joining a document firehose against slowly-changing metadata

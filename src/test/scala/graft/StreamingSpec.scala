@@ -273,4 +273,44 @@ class StreamingSpec extends AnyFunSuite {
       (3L, List("click", "view"), List(1L, 2L)),
       (5L, List("click", "purchase", "view"), List(1L, 1L, 3L))), rows.toList.toString)
   }
+
+  test("foreachBatch MERGE sink: per-batch rewrites, final table, no-op replay") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_smerge_test").toString
+    val table = s"$root/tbl"
+    graft.lineage.ParquetCatalog.append(
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("doc_id", "v"), table)
+    def land(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val stage = s"$root/stage_$name"
+      df.coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$root/in/$name.parquet")
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      require(dst.setLastModified(mtime))
+    }
+    val now = System.currentTimeMillis()
+    // batch 1: update doc 1; batch 2: delete doc 2, insert doc 9
+    land(Seq((1L, 11L, false)).toDF("doc_id", "v", "_deleted"), "a", now)
+    land(Seq((2L, 0L, true), (9L, 90L, false)).toDF("doc_id", "v", "_deleted"),
+      "b", now + 60000L)
+    graft.streaming.StreamingState.mergeSinkRunOnce(
+      spark, s"$root/in", table, "doc_id", "_deleted", s"$root/cp",
+      shufflePartitions = Some(2))
+    def current = graft.lineage.ParquetCatalog.readCurrent(spark, table)
+      .as[(Long, Long)].collect().toSet
+    assert(current == Set((1L, 11L), (3L, 30L), (9L, 90L)))
+    // base append + one rewrite per micro-batch
+    assert(graft.lineage.ParquetCatalog.snapshots(spark, table).size == 3)
+    // replay with the same checkpoint: nothing new to process, table unchanged
+    graft.streaming.StreamingState.mergeSinkRunOnce(
+      spark, s"$root/in", table, "doc_id", "_deleted", s"$root/cp",
+      shufflePartitions = Some(2))
+    assert(current == Set((1L, 11L), (3L, 30L), (9L, 90L)))
+    assert(graft.lineage.ParquetCatalog.snapshots(spark, table).size == 3)
+    // time travel: the pre-merge base is intact at snapshot 1
+    assert(graft.lineage.ParquetCatalog.readAsOf(spark, table, 1L)
+      .as[(Long, Long)].collect().toSet == Set((1L, 10L), (2L, 20L), (3L, 30L)))
+  }
 }
