@@ -1496,6 +1496,23 @@ object SparkEntry {
       graft.operators.KCore.kcore(e, "src", "dst", k = 6, rounds = 4)
     }),
 
+    // ---- graph: personalized PageRank (TrustRank) — restart mass
+    // only on the hand-trusted seed docs (ids 0..9), flowing outward
+    // along the symmetrized link graph; nodes unreachable from every
+    // seed rank exactly 0 (the spam-demotion property)
+    "q_pagerank_seeded" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents")).select(col("doc_id"))
+      val withCnt = docs.crossJoin(broadcast(docs.agg(count(lit(1)).as("cnt"))))
+      val ed = withCnt.select(col("doc_id").as("src"),
+        explode(array(
+          (col("doc_id") * 31 + 97) % col("cnt"),
+          (col("doc_id") * 31 + 194) % col("cnt"),
+          (col("doc_id") * 31 + 291) % col("cnt"))).as("dst"))
+      val e = ed.unionByName(ed.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.PageRank.pageRank(e, "src", "dst", iters = 4,
+        seeds = Some(0L to 9L))
+    }),
+
     // ---- graph: synchronous label-propagation communities over the
     // same symmetrized doc link graph — densely knit topical
     // neighborhoods inside one giant component, where connected
@@ -4386,6 +4403,19 @@ object SparkEntry {
          |  SELECT src, dst FROM ed UNION ALL SELECT dst, src FROM ed
          |), e0 AS (SELECT DISTINCT src, dst FROM sym)""".stripMargin +
         kcoreTail(k = 6, rounds = 4)),
+    // personalized PageRank: the same symmetrized edges, restart mass
+    // gated on the seed predicate (pprTail)
+    "q_pagerank_seeded" ->
+      ("""WITH c AS (SELECT count(*) AS cnt FROM documents),
+         |ed AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS src,
+         |    CAST((doc_id * 31 + 97) % cnt AS BIGINT) AS dst FROM documents, c
+         |  UNION ALL SELECT doc_id, (doc_id * 31 + 194) % cnt FROM documents, c
+         |  UNION ALL SELECT doc_id, (doc_id * 31 + 291) % cnt FROM documents, c
+         |), sym AS (
+         |  SELECT src, dst FROM ed UNION ALL SELECT dst, src FROM ed
+         |), e AS (SELECT DISTINCT src, dst FROM sym)""".stripMargin +
+        pprTail(iters = 4, d = 0.85, seedPred = "n.node <= 9")),
     // label propagation: the same symmetrized link edges (self-loops
     // dropped), then the unrolled synchronous vote rounds (lpaTail)
     "q_labelprop" ->
@@ -6337,6 +6367,39 @@ object SparkEntry {
       s""", it$k AS (
          |  SELECT n.node,
          |    CAST($base AS DOUBLE) + CAST($d AS DOUBLE) *
+         |      (CAST(coalesce(s.m, 0) AS DOUBLE) / 1000000000000.0) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |      CAST(sum(CAST(floor(p.r / d.deg * 1000000000000.0) AS BIGINT)) AS BIGINT) AS m
+         |    FROM e JOIN it${k - 1} p ON p.node = e.src
+         |           JOIN deg d ON d.src = e.src
+         |    GROUP BY e.dst) s ON s.node = n.node
+         |)""".stripMargin
+    }.mkString
+    s"$head$steps\nSELECT node, r AS pr FROM it$iters"
+  }
+
+  /** Unrolled personalized-PageRank chain appended after an
+    * `e(src, dst)` CTE — pageRank(seeds = ...)'s exact arithmetic:
+    * restart mass (1-d) and the initial rank land only on nodes
+    * satisfying `seedPred`; picounit contribution discipline verbatim
+    * from pagerankTail.
+    */
+  private def pprTail(iters: Int, d: Double, seedPred: String): String = {
+    val base = 1.0 - d
+    val head =
+      s""", deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src
+         |), nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e
+         |), it0 AS (
+         |  SELECT n.node, CASE WHEN $seedPred THEN 1.0 ELSE 0.0 END AS r
+         |  FROM nodes n
+         |)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s""", it$k AS (
+         |  SELECT n.node,
+         |    CAST($base AS DOUBLE) *
+         |      (CASE WHEN $seedPred THEN 1.0 ELSE 0.0 END) +
+         |    CAST($d AS DOUBLE) *
          |      (CAST(coalesce(s.m, 0) AS DOUBLE) / 1000000000000.0) AS r
          |  FROM nodes n LEFT JOIN (
          |    SELECT e.dst AS node,

@@ -48,11 +48,24 @@ object PageRank {
 
   /** (node, pr): normalized PageRank after `iters` rounds with damping
     * `d` over the directed edge list (duplicate edges count once).
+    *
+    * `seeds` switches to PERSONALIZED PageRank (TrustRank): restart
+    * mass (the (1-d) term) lands only on the seed nodes instead of
+    * uniformly, and r0 is the seed indicator — so all rank mass
+    * originates at the trusted set and flows outward along links.
+    * Nodes unreachable from every seed hold rank exactly 0, which is
+    * the spam-demotion property: a link farm pointing at itself
+    * accumulates nothing unless a trusted page links into it. Same
+    * arithmetic discipline (picounit contributions) as the uniform
+    * form; seeds ride into the plan as a broadcast literal set (seed
+    * sets are small by definition — they are hand-audited).
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 8, d: Double = 0.85,
-      quantum: Double = 1e12): DataFrame = {
+      quantum: Double = 1e12,
+      seeds: Option[Seq[Long]] = None): DataFrame = {
     require(iters >= 1 && d > 0.0 && d < 1.0, s"bad iters=$iters d=$d")
+    require(seeds.forall(_.nonEmpty), "seed set must be non-empty when given")
     require(quantum >= 1e3, s"quantum too small to be meaningful: $quantum")
     val sc = edges.sparkSession.sparkContext
     val shuffleParts =
@@ -71,8 +84,14 @@ object PageRank {
         .union(e0.select(col("dst").as("node")))
         .distinct())
     graft.dedup.Dedup.unpersistOwned(sc, e0Ids)
+    // uniform restart = 1.0 everywhere (the classic form); personalized
+    // restart = the seed indicator
+    val restart = seeds match {
+      case Some(ss) => when(col("node").isin(ss: _*), lit(1.0)).otherwise(lit(0.0))
+      case None => lit(1.0)
+    }
     var (ranks, rankIds) = graft.dedup.Dedup.checkpointOwned(
-      nodes.select(col("node"), lit(1.0).as("r")))
+      nodes.select(col("node"), restart.as("r")))
     for (_ <- 1 to iters) {
       val contribs = ew
         .join(ranks, ew("src") === ranks("node"))
@@ -82,7 +101,7 @@ object PageRank {
         nodes
           .join(contribs, nodes("node") === contribs("dst"), "left")
           .select(col("node"),
-            (lit(1.0 - d) + lit(d) *
+            (lit(1.0 - d) * restart + lit(d) *
               (coalesce(col("m"), lit(0L)).cast("double") / lit(quantum))).as("r")))
       graft.dedup.Dedup.unpersistOwned(sc, rankIds)
       ranks = next

@@ -155,6 +155,26 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got(1L) > got(2L)) // hub outranks leaves
   }
 
+  test("personalized PageRank: zero rank off-seed-reachable set; all-seeds == uniform") {
+    import spark.implicits._
+    // two disjoint components: 1->2->3 and 10->11
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val got = PageRank.pageRank(edges, "src", "dst", iters = 4, seeds = Some(Seq(1L)))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the 10->11 component is unreachable from seed 1: exactly zero
+    assert(got(10L) == 0.0 && got(11L) == 0.0, got)
+    assert(got(1L) > 0.0 && got(2L) > 0.0 && got(3L) > 0.0, got)
+    // seed holds the restart floor; downstream mass decays by d per hop
+    assert(got(1L) > got(3L), got)
+    // seeding EVERY node reproduces the uniform form exactly
+    val uni = PageRank.pageRank(edges, "src", "dst", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val all = PageRank.pageRank(edges, "src", "dst", iters = 4,
+      seeds = Some(Seq(1L, 2L, 3L, 10L, 11L)))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(all == uni)
+  }
+
   test("tokenKlContribs: add-one-smoothed per-token KL terms, exact counts") {
     import spark.implicits._
     val docs = Seq((1L, "a a b", "en"), (2L, "a c", "de"))
