@@ -1427,6 +1427,15 @@ object SparkEntry {
       graft.textops.LangModel.pmiCollocations(
         s.read.parquet(t(dir, "documents")), "doc_id", "text", minCount = 3)),
 
+    // ---- corpus LM: skip-gram co-occurrence counts (window 3) — the
+    // word2vec/GloVe training-pair table; pair generation is a
+    // record-local nested-transform HOF, never a positional self-join
+    // (the oracle replays THAT plan); one count shuffle total
+    "q_skipgram" -> ((s, dir) =>
+      graft.textops.LangModel.skipgramCounts(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text",
+        window = 3, minCount = 5L)),
+
     // ---- order stats: exact per-language doc-length quantiles over
     // the (group, value) count table — window over DISTINCT values,
     // never raw rows
@@ -4333,6 +4342,19 @@ object SparkEntry {
         |WHERE doc_id % 17 = 0""".stripMargin,
     "q_lm_bigrams" -> (bigramCte +
       "\nSELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2 HAVING count(*) >= 2"),
+    // Skip-gram: the positional self-join the record-local HOF avoids
+    "q_skipgram" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), pos AS (
+        |  SELECT doc_id, unnest(toks) AS term,
+        |    unnest(range(1, len(toks) + 1)) AS p
+        |  FROM tok
+        |)
+        |SELECT a.term AS w1, b.term AS w2, count(*) AS cnt
+        |FROM pos a JOIN pos b
+        |  ON a.doc_id = b.doc_id AND b.p - a.p BETWEEN 1 AND 3
+        |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin,
     "q_lm_score" -> (bigramCte + lmScoreCtes +
       "\nSELECT doc_id, n_bigrams, lp_micro_sum FROM lmscore"),
     "q_pmi" -> (bigramCte +

@@ -45,6 +45,43 @@ object LangModel {
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
   }
 
+  /** Skip-gram co-occurrence counts — the word-embedding training-data
+    * primitive (word2vec/GloVe consume exactly these): (w1, w2, cnt)
+    * for every ordered token pair within `window` positions (w1
+    * earlier, so the pair orientation is position-deterministic and no
+    * canonicalization is needed), thresholded at `minCount`.
+    *
+    * Scale posture: pair generation is a RECORD-LOCAL nested-transform
+    * HOF over the token array — never a positional self-join of the
+    * exploded token table (which would shuffle the corpus once to
+    * build positions and again for the band join); fan-out per doc is
+    * <= window * tokens. One map-side-combined count shuffle total.
+    * The relational oracle replays the positional self-join instead —
+    * the plan this construction avoids.
+    */
+  def skipgramCounts(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, minCount: Long): DataFrame = {
+    require(window >= 1 && minCount >= 1, s"bad window=$window minCount=$minCount")
+    val spread = graft.Parallelize.bySplits(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("__t")), "doc_id")
+    // for i in 1..n-1: j in i+1..min(i+window, n) — the outer bound
+    // keeps every inner sequence ascending; n < 2 guards to empty
+    val pairs = expr(
+      s"""CASE WHEN size(split(__t, ' ', -1)) < 2 THEN
+         |  array()
+         |ELSE
+         |  flatten(transform(sequence(1, size(split(__t, ' ', -1)) - 1), i ->
+         |    transform(sequence(i + 1, least(i + $window, size(split(__t, ' ', -1)))), j ->
+         |      struct(element_at(split(__t, ' ', -1), i) AS w1,
+         |             element_at(split(__t, ' ', -1), j) AS w2))))
+         |END""".stripMargin)
+    spread
+      .select(explode(pairs).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+  }
+
   /** The trained model: corpus-wide bigram type counts (w1, w2, c12),
     * optionally thresholded. This is the dumpable model artifact — the
     * scoring join consumes exactly these counts.

@@ -155,6 +155,15 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got(1L) > got(2L)) // hub outranks leaves
   }
 
+  test("skipgramCounts: window-bounded ordered pairs, edge docs emit none") {
+    val got = LangModel.skipgramCounts(
+        docsDf((1L, "a b c d"), (2L, "x"), (3L, ""), (4L, "a b")),
+        "doc_id", "text", window = 2, minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("a", "b") -> 2L, ("a", "c") -> 1L, ("b", "c") -> 1L,
+      ("b", "d") -> 1L, ("c", "d") -> 1L), got)
+  }
+
   test("personalized PageRank: zero rank off-seed-reachable set; all-seeds == uniform") {
     import spark.implicits._
     // two disjoint components: 1->2->3 and 10->11
