@@ -2193,6 +2193,47 @@ object SparkEntry {
             .as("t_norm"))
         .withColumn("n_chars", length(col("t_norm")).cast("bigint"))),
 
+    // ---- text hygiene: invisible-character strip — zero-width chars,
+    // bidi controls (the Trojan-Source vector), BOM, soft hyphen:
+    // survive whitespace normalization, split tokens invisibly, defeat
+    // exact dedup; deterministic seeding (ZWSP + RLO for doc_id%5==0)
+    // exercises the strip path; audit column counts what was removed
+    "q_text_invisibles" -> ((s, dir) =>
+      s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit("a\u200Bb \u202Ezzz\u202C "), col("text"), lit("\uFEFF")))
+            .otherwise(col("text")).as("t_raw"))
+        .select(col("doc_id"),
+          TextOps.invisibleCount(col("t_raw")).as("n_stripped"),
+          length(TextOps.stripInvisibles(col("t_raw"))).cast("bigint")
+            .as("n_clean_chars"))),
+
+    // ---- analytics: trending terms — per-day term counts served into
+    // trailing 7-day windows (offset explode + register-merge shape of
+    // q_sketch_sliding, exact counts here), top-5 per day by
+    // (windowed count desc, term asc) with the rank-limit pushdown
+    "q_trending_terms" -> ((s, dir) => {
+      val tok = graft.Parallelize.bySplits(
+          s.read.parquet(t(dir, "documents"))
+            .select(col("doc_id"), col("text")), "doc_id")
+        .select((col("doc_id") % 14).cast("long").as("d"),
+          explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy(col("d"), col("term")).agg(count(lit(1)).as("cnt"))
+      val days = tok.select(col("d")).distinct()
+      val served = tok
+        .select(col("d"), col("term"), col("cnt"),
+          explode(sequence(lit(0), lit(6))).as("off"))
+        .select((col("d") + col("off")).as("d"), col("term"), col("cnt"))
+        .join(days, Seq("d"), "leftsemi")
+        .groupBy(col("d"), col("term")).agg(sum(col("cnt")).as("wcnt"))
+      served
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("d"))
+            .orderBy(col("wcnt").desc, col("term").asc)))
+        .filter(col("rank") <= 5)
+    }),
+
     // ---- interleaving profile over the raw span table: per-kind
     // counts, modality-switch count, first/last kind — the shape stats
     // a packing/filtering policy keys on for interleaved docs
@@ -4342,6 +4383,48 @@ object SparkEntry {
         |WHERE doc_id % 17 = 0""".stripMargin,
     "q_lm_bigrams" -> (bigramCte +
       "\nSELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2 HAVING count(*) >= 2"),
+    // Invisible strip: chr() seeding + the same single character class
+    // (RE2 and Java regex agree on \x{...} escapes), 'g' for global
+    "q_text_invisibles" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN 'a' || chr(8203) || 'b ' || chr(8238) || 'zzz' || chr(8236)
+        |        || ' ' || text || chr(65279)
+        |      ELSE text END AS t_raw
+        |  FROM documents
+        |), cl AS (
+        |  SELECT doc_id, t_raw,
+        |    regexp_replace(t_raw,
+        |      '[\x{200B}-\x{200F}\x{202A}-\x{202E}\x{2060}-\x{2064}\x{2066}-\x{2069}\x{FEFF}\x{00AD}]',
+        |      '', 'g') AS t_clean
+        |  FROM raw
+        |)
+        |SELECT doc_id,
+        |  CAST(length(t_raw) - length(t_clean) AS BIGINT) AS n_stripped,
+        |  CAST(length(t_clean) AS BIGINT) AS n_clean_chars
+        |FROM cl""".stripMargin,
+    // Trending terms: per-day counts, 7-day offset service, top-5
+    "q_trending_terms" ->
+      """WITH tok AS (
+        |  SELECT CAST(doc_id % 14 AS BIGINT) AS d,
+        |    unnest(string_split(text, ' ')) AS term
+        |  FROM documents
+        |), c AS (
+        |  SELECT d, term, count(*) AS cnt FROM tok GROUP BY 1, 2
+        |), dd AS (SELECT DISTINCT d FROM c
+        |), srv AS (
+        |  SELECT c.d + o.off AS d, term, cnt
+        |  FROM c CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6]) AS off) o
+        |), w AS (
+        |  SELECT s.d, term, CAST(sum(cnt) AS BIGINT) AS wcnt
+        |  FROM srv s JOIN dd ON dd.d = s.d GROUP BY 1, 2
+        |)
+        |SELECT d, term, wcnt, CAST(rn AS INT) AS rank FROM (
+        |  SELECT d, term, wcnt, row_number() OVER (
+        |    PARTITION BY d ORDER BY wcnt DESC, term ASC) AS rn
+        |  FROM w
+        |) WHERE rn <= 5""".stripMargin,
     // Skip-gram: the positional self-join the record-local HOF avoids
     "q_skipgram" ->
       """WITH tok AS (

@@ -135,6 +135,26 @@ object TextOps {
   val Ipv4Pattern = "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b"
   val PhonePattern =
     "(\\+[0-9]{1,3}[-. ]?)?\\(?\\b[0-9]{3}\\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}\\b"
+  /** Invisible-character hygiene — strips zero-width characters
+    * (ZWSP/ZWNJ/ZWJ/word-joiner), bidi controls (LRM/RLM, the
+    * LRE..PDF embedding range, the LRI..PDI isolate range), BOM, and
+    * soft hyphen. These survive HTML flattening and whitespace
+    * normalization untouched, split tokens invisibly (wa​ter
+    * tokenizes as two words), duplicate otherwise-identical docs past
+    * exact dedup, and bidi controls are the Trojan-Source vector for
+    * code corpora. Engine-portable regex subset (a single character
+    * class), so the oracle replays it verbatim.
+    */
+  private val InvisiblesRe =
+    "[\\x{200B}-\\x{200F}\\x{202A}-\\x{202E}\\x{2060}-\\x{2064}\\x{2066}-\\x{2069}\\x{FEFF}\\x{00AD}]"
+
+  def stripInvisibles(text: Column): Column =
+    regexp_replace(text, InvisiblesRe, "")
+
+  /** How many invisibles were stripped (the audit column). */
+  def invisibleCount(text: Column): Column =
+    (length(text) - length(stripInvisibles(text))).cast("bigint")
+
   def scrubPii(text: Column): Column =
     regexp_replace(
       regexp_replace(
