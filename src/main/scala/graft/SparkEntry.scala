@@ -954,6 +954,24 @@ object SparkEntry {
       clustered.unionByName(unclustered)
     }),
 
+    // ---- corpus construction: dedup-AWARE k-fold split — the
+    // train/test-leakage guard: folds hash the near-dup CLUSTER id
+    // (not the doc id), so paraphrase/boilerplate near-duplicates can
+    // never straddle a train/eval boundary; singletons hash their own
+    // id. Deterministic (portable hash), stratification-free by design
+    "q_fold_assign" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+      val cc = Dedup.nearDupClusters(docs, "doc_id", "text",
+        n = 3, k = 64, bands = 16, threshold = 0.5)
+      docs.select(col("doc_id"))
+        .join(cc.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("unit_id"))
+        .withColumn("fold",
+          graft.PortableHash.md5Hash60(
+            concat(lit("fold:"), col("unit_id").cast("string"))) % 5)
+    }),
+
     // ---- analytics: percentile-rank normalization — per-language
     // percent_rank + cume_dist of n_chars under a UNIQUE (n_chars,
     // doc_id) order, so both built-ins reduce to exact rank arithmetic
@@ -4254,6 +4272,27 @@ object SparkEntry {
          |SELECT d.doc_id, d.doc_id AS cluster_id, d.n_chars, 1 AS canonical
          |FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM mem)"""
         .stripMargin),
+    // Dedup-aware folds: recursive components + portable-hash fold of
+    // the cluster id (singletons hash their own id)
+    "q_fold_assign" ->
+      (s"""WITH RECURSIVE $minhashPairsCtes, pr AS (
+         |  SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5
+         |), e2 AS (
+         |  SELECT id_a AS u, id_b AS v FROM pr UNION SELECT id_b, id_a FROM pr
+         |), reach AS (
+         |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM e2)
+         |  UNION
+         |  SELECT e2.u, reach.r FROM e2 JOIN reach ON reach.u = e2.v
+         |), mem AS (
+         |  SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u
+         |), units AS (
+         |  SELECT d.doc_id, coalesce(m.cluster_id, d.doc_id) AS unit_id
+         |  FROM documents d LEFT JOIN mem m ON m.doc_id = d.doc_id
+         |)
+         |SELECT doc_id, unit_id,
+         |  CAST('0x' || substr(md5('fold:' || CAST(unit_id AS VARCHAR)), 1, 15)
+         |    AS BIGINT) % 5 AS fold
+         |FROM units""".stripMargin),
     // Percentile rank: unique ordering reduces both built-ins to exact
     // rank arithmetic
     "q_percentile_rank" ->
