@@ -1774,6 +1774,39 @@ object SparkEntry {
         .select(col("label"), col("i"), col("n"),
           (col("sum_micro").cast("double") / lit(1e6) / col("n")).as("mean_x"))),
 
+    // ---- embedding quality gate: distance-to-label-centroid outliers
+    // — vectors far (in cosine) from their own label's fixed-point
+    // centroid are mislabel/corruption suspects; centroids broadcast
+    // (labels are few), per-vector cosine is a record-local
+    // index-ordered left fold (the randomProject/list_sum discipline)
+    "q_embed_outliers" -> ((s, dir) => {
+      val emb = s.read.parquet(t(dir, "embeddings"))
+      val cent = emb
+        .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("label"), col("i"),
+          floor(col("x").cast("double") * lit(1e6)).cast("long").as("xm"))
+        .groupBy(col("label"), col("i"))
+        .agg(count(lit(1)).as("n"), sum(col("xm")).as("sm"))
+        .select(col("label"), col("i"),
+          (col("sm").cast("double") / lit(1e6) / col("n")).as("m"))
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("cs"))
+        .select(col("label"), expr("transform(cs, s -> s.m)").as("cvec"))
+      emb.join(broadcast(cent), Seq("label"))
+        .select(col("vec_id"), col("label"),
+          expr("aggregate(sequence(1, size(embedding)), 0.0D, (acc, i) -> " +
+            "acc + cast(element_at(embedding, i) as double) * element_at(cvec, i))")
+            .as("dot"),
+          expr("aggregate(sequence(1, size(embedding)), 0.0D, (acc, i) -> " +
+            "acc + cast(element_at(embedding, i) as double) * " +
+            "cast(element_at(embedding, i) as double))").as("nv2"),
+          expr("aggregate(sequence(1, size(cvec)), 0.0D, (acc, i) -> " +
+            "acc + element_at(cvec, i) * element_at(cvec, i))").as("nc2"))
+        .select(col("vec_id"), col("label"),
+          (col("dot") / (sqrt(col("nv2")) * sqrt(col("nc2")))).as("cos_sim"))
+        .withColumn("is_outlier", (col("cos_sim") < 0.1).cast("int"))
+    }),
+
     // ---- runtime filter: Bloom-pruned equi-join (probe rows that
     // cannot match are dropped before the join shuffle; output is
     // byte-identical to the plain join, which is what the oracle
@@ -4823,6 +4856,35 @@ object SparkEntry {
         |SELECT label, CAST(i AS INTEGER) AS i, count(*) AS n,
         |  CAST(sum(xm) AS DOUBLE) / 1000000.0 / count(*) AS mean_x
         |FROM e GROUP BY label, i""".stripMargin,
+    // Embedding outliers: the same fixed-point centroid, then the
+    // index-ordered cosine fold (list_sum over list_transform — the
+    // randomProject replay discipline); IEEE division chain verbatim
+    "q_embed_outliers" ->
+      """WITH e AS (
+        |  SELECT label, unnest(range(len(embedding))) AS i,
+        |    CAST(floor(unnest(embedding::DOUBLE[]) * 1000000.0) AS BIGINT) AS xm
+        |  FROM embeddings
+        |), cm AS (
+        |  SELECT label, i,
+        |    CAST(sum(xm) AS DOUBLE) / 1000000.0 / count(*) AS m
+        |  FROM e GROUP BY label, i
+        |), cv AS (
+        |  SELECT label, list(m ORDER BY i) AS cvec FROM cm GROUP BY label
+        |), v AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings
+        |), d AS (
+        |  SELECT vec_id, v.label,
+        |    list_sum(list_transform(range(1, len(ev) + 1),
+        |      i -> ev[i] * cvec[i])) AS dot,
+        |    list_sum(list_transform(range(1, len(ev) + 1),
+        |      i -> ev[i] * ev[i])) AS nv2,
+        |    list_sum(list_transform(range(1, len(cvec) + 1),
+        |      i -> cvec[i] * cvec[i])) AS nc2
+        |  FROM v JOIN cv ON cv.label = v.label
+        |)
+        |SELECT vec_id, label, dot / (sqrt(nv2) * sqrt(nc2)) AS cos_sim,
+        |  CAST(dot / (sqrt(nv2) * sqrt(nc2)) < 0.1 AS INT) AS is_outlier
+        |FROM d""".stripMargin,
     // the streaming dedup drain keeps exactly one row per distinct
     // checksum (duplicates share their original's event time, single
     // micro-batch), so the batch distinct states the expected set
