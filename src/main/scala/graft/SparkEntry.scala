@@ -954,6 +954,48 @@ object SparkEntry {
       clustered.unionByName(unclustered)
     }),
 
+    // ---- data cleaning: percentile winsorization — clamp n_chars
+    // into the per-language [p05, p95] band (exact type-1 quantiles
+    // from the count-table construction, broadcast back); the heavy-
+    // tail tamer before any mean-based stat
+    "q_winsorize" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val qs = graft.corpus.Quantiles
+        .discreteQuantiles(docs, "lang", "n_chars", Seq(0.05, 0.95))
+        .groupBy(col("lang"))
+        .agg(min(when(col("q") === 0.05, col("q_value"))).as("lo"),
+          min(when(col("q") === 0.95, col("q_value"))).as("hi"))
+      docs.join(broadcast(qs), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          least(greatest(col("n_chars"), col("lo")), col("hi"))
+            .as("n_chars_wins"))
+    }),
+
+    // ---- graph: neighbor feature propagation — per doc the mean
+    // n_chars of its linked neighbors (the GNN message-passing /
+    // feature-smoothing primitive): integer sums + one division, one
+    // edge-keyed shuffle
+    "q_graph_featprop" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), col("n_chars"))
+      val withCnt = docs.select(col("doc_id"))
+        .crossJoin(broadcast(docs.agg(count(lit(1)).as("cnt"))))
+      val ed = withCnt.select(col("doc_id").as("src"),
+        explode(array(
+          (col("doc_id") * 31 + 97) % col("cnt"),
+          (col("doc_id") * 31 + 194) % col("cnt"),
+          (col("doc_id") * 31 + 291) % col("cnt"))).as("dst"))
+      val e = ed.unionByName(
+          ed.select(col("dst").as("src"), col("src").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct()
+      e.join(docs.withColumnRenamed("doc_id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(count(lit(1)).as("deg"), sum(col("n_chars")).as("nb_sum"))
+        .withColumn("nb_mean",
+          col("nb_sum").cast("double") / col("deg"))
+    }),
+
     // ---- corpus construction: dedup-AWARE k-fold split — the
     // train/test-leakage guard: folds hash the near-dup CLUSTER id
     // (not the doc id), so paraphrase/boilerplate near-duplicates can
@@ -4305,6 +4347,47 @@ object SparkEntry {
          |SELECT d.doc_id, d.doc_id AS cluster_id, d.n_chars, 1 AS canonical
          |FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM mem)"""
         .stripMargin),
+    // Winsorize: the quantile count-table construction (quantileOracle
+    // pattern) pivoted to [lo, hi], then the clamp
+    "q_winsorize" ->
+      """WITH c AS (
+        |  SELECT lang AS grp, n_chars AS v, count(*) AS c FROM documents GROUP BY 1, 2
+        |), w AS (
+        |  SELECT grp, v, c,
+        |    sum(c) OVER (PARTITION BY grp ORDER BY v
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY grp) AS n
+        |  FROM c
+        |), x AS (SELECT grp, v, cum, n, unnest([0.05, 0.95]::DOUBLE[]) AS q FROM w
+        |), qv AS (
+        |  SELECT grp, q, min(v) AS q_value
+        |  FROM x WHERE cum >= ceil(q * n) GROUP BY grp, q
+        |), band AS (
+        |  SELECT grp AS lang,
+        |    min(CASE WHEN q = 0.05 THEN q_value END) AS lo,
+        |    min(CASE WHEN q = 0.95 THEN q_value END) AS hi
+        |  FROM qv GROUP BY grp
+        |)
+        |SELECT doc_id, d.lang, n_chars,
+        |  least(greatest(n_chars, lo), hi) AS n_chars_wins
+        |FROM documents d JOIN band b ON b.lang = d.lang""".stripMargin,
+    // Feature propagation: symmetrized self-loop-free link edges +
+    // neighbor integer sums + one division
+    "q_graph_featprop" ->
+      """WITH c AS (SELECT count(*) AS cnt FROM documents),
+        |ed AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS src,
+        |    CAST((doc_id * 31 + 97) % cnt AS BIGINT) AS dst FROM documents, c
+        |  UNION ALL SELECT doc_id, (doc_id * 31 + 194) % cnt FROM documents, c
+        |  UNION ALL SELECT doc_id, (doc_id * 31 + 291) % cnt FROM documents, c
+        |), sym AS (
+        |  SELECT src, dst FROM ed UNION ALL SELECT dst, src FROM ed
+        |), e AS (SELECT DISTINCT src, dst FROM sym WHERE src <> dst)
+        |SELECT e.src AS doc_id, count(*) AS deg,
+        |  CAST(sum(d.n_chars) AS BIGINT) AS nb_sum,
+        |  CAST(sum(d.n_chars) AS DOUBLE) / count(*) AS nb_mean
+        |FROM e JOIN documents d ON d.doc_id = e.dst
+        |GROUP BY e.src""".stripMargin,
     // Dedup-aware folds: recursive components + portable-hash fold of
     // the cluster id (singletons hash their own id)
     "q_fold_assign" ->
