@@ -954,6 +954,49 @@ object SparkEntry {
       clustered.unionByName(unclustered)
     }),
 
+    // ---- temporal analytics: burstiness profile — per-user
+    // inter-arrival gap stats in integer seconds (sum and sum-of-
+    // squares fit longs to ~1e9-gap users); mean/variance/CV derive
+    // from the integer sufficient statistics through one fixed IEEE
+    // expression, so both engines compute them bit-identically
+    "q_burstiness" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("sec"), col("event_id"))
+      val gaps = s.read.parquet(t(dir, "events"))
+        .select(col("user_id"), col("event_id"),
+          // integral div — a double /1e6 could misround a whole-second
+          // boundary before the floor
+          expr("unix_micros(cast(ts as timestamp)) div 1000000L").as("sec"))
+        .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+        .filter(col("gap").isNotNull)
+      gaps.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(col("gap")).as("gap_sum"),
+          sum(col("gap") * col("gap")).as("gap_sumsq"))
+        .select(col("user_id"), col("n_gaps"), col("gap_sum"), col("gap_sumsq"),
+          (col("gap_sum").cast("double") / col("n_gaps")).as("gap_mean"),
+          ((col("n_gaps") * col("gap_sumsq") - col("gap_sum") * col("gap_sum"))
+            .cast("double") / (col("n_gaps") * col("n_gaps")).cast("double"))
+            .as("gap_var"))
+    }),
+
+    // ---- data cleaning: group-median imputation — deterministically
+    // seeded nulls (doc_id%9==0) filled with the per-language exact
+    // median of the NON-null values (type-1 quantile construction)
+    "q_impute_median" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), col("lang"),
+          when(col("doc_id") % 9 === 0, lit(null).cast("long"))
+            .otherwise(col("n_chars")).as("v"))
+      val med = graft.corpus.Quantiles
+        .discreteQuantiles(docs.filter(col("v").isNotNull), "lang", "v", Seq(0.5))
+        .select(col("lang"), col("q_value").as("med"))
+      docs.join(broadcast(med), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("v"),
+          coalesce(col("v"), col("med")).as("v_imputed"),
+          col("v").isNull.cast("int").as("was_imputed"))
+    }),
+
     // ---- data cleaning: percentile winsorization — clamp n_chars
     // into the per-language [p05, p95] band (exact type-1 quantiles
     // from the count-table construction, broadcast back); the heavy-
@@ -4347,6 +4390,47 @@ object SparkEntry {
          |SELECT d.doc_id, d.doc_id AS cluster_id, d.n_chars, 1 AS canonical
          |FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM mem)"""
         .stripMargin),
+    // Burstiness: integer-second gaps + the same sufficient-statistic
+    // expressions
+    "q_burstiness" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS sec FROM events
+        |), g AS (
+        |  SELECT user_id,
+        |    sec - lag(sec) OVER (PARTITION BY user_id
+        |      ORDER BY sec, event_id) AS gap
+        |  FROM ev
+        |)
+        |SELECT user_id, count(*) AS n_gaps,
+        |  CAST(sum(gap) AS BIGINT) AS gap_sum,
+        |  CAST(sum(gap * gap) AS BIGINT) AS gap_sumsq,
+        |  CAST(sum(gap) AS DOUBLE) / count(*) AS gap_mean,
+        |  CAST(count(*) * sum(gap * gap) - sum(gap) * sum(gap) AS DOUBLE)
+        |    / CAST(count(*) * count(*) AS DOUBLE) AS gap_var
+        |FROM g WHERE gap IS NOT NULL GROUP BY user_id""".stripMargin,
+    // Median imputation: seeded nulls + the non-null quantile
+    // count-table median + coalesce
+    "q_impute_median" ->
+      """WITH dv AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 9 = 0 THEN NULL ELSE n_chars END AS v
+        |  FROM documents
+        |), c AS (
+        |  SELECT lang AS grp, v, count(*) AS c FROM dv
+        |  WHERE v IS NOT NULL GROUP BY 1, 2
+        |), w AS (
+        |  SELECT grp, v, c,
+        |    sum(c) OVER (PARTITION BY grp ORDER BY v
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY grp) AS n
+        |  FROM c
+        |), med AS (
+        |  SELECT grp AS lang, min(v) AS med FROM w
+        |  WHERE cum >= ceil(CAST(0.5 AS DOUBLE) * n) GROUP BY grp
+        |)
+        |SELECT doc_id, d.lang, v, coalesce(v, med) AS v_imputed,
+        |  CAST(v IS NULL AS INT) AS was_imputed
+        |FROM dv d JOIN med m ON m.lang = d.lang""".stripMargin,
     // Winsorize: the quantile count-table construction (quantileOracle
     // pattern) pivoted to [lo, hi], then the clamp
     "q_winsorize" ->
