@@ -807,6 +807,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_cust"))
     }),
 
+    // ---- custom physical operator: broadcast stab-lookup interval
+    // join — the stage-(c) tier (LogicalPlan + SparkStrategy +
+    // SparkPlan, strategy injected at session level): interval side
+    // sorted once + prefix-max-hi, each point binary-searches
+    // (O(log m) vs BroadcastNestedLoopJoin's O(m) per row); same
+    // result as q_range_join's bucketed shape, same oracle
+    "q_interval_lookup" -> ((s, dir) => {
+      val s2 = s.newSession()
+      s2.experimental.extraStrategies ++=
+        Seq(graft.plans.PointIntervalJoinStrategy)
+      val sup = s2.read.parquet(t(dir, "supplier"))
+        .select(col("s_suppkey"),
+          (col("s_acctbal") - 500).as("lo"), (col("s_acctbal") + 500).as("hi"))
+      val cust = s2.read.parquet(t(dir, "customer"))
+        .select(col("c_custkey"), col("c_acctbal"))
+      graft.plans.PointIntervalJoin.lookup(cust, "c_acctbal", sup, "lo", "hi")
+        .groupBy(col("s_suppkey"))
+        .agg(count(lit(1)).as("n_cust"))
+    }),
+
     // ---- dedup (exact): normalize + hash + group
     "q_dedup_exact" -> ((s, dir) =>
       s.read.parquet(t(dir, "documents"))
@@ -4027,6 +4047,11 @@ object SparkEntry {
         |JOIN customer ON c_acctbal >= s_acctbal - 500 AND c_acctbal <= s_acctbal + 500
         |GROUP BY s_suppkey""".stripMargin,
     "q_rangejoin_rule" ->
+      """SELECT s_suppkey, count(*) AS n_cust FROM supplier
+        |JOIN customer ON c_acctbal >= s_acctbal - 500 AND c_acctbal <= s_acctbal + 500
+        |GROUP BY s_suppkey""".stripMargin,
+    // Stab-lookup exec: the same plain theta-join ground truth
+    "q_interval_lookup" ->
       """SELECT s_suppkey, count(*) AS n_cust FROM supplier
         |JOIN customer ON c_acctbal >= s_acctbal - 500 AND c_acctbal <= s_acctbal + 500
         |GROUP BY s_suppkey""".stripMargin,

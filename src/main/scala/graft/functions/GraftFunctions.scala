@@ -91,5 +91,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // no-op until spark.graft.rangeJoin.width is set, so global
     // injection is safe
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
+    // plans the PointIntervalJoin logical node (stage-(c) custom
+    // operator); matches nothing else, so global injection is safe
+    ext.injectPlannerStrategy(_ => graft.plans.PointIntervalJoinStrategy)
   }
 }

@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Minimal bridge to the `private[sql]` Dataset constructor — the
+  * standard seam every Spark extension library uses to wrap a custom
+  * LogicalPlan node into a public DataFrame. Lives in the
+  * `org.apache.spark.sql` namespace solely for that access; contains
+  * no logic.
+  */
+object PlanBridge {
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+}
