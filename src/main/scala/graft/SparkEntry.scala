@@ -827,6 +827,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_cust"))
     }),
 
+    // ---- join surface: NULL-safe equi-join (<=>) — null keys match
+    // each other (IS NOT DISTINCT FROM), the semantics record-linkage
+    // on optional keys needs; stays a hash-joinable equality (null-safe
+    // equality is still an equi-key), never a theta join
+    "q_null_safe_join" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+      val a = docs.select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, lit(null).cast("string"))
+          .otherwise(col("lang")).as("k"))
+      val b = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("b_id"),
+          when(col("doc_id") % 5 === 0, lit(null).cast("string"))
+            .otherwise(col("lang")).as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("b_n"))
+      a.join(b, a("k") <=> b("k"))
+        .select(col("doc_id"), a("k").as("k"), col("b_n"))
+    }),
+
     // ---- dedup (exact): normalize + hash + group
     "q_dedup_exact" -> ((s, dir) =>
       s.read.parquet(t(dir, "documents"))
@@ -4050,6 +4068,19 @@ object SparkEntry {
       """SELECT s_suppkey, count(*) AS n_cust FROM supplier
         |JOIN customer ON c_acctbal >= s_acctbal - 500 AND c_acctbal <= s_acctbal + 500
         |GROUP BY s_suppkey""".stripMargin,
+    // Null-safe join: IS NOT DISTINCT FROM replay
+    "q_null_safe_join" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS k
+        |  FROM documents
+        |), b AS (
+        |  SELECT CASE WHEN doc_id % 5 = 0 THEN NULL ELSE lang END AS k,
+        |    count(*) AS b_n
+        |  FROM documents WHERE doc_id % 3 = 0 GROUP BY 1
+        |)
+        |SELECT a.doc_id, a.k, b.b_n
+        |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k""".stripMargin,
     // Stab-lookup exec: the same plain theta-join ground truth
     "q_interval_lookup" ->
       """SELECT s_suppkey, count(*) AS n_cust FROM supplier
