@@ -1930,6 +1930,35 @@ object SparkEntry {
         .withColumn("is_outlier", (col("cos_sim") < 0.1).cast("int"))
     }),
 
+    // ---- decontamination (semantic): corpus vectors too close (in
+    // cosine) to ANY eval-set vector — the embedding-space complement
+    // of q_decontaminate's n-gram overlap (catches paraphrased eval
+    // leakage n-grams miss); eval side broadcast (eval sets are small),
+    // best match by max(struct(cos, -eval_id)) — deterministic ties
+    "q_decontaminate_sem" -> ((s, dir) => {
+      val emb = s.read.parquet(t(dir, "embeddings"))
+      val eval_ = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("eval_id"), col("embedding").as("ev"))
+      val corpus = emb.filter(col("vec_id") % 100 =!= 0)
+        .select(col("vec_id"), col("embedding"))
+      corpus.crossJoin(broadcast(eval_))
+        .select(col("vec_id"), col("eval_id"),
+          (expr("aggregate(sequence(1, size(embedding)), 0.0D, (acc, i) -> " +
+            "acc + cast(element_at(embedding, i) as double) * " +
+            "cast(element_at(ev, i) as double))") /
+            (sqrt(expr("aggregate(sequence(1, size(embedding)), 0.0D, (acc, i) -> " +
+              "acc + cast(element_at(embedding, i) as double) * " +
+              "cast(element_at(embedding, i) as double))")) *
+              sqrt(expr("aggregate(sequence(1, size(ev)), 0.0D, (acc, i) -> " +
+                "acc + cast(element_at(ev, i) as double) * " +
+                "cast(element_at(ev, i) as double))")))).as("cos"))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("cos"), (-col("eval_id")).as("ne"))).as("b"))
+        .select(col("vec_id"), (-col("b.ne")).as("best_eval_id"),
+          col("b.cos").as("best_cos"),
+          (col("b.cos") >= 0.25).cast("int").as("contaminated"))
+    }),
+
     // ---- runtime filter: Bloom-pruned equi-join (probe rows that
     // cannot match are dropped before the join shuffle; output is
     // byte-identical to the plain join, which is what the oracle
@@ -5079,6 +5108,30 @@ object SparkEntry {
         |SELECT label, CAST(i AS INTEGER) AS i, count(*) AS n,
         |  CAST(sum(xm) AS DOUBLE) / 1000000.0 / count(*) AS mean_x
         |FROM e GROUP BY label, i""".stripMargin,
+    // Semantic decontamination: index-ordered cosine folds + the
+    // (cos DESC, eval_id ASC) argmax replay
+    "q_decontaminate_sem" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        |), ev AS (
+        |  SELECT vec_id AS eval_id, e AS evv FROM v WHERE vec_id % 100 = 0
+        |), cp AS (
+        |  SELECT vec_id, e FROM v WHERE vec_id % 100 <> 0
+        |), p AS (
+        |  SELECT vec_id, eval_id,
+        |    list_sum(list_transform(range(1, len(e) + 1), i -> e[i] * evv[i])) /
+        |      (sqrt(list_sum(list_transform(range(1, len(e) + 1), i -> e[i] * e[i]))) *
+        |       sqrt(list_sum(list_transform(range(1, len(evv) + 1), i -> evv[i] * evv[i]))))
+        |      AS cos
+        |  FROM cp CROSS JOIN ev
+        |)
+        |SELECT vec_id, eval_id AS best_eval_id, cos AS best_cos,
+        |  CAST(cos >= 0.25 AS INT) AS contaminated
+        |FROM (
+        |  SELECT vec_id, eval_id, cos, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY cos DESC, eval_id ASC) AS rn
+        |  FROM p
+        |) WHERE rn = 1""".stripMargin,
     // Embedding outliers: the same fixed-point centroid, then the
     // index-ordered cosine fold (list_sum over list_transform — the
     // randomProject replay discipline); IEEE division chain verbatim
