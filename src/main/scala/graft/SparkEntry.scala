@@ -1077,6 +1077,16 @@ object SparkEntry {
           col("nb_sum").cast("double") / col("deg"))
     }),
 
+    // ---- corpus construction: EXACT-size proportional mixture —
+    // largest-remainder (Hamilton) apportionment of 200 seats over the
+    // (lang, source) shares, then the quota lowest-hash docs per group;
+    // rate sampling wobbles binomially, a budgeted run must not
+    "q_mix_exact" -> ((s, dir) =>
+      graft.corpus.Allocation.proportionalSelect(
+        s.read.parquet(t(dir, "documents"))
+          .select(col("doc_id"), col("lang")),
+        "lang", "doc_id", total = 200L)),
+
     // ---- corpus construction: dedup-AWARE k-fold split — the
     // train/test-leakage guard: folds hash the near-dup CLUSTER id
     // (not the doc id), so paraphrase/boilerplate near-duplicates can
@@ -4557,6 +4567,36 @@ object SparkEntry {
         |  CAST(sum(d.n_chars) AS DOUBLE) / count(*) AS nb_mean
         |FROM e JOIN documents d ON d.doc_id = e.dst
         |GROUP BY e.src""".stripMargin,
+    // Exact mixture: the same apportionment (floor + largest-remainder
+    // seats by (frac desc, lang asc)) and hash-ranked selection
+    "q_mix_exact" ->
+      """WITH c AS (
+        |  SELECT lang, count(*) AS n FROM documents GROUP BY lang
+        |), t AS (SELECT sum(n) AS nn FROM c
+        |), q0 AS (
+        |  SELECT lang, n,
+        |    CAST(200 AS DOUBLE) * CAST(n AS DOUBLE) / CAST(nn AS DOUBLE) AS exact,
+        |    CAST(floor(CAST(200 AS DOUBLE) * CAST(n AS DOUBLE)
+        |      / CAST(nn AS DOUBLE)) AS BIGINT) AS base
+        |  FROM c CROSS JOIN t
+        |), q1 AS (
+        |  SELECT lang, base, exact - base AS frac,
+        |    200 - sum(base) OVER () AS leftover,
+        |    row_number() OVER (ORDER BY exact - base DESC, lang ASC) AS seat
+        |  FROM q0
+        |), quota AS (
+        |  SELECT lang,
+        |    base + CASE WHEN seat <= leftover THEN 1 ELSE 0 END AS quota
+        |  FROM q1
+        |), r AS (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY CAST('0x' || substr(md5('alloc:' ||
+        |      CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT), doc_id) AS sel_rank
+        |  FROM documents
+        |)
+        |SELECT doc_id, r.lang, CAST(sel_rank AS INT) AS sel_rank
+        |FROM r JOIN quota q ON q.lang = r.lang
+        |WHERE sel_rank <= quota""".stripMargin,
     // Dedup-aware folds: recursive components + portable-hash fold of
     // the cluster id (singletons hash their own id)
     "q_fold_assign" ->
