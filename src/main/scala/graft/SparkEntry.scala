@@ -1087,6 +1087,58 @@ object SparkEntry {
           .select(col("doc_id"), col("lang")),
         "lang", "doc_id", total = 200L)),
 
+    // ---- corpus construction: DSIR importance-resampling selection —
+    // "make the crawl look like the target": hashed-unigram (1024
+    // buckets) log-likelihood-ratio weights in integer MICRO-NATS
+    // (exact BIGINT dot product, order-immune), target = lang='en',
+    // top-100 by (weight desc, doc_id) via distributed TakeOrdered
+    "q_dsir_select" -> ((s, dir) =>
+      graft.corpus.Dsir.selectTop(
+        s.read.parquet(t(dir, "documents"))
+          .select(col("doc_id"), col("lang"), col("text")),
+        "doc_id", "text", isTarget = col("lang") === "en", n = 100)),
+
+    // ---- interleaved multimodal: figure→caption association — each
+    // media span pairs with its nearest text span (following first,
+    // else preceding) in ONE per-doc window pass, O(1) state; the
+    // oracle replays the quadratic media×text min-join the engine
+    // avoids. Pre-media decoration (an extra media span at offset -1
+    // for doc n%3==0) exercises the 'next' arm — the synthesized corpus
+    // otherwise always closes with media, which only exercises 'prev'
+    "q_caption_assoc" -> ((s, dir) => {
+      val sp = SpanGen.fromDocuments(s, dir).toDF()
+        .select(col("doc_id"), explode(col("spans")).as("sp"))
+        .select(col("doc_id"), col("sp.offset").as("offset"),
+          col("sp.kind").as("kind"), col("sp.text").as("text"),
+          col("sp.media_ref").as("media_ref"))
+      val pre = sp.select(col("doc_id")).distinct()
+        .filter(substring(col("doc_id"), 5, 100).cast("long") % 3 === 0)
+        .select(col("doc_id"), lit(-1).as("offset"), lit("media").as("kind"),
+          lit("").as("text"), concat(lit("media://pre/"), col("doc_id")).as("media_ref"))
+      graft.corpus.Interleave.captionAssoc(sp.unionByName(pre),
+        "doc_id", "offset", "kind", "text", "media_ref")
+    }),
+
+    // ---- boilerplate: per-source positional header/footer template
+    // strip — a line in the first/last 2 lines of >=30% (integer
+    // cross-multiplied) of one source's docs is that site's template;
+    // complements q_line_dedup's global-frequency cut. 60% of docs get
+    // a per-source banner+footer so detection has signal and 40%
+    // verify the no-false-positive side
+    "q_header_footer" -> ((s, dir) =>
+      graft.dedup.Boilerplate.headerFooterStrip(
+        withSiteTemplates(s.read.parquet(t(dir, "documents"))),
+        "doc_id", "source", "t")),
+
+    // ---- boilerplate: the template AUDIT — which (source, line,
+    // side) templates the strip WILL cut, with doc counts: the
+    // inspect-before-delete surface (same no-silent-action discipline
+    // as the LSH cap audits)
+    "q_boiler_audit" -> ((s, dir) =>
+      graft.dedup.Boilerplate.templateAudit(
+        withSiteTemplates(s.read.parquet(t(dir, "documents"))),
+        "doc_id", "source", "t")),
+
     // ---- corpus construction: dedup-AWARE k-fold split — the
     // train/test-leakage guard: folds hash the near-dup CLUSTER id
     // (not the doc id), so paraphrase/boilerplate near-duplicates can
@@ -3034,6 +3086,18 @@ object SparkEntry {
       lit("\n"), col("text"), lit("\n\ncopyright "), col("source"),
       lit("\nref "), col("doc_id").cast("string")).as("t"))
 
+  /** Per-SOURCE banner + footer on 60% of each source's docs (the
+    * header/footer template-strip fixture): enough share to clear the
+    * 30% detection threshold, with 40% of docs undecorated so a false
+    * positive would change their output row.
+    */
+  private def withSiteTemplates(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), col("source"),
+      when(col("doc_id") % 5 < 3, concat(
+        lit("NAV "), col("source"), lit(" MENU\n"), col("text"),
+        lit("\n(c) "), col("source"), lit(" footer")))
+        .otherwise(col("text")).as("t"))
+
   /** Deterministic absolute URL per document: every third doc gets a
     * cdn. subdomain so registeredDomain must actually strip it.
     */
@@ -4597,6 +4661,98 @@ object SparkEntry {
         |SELECT doc_id, r.lang, CAST(sel_rank AS INT) AS sel_rank
         |FROM r JOIN quota q ON q.lang = r.lang
         |WHERE sel_rank <= quota""".stripMargin,
+    // DSIR replay: same hashed-unigram buckets, same add-one smoothing,
+    // same micro-nat discretization of every ln — the weight is an
+    // exact BIGINT both sides; top-100 by (weight desc, doc_id)
+    "q_dsir_select" ->
+      """WITH tok AS (
+        |  SELECT doc_id, (lang = 'en') AS tgt,
+        |    unnest(string_split(text, ' ')) AS tk
+        |  FROM documents
+        |), bk AS (
+        |  SELECT doc_id, tgt,
+        |    CAST('0x' || substr(md5('dsir:' || tk), 1, 15) AS BIGINT) % 1024 AS b
+        |  FROM tok WHERE tk <> ''
+        |), pd AS (
+        |  SELECT doc_id, tgt, b, count(*) AS c FROM bk GROUP BY 1, 2, 3
+        |), mdl AS (
+        |  SELECT b, sum(c) AS r, sum(CASE WHEN tgt THEN c ELSE 0 END) AS tc
+        |  FROM pd GROUP BY b
+        |), mdl2 AS (
+        |  SELECT b,
+        |    CAST(floor(ln(CAST(tc + 1 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+        |      - CAST(floor(ln(CAST(r + 1 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS diff,
+        |    CAST(floor(ln(CAST(sum(r) OVER () + 1024 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+        |      - CAST(floor(ln(CAST(sum(tc) OVER () + 1024 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS cst
+        |  FROM mdl
+        |), sc AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+        |    CAST(sum(c * diff) + sum(c) * max(cst) AS BIGINT) AS weight_mn
+        |  FROM pd JOIN mdl2 USING (b) GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_tok, weight_mn FROM sc
+        |ORDER BY weight_mn DESC, doc_id ASC LIMIT 100""".stripMargin,
+    // Caption association replay: the quadratic media x text min/max
+    // join ground truth (the engine uses one windowed pass instead),
+    // same pre-media decoration from the dumped span table
+    "q_caption_assoc" ->
+      """WITH sp0 AS (
+        |  SELECT doc_id, "offset", kind, text, media_ref
+        |  FROM '{OUT}/spans_input/*.parquet'
+        |), pre AS (
+        |  SELECT DISTINCT doc_id, -1 AS "offset", 'media' AS kind,
+        |    '' AS text, 'media://pre/' || doc_id AS media_ref
+        |  FROM sp0 WHERE CAST(substr(doc_id, 5) AS BIGINT) % 3 = 0
+        |), sp AS (
+        |  SELECT * FROM sp0 UNION ALL SELECT * FROM pre
+        |), m AS (
+        |  SELECT doc_id, "offset" AS media_offset, media_ref
+        |  FROM sp WHERE kind = 'media'
+        |), tx AS (
+        |  SELECT doc_id, "offset" AS toff, text FROM sp WHERE kind = 'text'
+        |), nx AS (
+        |  SELECT m.doc_id, m.media_offset, m.media_ref, min(t.toff) AS noff
+        |  FROM m LEFT JOIN tx t
+        |    ON t.doc_id = m.doc_id AND t.toff > m.media_offset
+        |  GROUP BY 1, 2, 3
+        |), pv AS (
+        |  SELECT m.doc_id, m.media_offset, max(t.toff) AS poff
+        |  FROM m LEFT JOIN tx t
+        |    ON t.doc_id = m.doc_id AND t.toff < m.media_offset
+        |  GROUP BY 1, 2
+        |), j AS (
+        |  SELECT n.doc_id, n.media_offset, n.media_ref, n.noff, p.poff,
+        |    coalesce(n.noff, p.poff) AS cap_offset
+        |  FROM nx n JOIN pv p
+        |    ON p.doc_id = n.doc_id AND p.media_offset = n.media_offset
+        |)
+        |SELECT j.doc_id, CAST(j.media_offset AS INT) AS media_offset,
+        |  j.media_ref, CAST(j.cap_offset AS INT) AS cap_offset,
+        |  t.text AS cap_text,
+        |  CASE WHEN j.noff IS NOT NULL THEN 'next'
+        |       WHEN j.poff IS NOT NULL THEN 'prev'
+        |       ELSE 'none' END AS cap_dir
+        |FROM j LEFT JOIN tx t
+        |  ON t.doc_id = j.doc_id AND t.toff = j.cap_offset""".stripMargin,
+    // Header/footer strip replay: same decoration, same edge-line
+    // template detection with the integer cross-multiplied threshold,
+    // order-preserving rebuild of kept lines (blanks preserved)
+    "q_header_footer" ->
+      (siteTemplateCtes +
+        """SELECT doc_id,
+          |  coalesce(string_agg(CASE WHEN NOT dropped THEN line END,
+          |    chr(10) ORDER BY pos), '') AS text_clean,
+          |  CAST(count(CASE WHEN dropped THEN 1 END) AS BIGINT) AS n_dropped
+          |FROM mk GROUP BY doc_id""".stripMargin),
+    // Template audit replay: the hdr/ftr detection CTEs surfaced as
+    // their own rows
+    "q_boiler_audit" ->
+      (siteTemplateCtes +
+        """SELECT source, k AS template, 'header' AS side,
+          |  CAST(nd AS BIGINT) AS n_docs FROM hdr
+          |UNION ALL
+          |SELECT source, k AS template, 'footer' AS side,
+          |  CAST(nd AS BIGINT) AS n_docs FROM ftr""".stripMargin),
     // Dedup-aware folds: recursive components + portable-hash fold of
     // the cluster id (singletons hash their own id)
     "q_fold_assign" ->
@@ -6729,6 +6885,51 @@ object SparkEntry {
     * multi-line text and the exploded non-empty-line view (`ne`:
     * doc_id, pos, line, k = lower(trim(line))).
     */
+  /** Shared CTE chain for the header/footer template oracles: per-source
+    * banner decoration (doc_id%5<3), line explode with per-doc counts,
+    * edge-line template detection at the 3/10 integer threshold (`hdr`/
+    * `ftr`: source, k, nd), and the per-line drop marking (`mk`).
+    */
+  private val siteTemplateCtes: String =
+    """WITH raw AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN doc_id % 5 < 3
+      |      THEN 'NAV ' || source || ' MENU' || chr(10) || text
+      |        || chr(10) || '(c) ' || source || ' footer'
+      |      ELSE text END AS t
+      |  FROM documents
+      |), parts AS (
+      |  SELECT doc_id, source, string_split(t, chr(10)) AS ls FROM raw
+      |), lines AS (
+      |  SELECT doc_id, source, unnest(range(len(ls))) AS pos,
+      |    unnest(ls) AS line
+      |  FROM parts
+      |), tg AS (
+      |  SELECT doc_id, source, pos, line, lower(trim(line)) AS k,
+      |    count(*) OVER (PARTITION BY doc_id) AS n
+      |  FROM lines
+      |), ssz AS (
+      |  SELECT source, count(*) AS nsrc FROM documents GROUP BY source
+      |), hdr AS (
+      |  SELECT source, k, nd FROM (
+      |    SELECT source, k, count(DISTINCT doc_id) AS nd
+      |    FROM tg WHERE pos < 2 AND k <> '' GROUP BY source, k
+      |  ) JOIN ssz USING (source) WHERE nd * 10 >= nsrc * 3
+      |), ftr AS (
+      |  SELECT source, k, nd FROM (
+      |    SELECT source, k, count(DISTINCT doc_id) AS nd
+      |    FROM tg WHERE pos >= n - 2 AND k <> '' GROUP BY source, k
+      |  ) JOIN ssz USING (source) WHERE nd * 10 >= nsrc * 3
+      |), mk AS (
+      |  SELECT t.doc_id, t.pos, t.line,
+      |    ((t.pos < 2 AND h.k IS NOT NULL)
+      |      OR (t.pos >= t.n - 2 AND f.k IS NOT NULL)) AS dropped
+      |  FROM tg t
+      |  LEFT JOIN hdr h ON h.source = t.source AND h.k = t.k
+      |  LEFT JOIN ftr f ON f.source = t.source AND f.k = t.k
+      |)
+      |""".stripMargin
+
   private val lineDedupCtes: String =
     """WITH raw AS (
       |  SELECT doc_id,

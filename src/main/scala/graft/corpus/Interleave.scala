@@ -37,4 +37,44 @@ object Interleave {
         min_by(col("__kind"), col(posCol)).as("first_kind"),
         max_by(col("__kind"), col(posCol)).as("last_kind"))
   }
+
+  /** Caption association over an interleaved span table: each media
+    * span pairs with its NEAREST text span — the immediately following
+    * text span when one exists (captions follow figures in reading
+    * order), else the immediately preceding one, else no caption
+    * (`cap_dir` = "next" / "prev" / "none"). The figure→caption pairing
+    * is what a multimodal training pipeline feeds image-text
+    * contrastive or captioning objectives from interleaved documents.
+    *
+    * Scale shape: ONE shuffle (the per-doc window sort); both lookups
+    * are running first/last-non-null frames over that sort, so per-doc
+    * state is O(1) and a million-span doc never assembles in memory —
+    * no self-join of media against text spans (the replay the oracle
+    * uses) ever runs in the engine.
+    */
+  def captionAssoc(spans: DataFrame, idCol: String, posCol: String,
+      kindCol: String, textCol: String, refCol: String): DataFrame = {
+    val asc = Window.partitionBy(idCol).orderBy(col(posCol).asc)
+    val textOff = when(col(kindCol) === "text", col(posCol))
+    val textVal = when(col(kindCol) === "text", col(textCol))
+    val tagged = spans
+      // next text span: first non-null strictly after this row
+      .withColumn("__noff", first(textOff, ignoreNulls = true)
+        .over(asc.rowsBetween(1, Window.unboundedFollowing)))
+      .withColumn("__ntext", first(textVal, ignoreNulls = true)
+        .over(asc.rowsBetween(1, Window.unboundedFollowing)))
+      // previous text span: last non-null strictly before this row
+      .withColumn("__poff", last(textOff, ignoreNulls = true)
+        .over(asc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__ptext", last(textVal, ignoreNulls = true)
+        .over(asc.rowsBetween(Window.unboundedPreceding, -1)))
+    tagged.filter(col(kindCol) === "media")
+      .select(col(idCol), col(posCol).as("media_offset"),
+        col(refCol).as("media_ref"),
+        coalesce(col("__noff"), col("__poff")).as("cap_offset"),
+        coalesce(col("__ntext"), col("__ptext")).as("cap_text"),
+        when(col("__noff").isNotNull, lit("next"))
+          .when(col("__poff").isNotNull, lit("prev"))
+          .otherwise(lit("none")).as("cap_dir"))
+  }
 }

@@ -23,6 +23,22 @@ object VerifyOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // dump the span-input tables any wanted oracle references, exactly
+    // as graft.Verify does (the {OUT}/spans_*_input parquet dirs)
+    locally {
+      import org.apache.spark.sql.functions.{col, explode}
+      def dump(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+        df.select(col("doc_id"), explode(col("spans")).as("s"))
+          .select(col("doc_id"), col("s.offset").as("offset"),
+            col("s.kind").as("kind"), col("s.text").as("text"),
+            col("s.media_ref").as("media_ref"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      val sqls = graft.SparkEntry.oracleSql.filter { case (k, _) => wanted(k) }.values
+      if (sqls.exists(_.contains("{OUT}/spans_input")))
+        dump(graft.fixtures.SpanGen.fromDocuments(spark, sfDir).toDF(), "spans_input")
+      if (sqls.exists(_.contains("{OUT}/spans_adv_input")))
+        dump(graft.fixtures.SpanGen.adversarialDocs(spark).toDF(), "spans_adv_input")
+    }
     wanted.foreach { name =>
       graft.SparkEntry.queries(name)(spark, sfDir)
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
