@@ -547,6 +547,48 @@ object SparkEntry {
           coalesce(col("n"), lit(0L)).as("n_events"))
     }),
 
+    // ---- WINDOWED ordered-funnel completion: view -> click ->
+    // purchase within 7 days of the first view, strictly-increasing
+    // timestamps (greedy earliest-first == chained-min, strict-> makes
+    // ties irrelevant). Distinct from q_funnel's unwindowed join-chain
+    // shape in BOTH semantics (conversion window) and plan: ONE
+    // groupBy(user) shuffle + a record-local integer-us fold, vs three
+    // keyed aggregations + two user-keyed joins
+    "q_funnel_window" -> ((s, dir) =>
+      graft.operators.Funnel.completion(
+        s.read.parquet(t(dir, "events"))
+          .select(col("user_id"), col("event_type"),
+            expr("unix_micros(cast(ts as timestamp))").as("us")),
+        "user_id", "event_type", "us",
+        Seq("view", "click", "purchase"), windowUs = 604800000000L)),
+
+    // ---- DDSketch mergeable quantile sketch: log-spaced integer
+    // buckets (micro-nat ln div precomputed width 20001 = alpha 0.01)
+    // per event_type, p50/p90/p99 read back by integer-cross-multiplied
+    // rank — the bounded-histogram quantile path that MERGES by adding
+    // counts, vs the exact count-table construction's full shuffle
+    "q_ddsketch" -> ((s, dir) => {
+      val sk = graft.operators.DdSketch.sketch(
+        s.read.parquet(t(dir, "events")).select(col("event_type"), col("value")),
+        "event_type", "value")
+      graft.operators.DdSketch.quantiles(sk, "event_type",
+        Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))
+    }),
+
+    // ---- event transition counts: per-user consecutive event-type
+    // pairs under the (us, event_id) total order (the Markov/path
+    // matrix over sessions); one window pass + one counts shuffle
+    "q_event_transitions" -> ((s, dir) => {
+      val ev = s.read.parquet(t(dir, "events"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("unix_micros(cast(ts as timestamp))").as("us"))
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      ev.withColumn("dst_type", lead(col("event_type"), 1).over(w))
+        .filter(col("dst_type").isNotNull)
+        .groupBy(col("event_type").as("src_type"), col("dst_type"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // ---- SCD2 validity intervals from a change log: runs of the same
     // per-user event_type compress to one row with [valid_from,
     // valid_to) from lag-change detection + lead; open current rows
@@ -4092,6 +4134,69 @@ object SparkEntry {
         |)
         |SELECT days.user_id, days.day, COALESCE(n, 0) AS n_events
         |FROM days LEFT JOIN perday ON days.user_id = perday.user_id AND days.day = perday.day""".stripMargin,
+    // Windowed-funnel replay: the chained-min ground truth (t_{i+1} =
+    // earliest strictly-later qualifying event within the 7-day window
+    // of t1) — the engine's greedy sorted fold is equivalent by
+    // construction
+    "q_funnel_window" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type AS typ, epoch_us(ts) AS us FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')
+        |), s1 AS (
+        |  SELECT user_id, min(us) AS t1 FROM ev WHERE typ = 'view' GROUP BY 1
+        |), s2 AS (
+        |  SELECT e.user_id, min(e.us) AS t2 FROM ev e JOIN s1 USING (user_id)
+        |  WHERE e.typ = 'click' AND e.us > s1.t1
+        |    AND e.us <= s1.t1 + 604800000000 GROUP BY 1
+        |), s3 AS (
+        |  SELECT e.user_id, min(e.us) AS t3
+        |  FROM ev e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+        |  WHERE e.typ = 'purchase' AND e.us > s2.t2
+        |    AND e.us <= s1.t1 + 604800000000 GROUP BY 1
+        |), u AS (SELECT DISTINCT user_id FROM ev)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+        |            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS n_stages,
+        |  t1 AS t_first_us, coalesce(t3, t2, t1) AS t_last_us
+        |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |  LEFT JOIN s3 USING (user_id)""".stripMargin,
+    // DDSketch replay: same micro-nat ln grid, same positive shift and
+    // precomputed 20001 width (floor division — operands positive, so
+    // DuckDB // and Spark div agree), same integer rank condition
+    "q_ddsketch" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    (CAST(floor(ln(value) * 1000000 + 0.5) AS BIGINT)
+        |      + 1000000000) // 20001 AS bin
+        |  FROM events WHERE value > 0
+        |), c AS (
+        |  SELECT event_type, bin, count(*) AS cnt FROM b GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT event_type, bin,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM c
+        |), qs AS (
+        |  SELECT * FROM (VALUES ('p50', 1, 2), ('p90', 9, 10),
+        |    ('p99', 99, 100)) q(q_label, num, den)
+        |)
+        |SELECT event_type, q_label, min(bin) AS bin,
+        |  min(bin) * 20001 - 1000000000 AS lo_mn, max(n) AS n
+        |FROM cum CROSS JOIN qs
+        |WHERE cum * den >= n * num
+        |GROUP BY 1, 2""".stripMargin,
+    // Transition-matrix replay: lead over the same (us, event_id)
+    // total order
+    "q_event_transitions" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+        |), l AS (
+        |  SELECT event_type AS src_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS dst_type
+        |  FROM ev
+        |)
+        |SELECT src_type, dst_type, count(*) AS n_pairs
+        |FROM l WHERE dst_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
     "q_scd2" ->
       """WITH ev AS (
         |  SELECT user_id, event_type, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events

@@ -1,7 +1,6 @@
 package graft.corpus
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.PortableHash
 
@@ -57,12 +56,15 @@ object Dsir {
     // this compact frame without a second pass over the tokens
     val perDoc = bkt.groupBy(col(idCol), col("__tgt"), col("__b"))
       .agg(count(lit(1)).as("__c"))
-    val totW = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val model = perDoc.groupBy(col("__b"))
+    val perBucket = perDoc.groupBy(col("__b"))
       .agg(sum(col("__c")).as("__r"),
         sum(when(col("__tgt"), col("__c")).otherwise(0L)).as("__tc"))
-      .withColumn("__rtot", sum(col("__r")).over(totW))
-      .withColumn("__ttot", sum(col("__tc")).over(totW))
+    // corpus totals as a broadcast 1-row cross join, not an unbounded
+    // window: same integer sums, but the plan never funnels the model
+    // frame through a single WindowExec partition
+    val totals = perBucket.agg(
+      sum(col("__r")).as("__rtot"), sum(col("__tc")).as("__ttot"))
+    val model = perBucket.crossJoin(broadcast(totals))
       .select(col("__b"),
         (mnLn(col("__tc") + 1) - mnLn(col("__r") + 1)).as("__diff"),
         (mnLn(col("__rtot") + buckets) - mnLn(col("__ttot") + buckets)).as("__const"))

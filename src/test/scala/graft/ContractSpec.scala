@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards on the SparkEntry driver contract itself.
+  *
+  * Scala Map literals silently keep only the LAST binding for a
+  * duplicated key, so a query accidentally defined twice (or an oracle
+  * added for an already-oracled name) never fails compilation — the
+  * engine and the oracle can silently resolve to DIFFERENT entries.
+  * The source-scan test makes that a hard failure.
+  */
+class ContractSpec extends AnyFunSuite {
+
+  test("every query has exactly one oracle and vice versa") {
+    val q = SparkEntry.queries.keySet
+    // the two span-input identity oracles are oracle-only by design:
+    // graft.Verify dumps those tables directly, not via a query
+    val o = SparkEntry.oracleSql.keySet -- Set("spans_input", "spans_adv_input")
+    assert((o -- q).isEmpty, s"oracles without a query: ${(o -- q).toSeq.sorted}")
+    assert((q -- o).isEmpty, s"queries without an oracle: ${(q -- o).toSeq.sorted}")
+  }
+
+  test("no silently-overridden duplicate keys in the SparkEntry maps") {
+    val src = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("src/main/scala/graft/SparkEntry.scala"))
+    val entry = """(?m)^    "([A-Za-z0-9_]+)" ->""".r
+    val counts = entry.findAllMatchIn(src).map(_.group(1)).toSeq
+      .groupBy(identity).view.mapValues(_.size)
+    // each name may appear at most twice: once in queries, once in
+    // oracleSql; a third occurrence means one map holds a duplicate
+    // binding that Scala dropped silently
+    val dups = counts.filter(_._2 > 2).keys.toSeq.sorted
+    assert(dups.isEmpty, s"duplicate map keys (silent override): $dups")
+    // and every parsed name must actually have survived into the maps
+    val known = SparkEntry.queries.keySet ++ SparkEntry.oracleSql.keySet
+    val lost = counts.keys.filterNot(known).toSeq.sorted
+    assert(lost.isEmpty, s"map-entry-shaped keys not present in either map: $lost")
+  }
+}

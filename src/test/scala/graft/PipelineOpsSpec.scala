@@ -126,6 +126,121 @@ class PipelineOpsSpec extends AnyFunSuite {
       ("a", "(c) sitea", "footer", 8L)))
   }
 
+  // ---- funnel ----------------------------------------------------------
+
+  private def funnel(rows: Seq[(Long, String, Long)], windowUs: Long = Long.MaxValue) = {
+    import spark.implicits._
+    graft.operators.Funnel.completion(
+      rows.toDF("user_id", "event_type", "us"),
+      "user_id", "event_type", "us", Seq("a", "b", "c"), windowUs)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))))
+      .toMap
+  }
+
+  test("funnel advances strictly in time, binds earliest qualifying event") {
+    val out = funnel(Seq(
+      (1L, "a", 10L), (1L, "b", 20L), (1L, "c", 30L),  // full funnel
+      (2L, "b", 5L), (2L, "a", 10L), (2L, "c", 15L),   // b before a: c still after a? b never re-fires
+      (3L, "a", 10L), (3L, "b", 10L),                  // tie: b NOT strictly after a
+      (4L, "b", 1L), (4L, "c", 2L),                    // no stage-1 at all
+      (5L, "a", 10L), (5L, "c", 20L)))                 // skipped stage stays incomplete
+    assert(out(1L) == ((3, 10L, 30L)))
+    assert(out(2L) == ((1, 10L, 10L)))
+    assert(out(3L) == ((1, 10L, 10L)))
+    assert(out(4L) == ((0, -1L, -1L)))
+    assert(out(5L) == ((1, 10L, 10L)))
+  }
+
+  test("funnel window bounds later stages to t1 + W") {
+    val ev = Seq(
+      (1L, "a", 0L), (1L, "b", 50L), (1L, "c", 200L),  // c outside W=100
+      (2L, "a", 0L), (2L, "b", 100L))                  // boundary: inclusive
+    val out = funnel(ev, windowUs = 100L)
+    assert(out(1L) == ((2, 0L, 50L)))
+    assert(out(2L) == ((2, 0L, 100L)))
+    // a LATER in-window b can still fire even when an earlier one missed
+    val out2 = funnel(Seq(
+      (3L, "b", 5L), (3L, "a", 10L), (3L, "b", 60L)), windowUs = 100L)
+    assert(out2(3L) == ((2, 10L, 60L)))
+  }
+
+  test("funnel equals chained-min brute force on random event logs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val types = Array("a", "b", "c", "x")
+    val rows = (0 until 400).map { i =>
+      (rnd.nextInt(25).toLong, types(rnd.nextInt(4)), rnd.nextInt(50).toLong)
+    }
+    val w = 20L
+    // brute force: chained min with strict > and window
+    val byUser = rows.filter(r => r._2 != "x").groupBy(_._1)
+    val expect = byUser.map { case (u, evs) =>
+      val t1 = evs.filter(_._2 == "a").map(_._3).sorted.headOption
+      val t2 = t1.flatMap(t => evs.filter(e => e._2 == "b" && e._3 > t && e._3 <= t1.get + w)
+        .map(_._3).sorted.headOption)
+      val t3 = t2.flatMap(t => evs.filter(e => e._2 == "c" && e._3 > t && e._3 <= t1.get + w)
+        .map(_._3).sorted.headOption)
+      val n = Seq(t1, t2, t3).takeWhile(_.isDefined).size
+      u -> ((n, t1.getOrElse(-1L), t3.orElse(t2).orElse(t1).getOrElse(-1L)))
+    }
+    val got = funnel(rows, windowUs = w)
+    assert(got == expect)
+  }
+
+  // ---- DDSketch --------------------------------------------------------
+
+  test("ddsketch quantile bin contains the exact type-1 quantile") {
+    import spark.implicits._
+    import graft.operators.DdSketch
+    val rnd = new scala.util.Random(7)
+    val vals = (0 until 2000).map(_ => math.exp(rnd.nextGaussian() * 2.0))
+    val df = vals.zipWithIndex.map { case (v, i) => (if (i % 2 == 0) "a" else "b", v) }
+      .toDF("g", "v")
+    val qs = Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+    val out = DdSketch.quantiles(DdSketch.sketch(df, "g", "v"), "g", qs)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    val w = DdSketch.widthMn(0.01)
+    for (g <- Seq("a", "b"); (lbl, num, den) <- qs) {
+      val gv = vals.zipWithIndex.filter { case (_, i) =>
+        (if (i % 2 == 0) "a" else "b") == g }.map(_._1).sorted
+      val exact = gv((num.toLong * gv.size + den - 1).toInt / den - 1) // ceil(q*n)-th, 0-based
+      val exactMn = math.floor(StrictMath.log(exact) * 1e6 + 0.5).toLong
+      val lo = out((g, lbl))
+      assert(exactMn >= lo && exactMn < lo + w,
+        s"$g/$lbl: exact ln-mn $exactMn outside [$lo, ${lo + w})")
+    }
+  }
+
+  test("ddsketch merges by adding counts") {
+    import spark.implicits._
+    import graft.operators.DdSketch
+    val a = (1 to 500).map(i => ("g", i * 0.37)).toDF("g", "v")
+    val b = (1 to 300).map(i => ("g", i * 1.91)).toDF("g", "v")
+    val whole = DdSketch.sketch(a.unionByName(b), "g", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = DdSketch.merge(DdSketch.sketch(a, "g", "v"), DdSketch.sketch(b, "g", "v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == whole)
+  }
+
+  test("ddsketch drops non-positive values and keeps relative error ~alpha") {
+    import spark.implicits._
+    import graft.operators.DdSketch
+    val df = Seq(("g", -1.0), ("g", 0.0), ("g", 100.0), ("g", 101.0), ("g", 102.0))
+      .toDF("g", "v")
+    val sk = DdSketch.sketch(df, "g", "v")
+    assert(sk.agg(sum("cnt")).collect()(0).getLong(0) == 3L)
+    // bucket width == ln(gamma): any two values in one bucket differ by
+    // at most a factor gamma ~ 1 + 2*alpha
+    val q = DdSketch.quantiles(sk, "g", Seq(("p50", 1, 2))).collect()(0)
+    val lo = math.exp(q.getLong(3) / 1e6)
+    val hi = lo * math.exp(DdSketch.widthMn(0.01) / 1e6)
+    assert(lo <= 101.0 && 101.0 < hi * 1.000001)
+  }
+
   test("headerFooterStrip below-threshold template survives") {
     import spark.implicits._
     // only 2 of 10 docs share the banner: under 3/10
