@@ -1571,6 +1571,23 @@ object SparkEntry {
               .as("qscore")),
         "doc_id", "n_tokens", "qscore", budget = 20000L)),
 
+    // ---- corpus: fill-in-the-middle split — two portable-hash cut
+    // points in [0, n] divide each doc into (prefix, middle, suffix),
+    // any segment may be empty (exactly like sampled FIM cuts);
+    // record-local, zero shuffles, reproducible per doc
+    "q_fim_split" -> ((s, dir) =>
+      graft.corpus.Augment.fimSplit(
+        s.read.parquet(t(dir, "documents")).select(col("doc_id"), col("text")),
+        "doc_id", "text")),
+
+    // ---- corpus: contrastive crop pairs — two independent
+    // hash-derived 24-token windows per doc (ICT/Contriever positives);
+    // record-local, zero shuffles, whole doc when shorter
+    "q_crop_pairs" -> ((s, dir) =>
+      graft.corpus.Augment.contrastiveCrops(
+        s.read.parquet(t(dir, "documents")).select(col("doc_id"), col("text")),
+        "doc_id", "text", cropLen = 24)),
+
     // ---- corpus: context-window chunking (overlapping token windows —
     // the step between cleaning and sequence packing; record-local,
     // zero shuffles)
@@ -3826,6 +3843,44 @@ object SparkEntry {
          |SELECT doc_id, n_tokens, qscore, cum_tokens FROM c
          |WHERE cum_tokens <= 20000""".stripMargin
     },
+    // FIM replay: same raw single-space split (empties kept), same
+    // salted 60-bit cuts mod n+1, min/max ordering, list_slice rebuild
+    "q_fim_split" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ls,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, ls, n,
+        |    CAST('0x' || substr(md5('fim:a:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % (n + 1) AS ca,
+        |    CAST('0x' || substr(md5('fim:b:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % (n + 1) AS cb
+        |  FROM tk
+        |)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(list_slice(ls, 1, least(ca, cb)), ' '), '') AS prefix,
+        |  coalesce(array_to_string(list_slice(ls, least(ca, cb) + 1, greatest(ca, cb)), ' '), '') AS middle,
+        |  coalesce(array_to_string(list_slice(ls, greatest(ca, cb) + 1, n), ' '), '') AS suffix,
+        |  CAST(n AS BIGINT) AS n_tok
+        |FROM c""".stripMargin,
+    // Crop-pair replay: same clamped window length and hash offsets
+    "q_crop_pairs" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ls,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, ls, n, least(24, n) AS l FROM tk
+        |), o AS (
+        |  SELECT doc_id, ls, n, l,
+        |    CAST('0x' || substr(md5('crop:a:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % (n - l + 1) AS oa,
+        |    CAST('0x' || substr(md5('crop:b:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % (n - l + 1) AS ob
+        |  FROM c
+        |)
+        |SELECT doc_id,
+        |  array_to_string(list_slice(ls, oa + 1, oa + l), ' ') AS crop_a,
+        |  array_to_string(list_slice(ls, ob + 1, ob + l), ' ') AS crop_b,
+        |  CAST(n AS BIGINT) AS n_tok
+        |FROM o""".stripMargin,
     "q_chunk_docs" ->
       // starts 0, 32, 64, ... while start <= max(n - overlap - 1, 0);
       // chunk_idx = start / stride (starts are exact multiples)

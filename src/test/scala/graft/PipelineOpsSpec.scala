@@ -190,6 +190,54 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  // ---- Augment (FIM, crops) -------------------------------------------
+
+  test("fimSplit: deterministic, and each segment is a contiguous token run") {
+    import spark.implicits._
+    import graft.corpus.Augment
+    val texts = Map(1L -> "a b c d e f g", 2L -> "", 3L -> "solo")
+    val docs = texts.toSeq.toDF("doc_id", "text")
+    def run() = Augment.fimSplit(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))).toMap
+    val rows = run()
+    for ((id, (p, m, sfx, n)) <- rows) {
+      val toks = texts(id).split(" ", -1)
+      assert(n == toks.length.toLong)
+      // prefix/middle/suffix are the three pieces of the token array in
+      // order: joining their token lists reproduces it exactly
+      def tk(s: String): Seq[String] = if (s.isEmpty) Nil else s.split(" ", -1).toSeq
+      val re = tk(p) ++ tk(m) ++ tk(sfx)
+      assert(re == toks.filter(_.nonEmpty).toSeq || re == toks.toSeq, s"doc $id: $re")
+    }
+    assert(rows == run(), "not deterministic")
+  }
+
+  test("fimSplit token-count invariant: |prefix|+|middle|+|suffix| == n") {
+    import spark.implicits._
+    import graft.corpus.Augment
+    val docs = (0 until 50).map(i => (i.toLong, (0 to i % 13).map(j => s"t$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    Augment.fimSplit(docs, "doc_id", "text").collect().foreach { r =>
+      def cnt(s: String) = if (s.isEmpty) 0 else s.split(" ", -1).length
+      val total = cnt(r.getString(1)) + cnt(r.getString(2)) + cnt(r.getString(3))
+      assert(total == r.getLong(4), s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("contrastiveCrops: exact window length, in-doc, whole doc when short") {
+    import spark.implicits._
+    import graft.corpus.Augment
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, long), (2L, "a b c")).toDF("doc_id", "text")
+    val out = Augment.contrastiveCrops(docs, "doc_id", "text", cropLen = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    val (a1, b1) = out(1L)
+    assert(a1.split(" ").length == 10 && b1.split(" ").length == 10)
+    assert(long.contains(a1) && long.contains(b1))
+    assert(out(2L) == (("a b c", "a b c")))
+  }
+
   // ---- DDSketch --------------------------------------------------------
 
   test("ddsketch quantile bin contains the exact type-1 quantile") {
