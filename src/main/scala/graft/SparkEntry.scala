@@ -1161,6 +1161,43 @@ object SparkEntry {
         "doc_id", "offset", "kind", "text", "media_ref")
     }),
 
+    // ---- interleaved multimodal: MULTIMODAL-COST sequence packing —
+    // media spans charge a fixed 16-token vision budget, text spans
+    // their whitespace tokens; per-doc costs aggregate once from the
+    // span table and feed the standard deterministic pack layout
+    // (Packing's explicit token-count seam) at budget 2048 x 8 streams
+    "q_interleave_pack" -> ((s, dir) => {
+      val cost = SpanGen.fromDocuments(s, dir).toDF()
+        .select(expr("cast(substring(doc_id, 5, 100) as long)").as("doc_id"),
+          explode(col("spans")).as("sp"))
+        .select(col("doc_id"),
+          when(col("sp.kind") === "media", lit(16L))
+            .otherwise(graft.textops.TextOps.tokenCount(col("sp.text"))).as("cost"))
+        .groupBy("doc_id").agg(sum(col("cost")).as("mm_tokens"))
+      graft.corpus.Packing.packSequences(cost, "doc_id", col("mm_tokens"),
+        budget = 2048, groups = 8, salt = "mmpack")
+    }),
+
+    // ---- interleaved multimodal: caption-pair FILTER — the CLIP-style
+    // pair gate without the model: keep = has a caption, 3..64 caption
+    // tokens, contains a lowercase letter; emitted as a flag so the
+    // drop set stays auditable (no silent cuts)
+    "q_caption_filter" -> ((s, dir) => {
+      val sp = SpanGen.fromDocuments(s, dir).toDF()
+        .select(col("doc_id"), explode(col("spans")).as("sp"))
+        .select(col("doc_id"), col("sp.offset").as("offset"),
+          col("sp.kind").as("kind"), col("sp.text").as("text"),
+          col("sp.media_ref").as("media_ref"))
+      val pairs = graft.corpus.Interleave.captionAssoc(sp,
+        "doc_id", "offset", "kind", "text", "media_ref")
+      val nTok = when(col("cap_text").isNull, lit(0L))
+        .otherwise(graft.textops.TextOps.tokenCount(col("cap_text")))
+      pairs.select(col("doc_id"), col("media_offset"), col("media_ref"),
+        col("cap_dir"), nTok.as("n_cap_tokens"),
+        (col("cap_dir") =!= "none" && nTok.between(3, 64) &&
+          coalesce(col("cap_text"), lit("")).rlike("[a-z]")).as("keep"))
+    }),
+
     // ---- boilerplate: per-source positional header/footer template
     // strip — a line in the first/last 2 lines of >=30% (integer
     // cross-multiplied) of one source's docs is that site's template;
@@ -4894,6 +4931,75 @@ object SparkEntry {
         |       ELSE 'none' END AS cap_dir
         |FROM j LEFT JOIN tx t
         |  ON t.doc_id = j.doc_id AND t.toff = j.cap_offset""".stripMargin,
+    // Multimodal-cost packing replay: per-doc cost from the dumped span
+    // table (media = 16, text = whitespace tokens), then the standard
+    // pack-layout window replay (same hash, groups, budget)
+    "q_interleave_pack" ->
+      """WITH sp AS (
+        |  SELECT CAST(substr(doc_id, 5) AS BIGINT) AS doc_id,
+        |    CASE WHEN kind = 'media' THEN 16
+        |         ELSE len(string_split(text, ' ')) END AS cost
+        |  FROM '{OUT}/spans_input/*.parquet'
+        |), d AS (
+        |  SELECT doc_id, CAST(sum(cost) AS BIGINT) AS n_tokens FROM sp GROUP BY 1
+        |), h AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST('0x' || substr(md5('mmpack' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |      % 1000000 AS hv
+        |  FROM d
+        |), c AS (
+        |  SELECT doc_id, CAST(hv % 8 AS INTEGER) AS grp, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_off
+        |  FROM h
+        |)
+        |SELECT doc_id, grp, CAST(floor(start_off / 2048.0) AS BIGINT) AS pack_id,
+        |  n_tokens, CAST(start_off AS BIGINT) AS start_off
+        |FROM c""".stripMargin,
+    // Caption-filter replay: the quadratic pairing ground truth (no
+    // decoration) + the identical keep predicate
+    "q_caption_filter" ->
+      """WITH sp AS (
+        |  SELECT doc_id, "offset", kind, text, media_ref
+        |  FROM '{OUT}/spans_input/*.parquet'
+        |), m AS (
+        |  SELECT doc_id, "offset" AS media_offset, media_ref
+        |  FROM sp WHERE kind = 'media'
+        |), tx AS (
+        |  SELECT doc_id, "offset" AS toff, text FROM sp WHERE kind = 'text'
+        |), nx AS (
+        |  SELECT m.doc_id, m.media_offset, m.media_ref, min(t.toff) AS noff
+        |  FROM m LEFT JOIN tx t
+        |    ON t.doc_id = m.doc_id AND t.toff > m.media_offset
+        |  GROUP BY 1, 2, 3
+        |), pv AS (
+        |  SELECT m.doc_id, m.media_offset, max(t.toff) AS poff
+        |  FROM m LEFT JOIN tx t
+        |    ON t.doc_id = m.doc_id AND t.toff < m.media_offset
+        |  GROUP BY 1, 2
+        |), j AS (
+        |  SELECT n.doc_id, n.media_offset, n.media_ref, n.noff, p.poff,
+        |    coalesce(n.noff, p.poff) AS cap_offset
+        |  FROM nx n JOIN pv p
+        |    ON p.doc_id = n.doc_id AND p.media_offset = n.media_offset
+        |), pr AS (
+        |  SELECT j.doc_id, CAST(j.media_offset AS INT) AS media_offset,
+        |    j.media_ref,
+        |    CASE WHEN j.noff IS NOT NULL THEN 'next'
+        |         WHEN j.poff IS NOT NULL THEN 'prev'
+        |         ELSE 'none' END AS cap_dir,
+        |    t.text AS cap_text
+        |  FROM j LEFT JOIN tx t
+        |    ON t.doc_id = j.doc_id AND t.toff = j.cap_offset
+        |)
+        |SELECT doc_id, media_offset, media_ref, cap_dir,
+        |  CASE WHEN cap_text IS NULL THEN 0
+        |       ELSE len(string_split(cap_text, ' ')) END AS n_cap_tokens,
+        |  (cap_dir <> 'none'
+        |    AND (CASE WHEN cap_text IS NULL THEN 0
+        |              ELSE len(string_split(cap_text, ' ')) END) BETWEEN 3 AND 64
+        |    AND regexp_matches(coalesce(cap_text, ''), '[a-z]')) AS keep
+        |FROM pr""".stripMargin,
     // Header/footer strip replay: same decoration, same edge-line
     // template detection with the integer cross-multiplied threshold,
     // order-preserving rebuild of kept lines (blanks preserved)
