@@ -190,6 +190,118 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  // ---- property: captionAssoc == quadratic brute force -----------------
+
+  test("captionAssoc equals nearest-text brute force on random interleavings") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val kinds = Array("text", "media", "word_box")
+    val rows = (0 until 60).flatMap { d =>
+      val n = 1 + rnd.nextInt(8)
+      (0 until n).map { i =>
+        val k = kinds(rnd.nextInt(3))
+        (s"d$d", i, k, if (k == "text") s"t$d-$i" else "", if (k == "media") s"m$d-$i" else "")
+      }
+    }
+    val out = Interleave.captionAssoc(rows.toDF("doc_id", "offset", "kind", "text", "media_ref"),
+      "doc_id", "offset", "kind", "text", "media_ref")
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getString(5), Option(r.get(3)).map(_.toString).orNull,
+          Option(r.getString(4)).orNull))).toMap
+    val expect = rows.groupBy(_._1).flatMap { case (doc, evs) =>
+      val texts = evs.filter(_._3 == "text").map(e => (e._2, e._4)).sortBy(_._1)
+      evs.filter(_._3 == "media").map { m =>
+        val next = texts.find(_._1 > m._2)
+        val prev = texts.reverse.find(_._1 < m._2)
+        val (dir, cap) = next.map(("next", _)).orElse(prev.map(("prev", _)))
+          .map { case (d, (o, t)) => (d, (o.toString, t)) }
+          .getOrElse(("none", (null, null)))
+        (doc, m._2) -> ((dir, cap._1, cap._2))
+      }
+    }.toMap
+    assert(out == expect)
+  }
+
+  // ---- property: DSIR weights equal a local model ----------------------
+
+  test("dsir weights equal an exact local reimplementation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val vocab = Array("aa", "bb", "cc", "dd", "ee", "zz")
+    val docs = (0 until 40).map { i =>
+      (i.toLong, i < 15,
+        (0 until 3 + rnd.nextInt(10)).map(_ => vocab(rnd.nextInt(6))).mkString(" "))
+    }
+    val got = Dsir.score(docs.toDF("doc_id", "tgt", "text"), "doc_id", "text",
+      col("tgt"), buckets = 64, salt = "p")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // local replay: same md5-60 bucket, same micro-nat grid
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16)
+    }
+    def mn(x: Double): Long = math.floor(StrictMath.log(x) * 1e6 + 0.5).toLong
+    val perDoc = docs.map { case (id, tgt, text) =>
+      (id, tgt, text.split(" ").filter(_.nonEmpty)
+        .map(t => h60("p:" + t) % 64).groupBy(identity).view.mapValues(_.size).toMap)
+    }
+    val r = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    val tc = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for ((_, tgt, bs) <- perDoc; (b, c) <- bs) {
+      r(b) += c; if (tgt) tc(b) += c
+    }
+    val rtot = r.values.sum; val ttot = tc.values.sum
+    val cst = mn((rtot + 64).toDouble) - mn((ttot + 64).toDouble)
+    val expect = perDoc.map { case (id, _, bs) =>
+      val nTok = bs.values.sum.toLong
+      val w = bs.map { case (b, c) =>
+        c * (mn((tc(b) + 1).toDouble) - mn((r(b) + 1).toDouble)) }.sum + nTok * cst
+      id -> ((nTok, w))
+    }.toMap
+    assert(got == expect)
+  }
+
+  // ---- property: headerFooterStrip == local simulation ------------------
+
+  test("headerFooterStrip equals a local per-source simulation on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val docs = (0 until 80).map { i =>
+      val src = s"s${i % 4}"
+      val body = (0 until 1 + rnd.nextInt(4)).map(j => s"body $i $j").mkString("\n")
+      val t = (if (rnd.nextInt(10) < 6) s"HDR $src\n" else "") + body +
+        (if (rnd.nextInt(10) < 5) s"\nFTR $src" else "")
+      (i.toLong, src, t)
+    }
+    val got = Boilerplate.headerFooterStrip(docs.toDF("doc_id", "source", "t"),
+      "doc_id", "source", "t", k = 2, minNum = 3, minDen = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // local simulation of the same spec
+    val bySrc = docs.groupBy(_._2)
+    val tmpl = bySrc.map { case (src, ds) =>
+      def edge(f: (Array[String], Int) => Boolean) =
+        ds.flatMap { case (_, _, t) =>
+          val ls = t.split("\n", -1)
+          ls.zipWithIndex.filter { case (l, i) => f(ls, i) && l.trim.toLowerCase.nonEmpty }
+            .map(_._1.trim.toLowerCase).distinct
+        }.groupBy(identity).collect {
+          case (k, occ) if occ.size * 10 >= ds.size * 3 => k
+        }.toSet
+      src -> ((edge((ls, i) => i < 2), edge((ls, i) => i >= ls.length - 2)))
+    }
+    val expect = docs.map { case (id, src, t) =>
+      val (hs, fs) = tmpl(src)
+      val ls = t.split("\n", -1)
+      val kept = ls.zipWithIndex.filterNot { case (l, i) =>
+        val k = l.trim.toLowerCase
+        (i < 2 && hs(k)) || (i >= ls.length - 2 && fs(k))
+      }.map(_._1)
+      id -> ((kept.mkString("\n"), (ls.length - kept.length).toLong))
+    }.toMap
+    assert(got == expect)
+  }
+
   // ---- Augment (FIM, crops) -------------------------------------------
 
   test("fimSplit: deterministic, and each segment is a contiguous token run") {
