@@ -562,6 +562,23 @@ object SparkEntry {
         "user_id", "event_type", "us",
         Seq("view", "click", "purchase"), windowUs = 604800000000L)),
 
+    // ---- last-touch attribution: each purchase attributed to the
+    // user's latest click at-or-before it — a direct AsOf.asofJoin
+    // composition (one shuffle, O(1) window state), max-click_id
+    // tiebreak at equal timestamps
+    "q_attribution" -> ((s, dir) => {
+      val ev = s.read.parquet(t(dir, "events"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("unix_micros(cast(ts as timestamp))").as("us"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("us"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("us"), col("event_id").as("click_id"))
+      graft.operators.AsOf.asofJoin(purchases, clicks,
+        key = "user_id", time = "us", rightTiebreak = "click_id",
+        rightPayload = "click_id", outCol = "attributed_click")
+    }),
+
     // ---- DDSketch mergeable quantile sketch: log-spaced integer
     // buckets (micro-nat ln div precomputed width 20001 = alpha 0.01)
     // per event_type, p50/p90/p99 read back by integer-cross-multiplied
@@ -4252,6 +4269,21 @@ object SparkEntry {
         |  t1 AS t_first_us, coalesce(t3, t2, t1) AS t_last_us
         |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
         |  LEFT JOIN s3 USING (user_id)""".stripMargin,
+    // Attribution replay: correlated latest-at-or-before lookup with
+    // the same (time desc, click_id desc) pick
+    "q_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type, value FROM events
+        |), p AS (
+        |  SELECT user_id, event_id, us, value FROM ev WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT user_id, event_id AS click_id, us FROM ev WHERE event_type = 'click'
+        |)
+        |SELECT p.user_id, p.event_id, p.us, p.value,
+        |  (SELECT c.click_id FROM c
+        |   WHERE c.user_id = p.user_id AND c.us <= p.us
+        |   ORDER BY c.us DESC, c.click_id DESC LIMIT 1) AS attributed_click
+        |FROM p""".stripMargin,
     // DDSketch replay: same micro-nat ln grid, same positive shift and
     // precomputed 20001 width (floor division — operands positive, so
     // DuckDB // and Spark div agree), same integer rank condition
