@@ -3121,8 +3121,99 @@ object SparkEntry {
           graft.textops.TextOps.sentenceCount(col("text")).as("n_sents"))
         .unpivot(Array(col("doc_id")),
           Array(col("n_chars"), col("n_tokens"), col("n_sents")),
-          "metric", "value"))
+          "metric", "value")),
+
+    // ---- interleaved: span-sequence normalization — coalesce each run
+    // of CONSECUTIVE text spans into one span (space-joined in reading
+    // order), re-index offsets densely; media/word_box/cell/html spans
+    // never merge and stay as run boundaries. One window + one reused-
+    // exchange groupBy = one shuffle total
+    "q_span_merge" -> ((s, dir) =>
+      graft.corpus.Interleave.mergeAdjacentText(
+        SpanGen.fromDocuments(s, dir).toDF()
+          .select(col("doc_id"), explode(col("spans")).as("sp"))
+          .select(col("doc_id"), col("sp.offset").as("offset"),
+            col("sp.kind").as("kind"), col("sp.text").as("text"),
+            col("sp.media_ref").as("media_ref")),
+        "doc_id", "offset", "kind", "text", "media_ref")),
+
+    // ---- graph: multi-source BFS hop distances from seed docs over
+    // the arithmetic doc->doc link graph — level-synchronous expansion,
+    // work per round = frontier out-degree, not O(V); dist = level
+    "q_bfs_hops" -> ((s, dir) =>
+      graft.operators.Bfs.hops(docLinkEdges(s, dir),
+        s.read.parquet(t(dir, "documents"))
+          .filter(col("doc_id") % 50 === 0).select(col("doc_id").as("node")),
+        "src", "dst", "node", maxHops = 4)),
+
+    // ---- graph: deterministic DeepWalk-style random walks — neighbor
+    // pick = portable60(salt:walk:step:node) mod outdeg over dst-ranked
+    // edges; L equi-joins against the once-built ranked edge table
+    "q_random_walks" -> ((s, dir) =>
+      graft.operators.RandomWalk.walks(docLinkEdges(s, dir),
+        "src", "dst", length = 4, salt = "rw")),
+
+    // ---- curation: 2-D Pareto front over (length, vocabulary) — the
+    // skyline staircase reduction (per-x max, running max over one row
+    // per distinct x, broadcast join back), never the O(n^2)
+    // domination self-join
+    "q_pareto_front" -> ((s, dir) =>
+      graft.operators.Skyline.front2D(
+        s.read.parquet(t(dir, "documents"))
+          .select(col("doc_id"), col("n_chars"),
+            size(array_distinct(split(col("text"), " ", -1)))
+              .cast("bigint").as("n_vocab")),
+        "n_chars", "n_vocab")),
+
+    // ---- table maintenance: small-file compaction planner — files
+    // binned to ~targetBytes within each partition by (size desc, id)
+    // cumulative cut; runs over the file INVENTORY (metadata rows, one
+    // shuffle on the partition key), the Iceberg binpack-rewrite shape
+    "q_compaction_plan" -> ((s, dir) =>
+      graft.lineage.Compaction.plan(
+        s.read.parquet(t(dir, "documents"))
+          .select(col("source"), col("doc_id").as("file_id"),
+            col("n_chars").as("size_bytes")),
+        "source", "file_id", "size_bytes", targetBytes = 4096L)),
+
+    // ---- PII audit: typed entity inventory (url/email/ip/phone) over
+    // the scrub-decorated corpus — the measure-before-redact companion
+    // of q_text_scrub, same RE2-portable patterns, match sets oracled
+    "q_entity_extract" -> ((s, dir) =>
+      TextOps.entityInventory(
+        s.read.parquet(t(dir, "documents"))
+          .select(col("doc_id"),
+            concat(col("text"),
+              lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com via https://site.example/"),
+              col("doc_id").cast("string"),
+              lit("/page or +1 (555) 010-4477 at 10.20.30.42 x")).as("t2")),
+        "doc_id", "t2")),
+
+    // ---- dedup: asymmetric n-gram containment — the sub-document
+    // signal Jaccard misses (a pasted paragraph in a 100x longer page
+    // scores ~0 Jaccard, ~1 containment); same df-capped shingle
+    // candidate join as q_dedup_ngram, both directions emitted
+    "q_dedup_containment" -> ((s, dir) =>
+      Dedup.ngramContainmentPairs(
+        s.read.parquet(t(dir, "documents")).filter(col("doc_id") < 200),
+        "doc_id", "text", n = 3, threshold = 0.2))
   )
+
+  /** The deterministic doc->doc link graph every graph query shares
+    * (q_link_graph derives it from parsed HTML anchors; q_hits/q_kcore
+    * and the BFS/random-walk queries use this arithmetic equivalent):
+    * 3 out-links per doc, (doc_id * 31 + 97k) mod corpus size.
+    */
+  private def docLinkEdges(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents")).select(col("doc_id"))
+    val withCnt = docs.crossJoin(broadcast(docs.agg(count(lit(1)).as("cnt"))))
+    withCnt.select(col("doc_id").as("src"),
+      explode(array(
+        (col("doc_id") * 31 + 97) % col("cnt"),
+        (col("doc_id") * 31 + 194) % col("cnt"),
+        (col("doc_id") * 31 + 291) % col("cnt"))).as("dst"))
+  }
 
   /** Multi-line text where only odd docs' body lines terminate in
     * punctuation: "Sentence line." vs bare token lines, plus an
@@ -6854,7 +6945,171 @@ object SparkEntry {
         |)
         |SELECT doc_id, 'n_chars' AS metric, n_chars AS value FROM m
         |UNION ALL SELECT doc_id, 'n_tokens', n_tokens FROM m
-        |UNION ALL SELECT doc_id, 'n_sents', n_sents FROM m""".stripMargin
+        |UNION ALL SELECT doc_id, 'n_sents', n_sents FROM m""".stripMargin,
+    // Span-merge replay over the dumped span input: same lag run
+    // detection (non-text spans always open a run), ordered string_agg
+    // per run, dense re-numbering by run start offset
+    "q_span_merge" ->
+      """WITH sp AS (
+        |  SELECT doc_id, "offset", kind, text, media_ref
+        |  FROM '{OUT}/spans_input/*.parquet'
+        |), lg AS (
+        |  SELECT *, CASE WHEN kind <> 'text'
+        |      OR lag(kind) OVER (PARTITION BY doc_id ORDER BY "offset") IS NULL
+        |      OR lag(kind) OVER (PARTITION BY doc_id ORDER BY "offset") <> 'text'
+        |    THEN 1 ELSE 0 END AS newrun
+        |  FROM sp
+        |), rn AS (
+        |  SELECT *, sum(newrun) OVER (PARTITION BY doc_id ORDER BY "offset"
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM lg
+        |), runs AS (
+        |  SELECT doc_id, run, min("offset") AS minpos,
+        |    min_by(kind, "offset") AS kind,
+        |    string_agg(text, ' ' ORDER BY "offset") AS text,
+        |    min_by(media_ref, "offset") AS media_ref
+        |  FROM rn GROUP BY 1, 2
+        |)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY minpos) - 1 AS INT) AS "offset",
+        |  kind, text, media_ref
+        |FROM runs""".stripMargin,
+    // BFS replay: level sets unrolled (L_k = nodes reachable in exactly
+    // k steps), min level per node = BFS distance
+    "q_bfs_hops" ->
+      """WITH c AS (SELECT count(*) AS cnt FROM documents),
+        |ed AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS src,
+        |    CAST((doc_id * 31 + 97) % cnt AS BIGINT) AS dst FROM documents, c
+        |  UNION ALL SELECT doc_id, (doc_id * 31 + 194) % cnt FROM documents, c
+        |  UNION ALL SELECT doc_id, (doc_id * 31 + 291) % cnt FROM documents, c
+        |), e AS (SELECT DISTINCT src, dst FROM ed),
+        |l0 AS (SELECT CAST(doc_id AS BIGINT) AS node FROM documents WHERE doc_id % 50 = 0),
+        |r1 AS (SELECT DISTINCT e.dst AS node FROM e JOIN l0 ON e.src = l0.node),
+        |r2 AS (SELECT DISTINCT e.dst AS node FROM e JOIN r1 ON e.src = r1.node),
+        |r3 AS (SELECT DISTINCT e.dst AS node FROM e JOIN r2 ON e.src = r2.node),
+        |r4 AS (SELECT DISTINCT e.dst AS node FROM e JOIN r3 ON e.src = r3.node),
+        |lv AS (
+        |  SELECT node, 0 AS d FROM l0
+        |  UNION ALL SELECT node, 1 FROM r1
+        |  UNION ALL SELECT node, 2 FROM r2
+        |  UNION ALL SELECT node, 3 FROM r3
+        |  UNION ALL SELECT node, 4 FROM r4
+        |)
+        |SELECT node, CAST(min(d) AS INT) AS dist FROM lv GROUP BY node""".stripMargin,
+    // Random-walk replay: the same dst-ranked edges and the same
+    // portable60('rw:walk:step:node') mod outdeg pick, steps unrolled
+    "q_random_walks" ->
+      """WITH c AS (SELECT count(*) AS cnt FROM documents),
+        |ed AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS src,
+        |    CAST((doc_id * 31 + 97) % cnt AS BIGINT) AS dst FROM documents, c
+        |  UNION ALL SELECT doc_id, (doc_id * 31 + 194) % cnt FROM documents, c
+        |  UNION ALL SELECT doc_id, (doc_id * 31 + 291) % cnt FROM documents, c
+        |), e0 AS (SELECT DISTINCT src, dst FROM ed),
+        |e AS (
+        |  SELECT src, dst,
+        |    row_number() OVER (PARTITION BY src ORDER BY dst) AS r,
+        |    count(*) OVER (PARTITION BY src) AS od
+        |  FROM e0
+        |),
+        |w0 AS (SELECT DISTINCT src AS walk_id, src AS node FROM e0),
+        |w1 AS (SELECT w.walk_id, e.dst AS node FROM w0 w JOIN e ON e.src = w.node
+        |  AND e.r = CAST('0x' || substr(md5('rw:' || CAST(w.walk_id AS VARCHAR)
+        |    || ':0:' || CAST(w.node AS VARCHAR)), 1, 15) AS BIGINT) % e.od + 1),
+        |w2 AS (SELECT w.walk_id, e.dst AS node FROM w1 w JOIN e ON e.src = w.node
+        |  AND e.r = CAST('0x' || substr(md5('rw:' || CAST(w.walk_id AS VARCHAR)
+        |    || ':1:' || CAST(w.node AS VARCHAR)), 1, 15) AS BIGINT) % e.od + 1),
+        |w3 AS (SELECT w.walk_id, e.dst AS node FROM w2 w JOIN e ON e.src = w.node
+        |  AND e.r = CAST('0x' || substr(md5('rw:' || CAST(w.walk_id AS VARCHAR)
+        |    || ':2:' || CAST(w.node AS VARCHAR)), 1, 15) AS BIGINT) % e.od + 1),
+        |w4 AS (SELECT w.walk_id, e.dst AS node FROM w3 w JOIN e ON e.src = w.node
+        |  AND e.r = CAST('0x' || substr(md5('rw:' || CAST(w.walk_id AS VARCHAR)
+        |    || ':3:' || CAST(w.node AS VARCHAR)), 1, 15) AS BIGINT) % e.od + 1)
+        |SELECT walk_id, 0 AS step, node FROM w0
+        |UNION ALL SELECT walk_id, 1, node FROM w1
+        |UNION ALL SELECT walk_id, 2, node FROM w2
+        |UNION ALL SELECT walk_id, 3, node FROM w3
+        |UNION ALL SELECT walk_id, 4, node FROM w4""".stripMargin,
+    // Pareto-front replay: the same staircase (per-x max, running max
+    // over distinct x desc, strict-improvement filter, join back)
+    "q_pareto_front" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_vocab
+        |  FROM documents
+        |), px AS (
+        |  SELECT n_chars AS x, max(n_vocab) AS maxy FROM d GROUP BY 1
+        |), st AS (
+        |  SELECT x, maxy, max(maxy) OVER (ORDER BY x DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+        |  FROM px
+        |)
+        |SELECT d.doc_id, d.n_chars, d.n_vocab
+        |FROM d JOIN st f ON d.n_chars = f.x AND d.n_vocab = f.maxy
+        |WHERE f.prevmax IS NULL OR f.prevmax < f.maxy""".stripMargin,
+    // Compaction replay: same (size desc, id) order, same cumulative
+    // next-fit cut at 4096 bytes (// == Spark div, operands nonneg)
+    "q_compaction_plan" ->
+      """WITH f AS (
+        |  SELECT source, doc_id AS file_id, n_chars AS size_bytes FROM documents
+        |), cm AS (
+        |  SELECT source, file_id, size_bytes,
+        |    sum(size_bytes) OVER (PARTITION BY source
+        |      ORDER BY size_bytes DESC, file_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM f
+        |)
+        |SELECT source, file_id, size_bytes,
+        |  CAST((cum - size_bytes) // 4096 AS INT) AS bin
+        |FROM cm""".stripMargin,
+    // Entity-inventory replay: the scrub decoration, the same four
+    // RE2 patterns applied independently to the original text
+    "q_entity_extract" ->
+      ("""WITH d AS (
+        |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |    || '@example.com via https://site.example/' || CAST(doc_id AS VARCHAR)
+        |    || '/page or +1 (555) 010-4477 at 10.20.30.42 x' AS t2
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, 'url' AS entity_type,
+        |    unnest(regexp_extract_all(t2, 'URLPAT')) AS value FROM d
+        |  UNION ALL SELECT doc_id, 'email',
+        |    unnest(regexp_extract_all(t2, 'EMAILPAT')) FROM d
+        |  UNION ALL SELECT doc_id, 'ip',
+        |    unnest(regexp_extract_all(t2, 'IPPAT')) FROM d
+        |  UNION ALL SELECT doc_id, 'phone',
+        |    unnest(regexp_extract_all(t2, 'PHONEPAT')) FROM d
+        |)
+        |SELECT doc_id, entity_type, value, CAST(count(*) AS BIGINT) AS n
+        |FROM m GROUP BY 1, 2, 3""".stripMargin
+        .replace("URLPAT", TextOps.UrlPattern)
+        .replace("EMAILPAT", TextOps.EmailPattern)
+        .replace("IPPAT", TextOps.Ipv4Pattern)
+        .replace("PHONEPAT", TextOps.PhonePattern)),
+    // Containment replay: the ngram oracle's shingle join with the
+    // asymmetric ratios, either direction clearing 0.2
+    "q_dedup_containment" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 200
+        |), sh AS (
+        |  SELECT DISTINCT doc_id AS id, s AS shingle FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+        |    FROM t)
+        |), cnt AS (
+        |  SELECT id, count(*) AS n FROM sh GROUP BY id
+        |), com AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b, n_common,
+        |  CAST(n_common AS DOUBLE) / CAST(ca.n AS DOUBLE) AS c_ab,
+        |  CAST(n_common AS DOUBLE) / CAST(cb.n AS DOUBLE) AS c_ba
+        |FROM com JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b
+        |WHERE greatest(CAST(n_common AS DOUBLE) / CAST(ca.n AS DOUBLE),
+        |  CAST(n_common AS DOUBLE) / CAST(cb.n AS DOUBLE)) >= 0.2""".stripMargin
   )
 
   /** q_table_types oracle: cells CTE -> dense (i,j) -> seeded overwrite

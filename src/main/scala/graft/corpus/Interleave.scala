@@ -77,4 +77,45 @@ object Interleave {
           .when(col("__poff").isNotNull, lit("prev"))
           .otherwise(lit("none")).as("cap_dir"))
   }
+
+  /** Span-sequence normalization: coalesce each run of CONSECUTIVE
+    * `text` spans into one span (texts joined by a single space in
+    * reading order) and re-index offsets densely from 0. Non-text
+    * spans (media, word_box, cell, html) never merge — each keeps its
+    * own position as a run boundary. This is the canonical-form pass a
+    * multimodal pipeline runs before packing or caption pairing:
+    * fragmented prose (one span per paragraph chunk, a common
+    * ingestion artifact) collapses to one span per uninterrupted text
+    * block while the interleaving structure is preserved exactly.
+    *
+    * Scale shape: one window sort per doc (run detection via lag +
+    * running sum of run starts) feeding a groupBy on (doc, run) that
+    * reuses the same exchange — one shuffle total. Per-run text
+    * assembly collects only the run's own spans, so a pathological
+    * million-span doc assembles per-run, never whole-doc.
+    */
+  def mergeAdjacentText(spans: DataFrame, idCol: String, posCol: String,
+      kindCol: String, textCol: String, refCol: String): DataFrame = {
+    val w = Window.partitionBy(idCol).orderBy(posCol)
+    val newRun = when(
+      col(kindCol) =!= "text" ||
+        lag(col(kindCol), 1).over(w).isNull ||
+        lag(col(kindCol), 1).over(w) =!= "text", 1).otherwise(0)
+    val runs = spans
+      .withColumn("__new", newRun)
+      .withColumn("__run", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__run"))
+      .agg(
+        min(col(posCol)).as("__minpos"),
+        min_by(col(kindCol), col(posCol)).as("kind"),
+        array_join(transform(
+          array_sort(collect_list(struct(col(posCol).as("p"), col(textCol).as("t")))),
+          x => x.getField("t")), " ").as("text"),
+        min_by(col(refCol), col(posCol)).as("media_ref"))
+    runs.select(col(idCol),
+        (row_number().over(
+          Window.partitionBy(idCol).orderBy(col("__minpos"))) - 1).as("offset"),
+        col("kind"), col("text"), col("media_ref"))
+  }
 }

@@ -91,6 +91,46 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("n_common"), col("jaccard"))
   }
 
+  /** Asymmetric n-gram CONTAINMENT between near-duplicate candidates —
+    * the "is A a sub-document of B" signal Jaccard misses: a paragraph
+    * pasted into a 100× longer page scores near-zero Jaccard but
+    * containment(A in B) ≈ 1. Emits one row per unordered candidate
+    * pair with both directions, `c_ab` = |sh(A)∩sh(B)| / |sh(A)| and
+    * `c_ba` = |∩| / |sh(B)|, kept when either direction clears the
+    * threshold.
+    *
+    * Scale shape: identical to `ngramJaccardPairs` — the candidate set
+    * is the shingle equi-join bounded by the same document-frequency
+    * cap (auditable via `ngramDroppedShingles`), never an all-pairs
+    * product; the two ratios are int/int divisions, engine-exact.
+    */
+  def ngramContainmentPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxShingleDf: Int = 1000): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+    val filtered = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+      .filter(col("df") <= maxShingleDf)
+      .drop("df")
+    val counts = filtered.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val a = filtered.as("a")
+    val b = filtered.as("b")
+    val common = a.join(b, col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(counts.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(counts.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("c_ab", col("n_common").cast("double") / col("n_a").cast("double"))
+      .withColumn("c_ba", col("n_common").cast("double") / col("n_b").cast("double"))
+      .filter(greatest(col("c_ab"), col("c_ba")) >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_common"), col("c_ab"), col("c_ba"))
+  }
+
   /** MinHash universe prime (2^31 - 1) and the affine family
     * h_i(x) = (a_i * x + b_i) mod P over a 60-bit md5-derived base value:
     * every operation is exact 64-bit integer arithmetic reproducible in

@@ -1,6 +1,6 @@
 package graft.textops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline, expressed as
@@ -163,6 +163,35 @@ object TextOps {
           EmailPattern, "<EMAIL>"),
         Ipv4Pattern, "<IP>"),
       PhonePattern, "<PHONE>")
+
+  /** The scrub family's patterns, named — shared by `scrubPii`
+    * (redaction) and `entityInventory` (audit).
+    */
+  val EntityPatterns: Seq[(String, String)] = Seq(
+    "url" -> UrlPattern,
+    "email" -> EmailPattern,
+    "ip" -> Ipv4Pattern,
+    "phone" -> PhonePattern)
+
+  /** Typed entity inventory — the AUDIT side of PII handling: before
+    * (or after) scrubbing, measure what identifiable strings the
+    * corpus actually carries, per document and type. Each pattern is
+    * applied to the ORIGINAL text independently (an email inside a URL
+    * is counted under both types — prevalence, not span partition),
+    * with the same RE2-compatible patterns the scrub uses, so the
+    * DuckDB oracle replays the match sets verbatim.
+    *
+    * Scale shape: codegen'd regexp_extract_all per pattern, a union of
+    * four narrow projections over the same scan, one
+    * map-side-combinable count shuffle. No UDFs, no driver state.
+    */
+  def entityInventory(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    EntityPatterns.map { case (tname, pat) =>
+      docs.select(col(idCol), lit(tname).as("entity_type"),
+        explode(regexp_extract_all(col(textCol), lit(pat), lit(0))).as("value"))
+    }.reduce(_ union _)
+      .groupBy(col(idCol), col("entity_type"), col("value"))
+      .agg(count(lit(1)).as("n"))
 
   /** Count of characters in a Unicode script (Latin / Cyrillic / Han /
     * ...): everything outside the script is deleted and the remainder

@@ -1,0 +1,205 @@
+package graft
+
+import graft.corpus.Interleave
+import graft.dedup.Dedup
+import graft.lineage.Compaction
+import graft.operators.{Bfs, RandomWalk, Skyline}
+import graft.textops.TextOps
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** Round-4h operators, each checked against an independent driver-side
+  * exact reimplementation (plus hand-computed goldens for the
+  * deterministic-by-construction ones):
+  *  1. Bfs.hops == sequential level-synchronous BFS;
+  *  2. Skyline.front2D == brute O(n²) domination scan;
+  *  3. RandomWalk.walks == driver-side walk simulation with the same
+  *     md5-derived neighbor pick;
+  *  4. Compaction.plan == sequential cumulative next-fit fold;
+  *  5. Interleave.mergeAdjacentText == driver-side run fold;
+  *  6. TextOps.entityInventory on a known-entity string;
+  *  7. Dedup.ngramContainmentPairs on a sub-document pair.
+  */
+class Round4hSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-round4h-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def checkProp(p: Prop, n: Int = 12): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def randomEdges(seed: Long): Seq[(Long, Long)] = {
+    val rng = new Random(seed)
+    val n = 6 + rng.nextInt(12)
+    val m = n + rng.nextInt(2 * n)
+    (0 until m).map(_ => (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+  }
+
+  /** JVM twin of PortableHash.md5Hash60: first 15 hex of md5. */
+  private def portable60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+  }
+
+  test("BFS hop distances equal the sequential level-synchronous expansion") {
+    import spark.implicits._
+    checkProp(Prop.forAll(Gen.choose(0L, 5000L)) { seed =>
+      val edges = randomEdges(seed).distinct
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val seeds = nodes.filter(_ % 3 == 0)
+      val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      // driver-side BFS
+      var dist = seeds.map(_ -> 0).toMap
+      var frontier = seeds.toSet
+      for (h <- 1 to 4) {
+        val next = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+          .diff(dist.keySet)
+        dist = dist ++ next.map(_ -> h)
+        frontier = next
+      }
+      val got = Bfs.hops(edges.toDF("src", "dst"),
+          seeds.toDF("node"), "src", "dst", "node", maxHops = 4)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      seeds.isEmpty || got == dist
+    })
+  }
+
+  test("2-D skyline equals the brute domination scan") {
+    import spark.implicits._
+    checkProp(Prop.forAll(Gen.choose(0L, 5000L)) { seed =>
+      val rng = new Random(seed)
+      val pts = (0 until (5 + rng.nextInt(40))).map(i =>
+        (i.toLong, (rng.nextInt(8)).toLong, (rng.nextInt(8)).toLong))
+      def dominated(p: (Long, Long, Long)) = pts.exists(q =>
+        q._2 >= p._2 && q._3 >= p._3 && (q._2 > p._2 || q._3 > p._3))
+      val want = pts.filterNot(dominated).map(_._1).toSet
+      val got = Skyline.front2D(pts.toDF("id", "x", "y"), "x", "y")
+        .collect().map(_.getLong(0)).toSet
+      got == want
+    })
+  }
+
+  test("random walks replay the md5 neighbor pick exactly") {
+    import spark.implicits._
+    checkProp(Prop.forAll(Gen.choose(0L, 5000L)) { seed =>
+      val edges = randomEdges(seed).distinct
+      val adjSorted = edges.groupBy(_._1).view
+        .mapValues(_.map(_._2).distinct.sorted.toVector).toMap
+      val starts = edges.map(_._1).distinct
+      // driver-side simulation
+      val want = starts.flatMap { w =>
+        var node = w
+        var alive = true
+        Seq((w, 0, w)) ++ (1 to 4).flatMap { k =>
+          if (!alive) Seq.empty
+          else adjSorted.get(node) match {
+            case None => alive = false; Seq.empty
+            case Some(nbrs) =>
+              val pick = (portable60(s"rw:$w:${k - 1}:$node") % nbrs.size).toInt
+              node = nbrs(pick)
+              Seq((w, k, node))
+          }
+        }
+      }.toSet
+      val got = RandomWalk.walks(edges.toDF("src", "dst"), "src", "dst",
+          length = 4, salt = "rw")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      got == want
+    })
+  }
+
+  test("compaction plan equals the sequential cumulative next-fit fold") {
+    import spark.implicits._
+    checkProp(Prop.forAll(Gen.choose(0L, 5000L)) { seed =>
+      val rng = new Random(seed)
+      val target = 100L
+      val files = (0 until (3 + rng.nextInt(30))).map(i =>
+        (s"p${rng.nextInt(3)}", i.toLong, (1 + rng.nextInt(250)).toLong))
+      val want = files.groupBy(_._1).flatMap { case (_, fs) =>
+        var cum = 0L
+        fs.sortBy(f => (-f._3, f._2)).map { f =>
+          val bin = (cum / target).toInt
+          cum += f._3
+          (f._1, f._2, bin)
+        }
+      }.toSet
+      val got = Compaction.plan(files.toDF("part", "file_id", "size"),
+          "part", "file_id", "size", target)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(3))).toSet
+      got == want
+    })
+  }
+
+  test("span merge coalesces exactly the consecutive text runs") {
+    import spark.implicits._
+    checkProp(Prop.forAll(Gen.choose(0L, 5000L)) { seed =>
+      val rng = new Random(seed)
+      val kinds = Vector("text", "media", "word_box")
+      val spans = (0 until (1 + rng.nextInt(20))).map { i =>
+        val k = kinds(rng.nextInt(3))
+        ("d0", i, k, s"t$i", if (k == "media") s"m$i" else "")
+      }
+      // driver-side run fold
+      val runs = spans.foldLeft(Vector.empty[Vector[(String, Int, String, String, String)]]) {
+        case (acc, sp) =>
+          if (sp._3 == "text" && acc.nonEmpty && acc.last.head._3 == "text")
+            acc.init :+ (acc.last :+ sp)
+          else acc :+ Vector(sp)
+      }
+      val want = runs.zipWithIndex.map { case (run, i) =>
+        ("d0", i, run.head._3, run.map(_._4).mkString(" "), run.head._5)
+      }.toSet
+      val got = Interleave.mergeAdjacentText(
+          spans.toDF("doc_id", "offset", "kind", "text", "media_ref"),
+          "doc_id", "offset", "kind", "text", "media_ref")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+          r.getString(3), r.getString(4))).toSet
+      got == want
+    })
+  }
+
+  test("entity inventory finds the typed entities with counts") {
+    import spark.implicits._
+    val docs = Seq((1L,
+      "mail a@b.com and a@b.com via https://x.y/z from 10.0.0.1 call +1 (555) 010-4477 end"))
+      .toDF("doc_id", "text")
+    val got = TextOps.entityInventory(docs, "doc_id", "text")
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(got == Set(
+      ("email", "a@b.com", 2L),
+      ("url", "https://x.y/z", 1L),
+      ("ip", "10.0.0.1", 1L),
+      ("phone", "+1 (555) 010-4477", 1L)))
+  }
+
+  test("containment flags the pasted sub-document that Jaccard misses") {
+    import spark.implicits._
+    val small = "alpha beta gamma delta epsilon"
+    val big = ("x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12 x13 x14 x15 " +
+      small + " y1 y2 y3 y4 y5 y6 y7 y8 y9 y10 y11 y12 y13 y14 y15")
+    val docs = Seq((1L, small), (2L, big)).toDF("doc_id", "text")
+    val rows = Dedup.ngramContainmentPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.5).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r.getDouble(3) == 1.0) // c_ab: every shingle of A is in B
+    assert(r.getDouble(4) < 0.2)  // c_ba: B is much bigger
+    // Jaccard at the same threshold misses the pair entirely
+    assert(Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.5).collect().isEmpty)
+  }
+}
