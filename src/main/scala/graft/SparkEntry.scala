@@ -3197,7 +3197,7 @@ object SparkEntry {
     "q_dedup_containment" -> ((s, dir) =>
       Dedup.ngramContainmentPairs(
         s.read.parquet(t(dir, "documents")).filter(col("doc_id") < 200),
-        "doc_id", "text", n = 3, threshold = 0.2))
+        "doc_id", "text", n = 3, threshold = 0.1))
   )
 
   /** The deterministic doc->doc link graph every graph query shares
@@ -7088,7 +7088,7 @@ object SparkEntry {
         .replace("IPPAT", TextOps.Ipv4Pattern)
         .replace("PHONEPAT", TextOps.PhonePattern)),
     // Containment replay: the ngram oracle's shingle join with the
-    // asymmetric ratios, either direction clearing 0.2
+    // asymmetric ratios, either direction clearing 0.1
     "q_dedup_containment" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 200
@@ -7109,7 +7109,7 @@ object SparkEntry {
         |  CAST(n_common AS DOUBLE) / CAST(cb.n AS DOUBLE) AS c_ba
         |FROM com JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b
         |WHERE greatest(CAST(n_common AS DOUBLE) / CAST(ca.n AS DOUBLE),
-        |  CAST(n_common AS DOUBLE) / CAST(cb.n AS DOUBLE)) >= 0.2""".stripMargin
+        |  CAST(n_common AS DOUBLE) / CAST(cb.n AS DOUBLE)) >= 0.1""".stripMargin
   )
 
   /** q_table_types oracle: cells CTE -> dense (i,j) -> seeded overwrite
