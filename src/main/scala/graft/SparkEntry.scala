@@ -3197,7 +3197,57 @@ object SparkEntry {
     "q_dedup_containment" -> ((s, dir) =>
       Dedup.ngramContainmentPairs(
         s.read.parquet(t(dir, "documents")).filter(col("doc_id") < 200),
-        "doc_id", "text", n = 3, threshold = 0.1))
+        "doc_id", "text", n = 3, threshold = 0.1)),
+
+    // ---- layout: bucketed-table co-located join — both sides bucket-
+    // written on doc_id once (the pre-paid shuffle), then SortMergeJoin
+    // consumes the bucketed scans with ZERO exchanges (PlanSpec-gated);
+    // the layout that amortizes a recurring 100 TB join key
+    "q_bucketed_join" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      graft.lineage.Bucketed.colocatedJoin(s,
+        d.select(col("doc_id"), col("lang"), col("n_chars")),
+        d.select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tokens")),
+        key = "doc_id", nBuckets = 8, tablePrefix = "graft_bj")
+    }),
+
+    // ---- eval: confusion matrix + per-label recall share over the NB
+    // holdout classifier — the model-quality readout a filter stage is
+    // tuned on; matrix is |labels|^2 rows, window over it is metadata
+    "q_nb_confusion" -> ((s, dir) => {
+      val cm = graft.textops.NaiveBayes.classifyHoldout(
+          s.read.parquet(t(dir, "documents")), "doc_id", "lang", "text")
+        .groupBy(col("label"), col("pred_label"))
+        .agg(count(lit(1)).as("n"))
+      cm.withColumn("label_total",
+          sum(col("n")).over(Window.partitionBy("label")))
+        .withColumn("share",
+          col("n").cast("double") / col("label_total").cast("double"))
+    }),
+
+    // ---- retrieval: reciprocal-rank fusion of two rankings (length,
+    // vocabulary) — the hybrid-retrieval merge; each ranking comes from
+    // GlobalRank's band-offset two-pass (no single-partition sort),
+    // fusion is one equi-join + a fixed IEEE expression
+    "q_rrf_fusion" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), col("n_chars"),
+          size(array_distinct(split(col("text"), " ", -1)))
+            .cast("bigint").as("n_vocab"))
+      val r1 = graft.operators.GlobalRank.rankBy(
+          d.select(col("doc_id"), col("n_chars")), "n_chars", "doc_id",
+          bandWidth = 50.0)
+        .select(col("doc_id"), col("global_rank").as("r_len"))
+      val r2 = graft.operators.GlobalRank.rankBy(
+          d.select(col("doc_id"), col("n_vocab")), "n_vocab", "doc_id",
+          bandWidth = 8.0)
+        .select(col("doc_id"), col("global_rank").as("r_vocab"))
+      r1.join(r2, "doc_id")
+        .withColumn("rrf",
+          lit(1.0) / (lit(60) + col("r_len"))
+            + lit(1.0) / (lit(60) + col("r_vocab")))
+    })
   )
 
   /** The deterministic doc->doc link graph every graph query shares
@@ -3741,6 +3791,60 @@ object SparkEntry {
       |    'Tags & refs: link entry ' || CAST(doc_id AS VARCHAR)], b -> b <> '') AS bl
       |  FROM d
       |)""".stripMargin
+
+  /** NB classifier replay, split so the confusion-matrix oracle can
+    * extend the same CTE chain: 80/20 portable-hash holdout, Laplace-
+    * smoothed multinomial scores in integer micro-nats, (score desc,
+    * cls asc) argmax.
+    */
+  private val nbClassifyCtes: String =
+    """WITH sp AS (
+      |  SELECT *, CAST('0x' || substr(md5('nbsplit' || CAST(doc_id AS VARCHAR)), 1, 15)
+      |    AS BIGINT) % 100 < 80 AS is_train
+      |  FROM documents
+      |), tr AS (SELECT * FROM sp WHERE is_train
+      |), te AS (SELECT * FROM sp WHERE NOT is_train
+      |), trocc AS (
+      |  SELECT lang AS cls, unnest(string_split(text, ' ')) AS tok FROM tr
+      |), ct AS (
+      |  SELECT cls, tok, count(*) AS c_lt FROM trocc GROUP BY 1, 2
+      |), cl AS (
+      |  SELECT cls, CAST(sum(c_lt) AS BIGINT) AS c_l FROM ct GROUP BY 1
+      |), vv AS (
+      |  SELECT count(DISTINCT tok) AS v FROM trocc
+      |), pri AS (
+      |  SELECT lang AS cls,
+      |    CAST(floor(ln(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM tr)) * 1e6)
+      |      AS BIGINT) AS prior_micro
+      |  FROM tr GROUP BY lang
+      |), teocc AS (
+      |  SELECT doc_id, lang AS label, unnest(string_split(text, ' ')) AS tok FROM te
+      |), scored AS (
+      |  SELECT o.doc_id, o.label, c.cls,
+      |    CAST(floor(ln(CAST(coalesce(ct.c_lt, 0) + 1 AS DOUBLE)
+      |      / CAST(cl.c_l + vv.v AS DOUBLE)) * 1e6) AS BIGINT) AS lp_micro
+      |  FROM teocc o
+      |  CROSS JOIN (SELECT cls FROM cl) c
+      |  LEFT JOIN ct ON ct.cls = c.cls AND ct.tok = o.tok
+      |  JOIN cl ON cl.cls = c.cls
+      |  CROSS JOIN vv
+      |), agg AS (
+      |  SELECT doc_id, label, cls, sum(lp_micro) AS tok_micro
+      |  FROM scored GROUP BY 1, 2, 3
+      |), tot AS (
+      |  SELECT a.doc_id, a.label, a.cls,
+      |    CAST(a.tok_micro + p.prior_micro AS BIGINT) AS score_micro
+      |  FROM agg a JOIN pri p ON p.cls = a.cls
+      |), rk AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY score_micro DESC, cls ASC) AS rn
+      |  FROM tot
+      |)""".stripMargin
+
+  private val nbClassifyFinal: String =
+    """SELECT doc_id, label, cls AS pred_label, score_micro,
+      |  cls = label AS correct
+      |FROM rk WHERE rn = 1""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_multi_join" ->
@@ -5986,52 +6090,7 @@ object SparkEntry {
     // Naive Bayes replay: 80/20 portable-hash split, add-one-smoothed
     // per-token micro-nat log-probs (floor BEFORE summing — the
     // LangModel recipe), argmax with cls-ascending tie-break
-    "q_nb_classify" ->
-      """WITH sp AS (
-        |  SELECT *, CAST('0x' || substr(md5('nbsplit' || CAST(doc_id AS VARCHAR)), 1, 15)
-        |    AS BIGINT) % 100 < 80 AS is_train
-        |  FROM documents
-        |), tr AS (SELECT * FROM sp WHERE is_train
-        |), te AS (SELECT * FROM sp WHERE NOT is_train
-        |), trocc AS (
-        |  SELECT lang AS cls, unnest(string_split(text, ' ')) AS tok FROM tr
-        |), ct AS (
-        |  SELECT cls, tok, count(*) AS c_lt FROM trocc GROUP BY 1, 2
-        |), cl AS (
-        |  SELECT cls, CAST(sum(c_lt) AS BIGINT) AS c_l FROM ct GROUP BY 1
-        |), vv AS (
-        |  SELECT count(DISTINCT tok) AS v FROM trocc
-        |), pri AS (
-        |  SELECT lang AS cls,
-        |    CAST(floor(ln(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM tr)) * 1e6)
-        |      AS BIGINT) AS prior_micro
-        |  FROM tr GROUP BY lang
-        |), teocc AS (
-        |  SELECT doc_id, lang AS label, unnest(string_split(text, ' ')) AS tok FROM te
-        |), scored AS (
-        |  SELECT o.doc_id, o.label, c.cls,
-        |    CAST(floor(ln(CAST(coalesce(ct.c_lt, 0) + 1 AS DOUBLE)
-        |      / CAST(cl.c_l + vv.v AS DOUBLE)) * 1e6) AS BIGINT) AS lp_micro
-        |  FROM teocc o
-        |  CROSS JOIN (SELECT cls FROM cl) c
-        |  LEFT JOIN ct ON ct.cls = c.cls AND ct.tok = o.tok
-        |  JOIN cl ON cl.cls = c.cls
-        |  CROSS JOIN vv
-        |), agg AS (
-        |  SELECT doc_id, label, cls, sum(lp_micro) AS tok_micro
-        |  FROM scored GROUP BY 1, 2, 3
-        |), tot AS (
-        |  SELECT a.doc_id, a.label, a.cls,
-        |    CAST(a.tok_micro + p.prior_micro AS BIGINT) AS score_micro
-        |  FROM agg a JOIN pri p ON p.cls = a.cls
-        |), rk AS (
-        |  SELECT *, row_number() OVER (PARTITION BY doc_id
-        |    ORDER BY score_micro DESC, cls ASC) AS rn
-        |  FROM tot
-        |)
-        |SELECT doc_id, label, cls AS pred_label, score_micro,
-        |  cls = label AS correct
-        |FROM rk WHERE rn = 1""".stripMargin,
+    "q_nb_classify" -> (nbClassifyCtes + "\n" + nbClassifyFinal),
     // estimator calibration: the pair CTEs' est (with n_match) joined
     // to candidate-restricted exact shingle Jaccard
     "q_dedup_eval" ->
@@ -7109,7 +7168,52 @@ object SparkEntry {
         |  CAST(n_common AS DOUBLE) / CAST(cb.n AS DOUBLE) AS c_ba
         |FROM com JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b
         |WHERE greatest(CAST(n_common AS DOUBLE) / CAST(ca.n AS DOUBLE),
-        |  CAST(n_common AS DOUBLE) / CAST(cb.n AS DOUBLE)) >= 0.1""".stripMargin
+        |  CAST(n_common AS DOUBLE) / CAST(cb.n AS DOUBLE)) >= 0.1""".stripMargin,
+    // Bucketed-join replay: the layout is engine-side physics (the
+    // oracle has no bucket concept); the RESULT is the plain equi-join
+    "q_bucketed_join" ->
+      """WITH a AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |), b AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |)
+        |SELECT a.doc_id, a.lang, a.n_chars, b.n_tokens
+        |FROM a JOIN b USING (doc_id)""".stripMargin,
+    // Confusion replay: the classifier CTE chain extended with the
+    // matrix aggregation and the per-label marginal
+    "q_nb_confusion" ->
+      (nbClassifyCtes + ", base AS (\n" + nbClassifyFinal + "\n)" +
+        """, cm AS (
+          |  SELECT label, pred_label, CAST(count(*) AS BIGINT) AS n
+          |  FROM base GROUP BY 1, 2
+          |), tt AS (
+          |  SELECT label, pred_label, n,
+          |    CAST(sum(n) OVER (PARTITION BY label) AS BIGINT) AS label_total
+          |  FROM cm
+          |)
+          |SELECT label, pred_label, n, label_total,
+          |  CAST(n AS DOUBLE) / CAST(label_total AS DOUBLE) AS share
+          |FROM tt""".stripMargin),
+    // RRF replay: single-partition row_number ground truth for the
+    // band-offset rankings + the identical fusion expression
+    "q_rrf_fusion" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_vocab
+        |  FROM documents
+        |), r1 AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS r_len
+        |  FROM d
+        |), r2 AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY n_vocab, doc_id) AS BIGINT) AS r_vocab
+        |  FROM d
+        |)
+        |SELECT doc_id, r_len, r_vocab,
+        |  CAST(1 AS DOUBLE) / (60 + r_len) + CAST(1 AS DOUBLE) / (60 + r_vocab) AS rrf
+        |FROM r1 JOIN r2 USING (doc_id)""".stripMargin
   )
 
   /** q_table_types oracle: cells CTE -> dense (i,j) -> seeded overwrite

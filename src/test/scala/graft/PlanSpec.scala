@@ -285,6 +285,19 @@ class PlanSpec extends AnyFunSuite {
       p.take(2000))
   }
 
+  test("q_bucketed_join: the driver query itself is exchange-free sort-merge") {
+    try {
+      // building the query performs the bucket writes (the pre-paid
+      // shuffle), then plans the join over the bucketed scans
+      val p = plan("q_bucketed_join")
+      assert(p.contains("SortMergeJoin"), p.take(2000))
+      assert(!p.contains("Exchange"), p.take(2000))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bj_left")
+      spark.sql("DROP TABLE IF EXISTS graft_bj_right")
+    }
+  }
+
   test("bucketed tables co-locate the join: sort-merge with zero shuffle exchanges") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("graft_bucket").toString

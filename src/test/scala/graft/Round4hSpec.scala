@@ -202,4 +202,58 @@ class Round4hSpec extends AnyFunSuite {
     assert(Dedup.ngramJaccardPairs(docs, "doc_id", "text",
       n = 3, threshold = 0.5).collect().isEmpty)
   }
+
+  test("bucketed co-located join: plain-join result, exchange-free plan") {
+    import spark.implicits._
+    try {
+      val left = (0L until 50L).map(i => (i, s"l$i")).toDF("k", "lv")
+      val right = (0L until 50L by 2L).map(i => (i, i * 10)).toDF("k", "rv")
+      val j = graft.lineage.Bucketed.colocatedJoin(
+        spark, left, right, "k", nBuckets = 4, tablePrefix = "graft_bt")
+      val got = j.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val want = left.join(right, "k").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == want && got.size == 25)
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") && !p.contains("Exchange"), p.take(2000))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bt_left")
+      spark.sql("DROP TABLE IF EXISTS graft_bt_right")
+    }
+  }
+
+  test("confusion matrix marginals are consistent with the classifier output") {
+    val base = graft.textops.NaiveBayes.classifyHoldout(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+      "doc_id", "lang", "text")
+    val cm = SparkEntry.queries("q_nb_confusion")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(cm.map(_.getLong(2)).sum == base.count())
+    // per-label shares sum to 1 exactly (n/label_total over the label's rows)
+    cm.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(2)).sum == rows.head.getLong(3))
+    }
+    // diagonal count == classifier's own correct count
+    val diag = cm.filter(r => r.getString(0) == r.getString(1)).map(_.getLong(2)).sum
+    assert(diag == base.filter(col("correct")).count())
+  }
+
+  test("RRF fusion equals the driver-side fusion of the two rankings") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q_rrf_fusion")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("n_chars"),
+        size(array_distinct(split(col("text"), " ", -1))).cast("bigint").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val rLen = d.sortBy(x => (x._2, x._1)).zipWithIndex
+      .map { case (x, i) => x._1 -> (i + 1L) }.toMap
+    val rVoc = d.sortBy(x => (x._3, x._1)).zipWithIndex
+      .map { case (x, i) => x._1 -> (i + 1L) }.toMap
+    assert(got.length == d.length)
+    got.foreach { case (id, r1, r2, rrf) =>
+      assert(r1 == rLen(id) && r2 == rVoc(id))
+      assert(rrf == 1.0 / (60 + r1) + 1.0 / (60 + r2))
+    }
+  }
 }
