@@ -3247,6 +3247,43 @@ object SparkEntry {
         .withColumn("rrf",
           lit(1.0) / (lit(60) + col("r_len"))
             + lit(1.0) / (lit(60) + col("r_vocab")))
+    }),
+
+    // ---- hygiene: homoglyph spoof detection — Cyrillic-lookalike
+    // copies collide with their originals under the confusable
+    // SKELETON checksum while raw-text dedup misses them (different
+    // code points); decoration seeds a spoof per doc_id%10==3, the
+    // detector is skeleton-groupBy with >1 raw variant
+    "q_homoglyph_spoof" -> ((s, dir) => {
+      val base = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), col("text"))
+      val spoof = base.filter(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          translate(col("text"),
+            TextOps.HomoglyphLat, TextOps.HomoglyphCyr).as("text"))
+      base.union(spoof)
+        .select(col("doc_id"), col("text"),
+          sha2(TextOps.homoglyphSkeleton(col("text")), 256).as("skeleton_sha"))
+        .groupBy(col("skeleton_sha"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("n_variants"))
+        .filter(col("n_docs") > 1 && col("n_variants") > 1)
+    }),
+
+    // ---- typed cogroup: per-user click/purchase reconciliation —
+    // both sides shuffle once onto the key, each key's two iterators
+    // fold in one task (no join product ever materializes)
+    "q_cogroup_recon" -> ((s, dir) => {
+      val ev = s.read.parquet(t(dir, "events"))
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp))").as("us"),
+          col("event_id"), col("event_type"))
+      graft.operators.CoGroup.clickPurchaseRecon(s,
+        ev.filter(col("event_type") === "click")
+          .select("user_id", "us", "event_id"),
+        ev.filter(col("event_type") === "purchase")
+          .select("user_id", "us", "event_id"))
     })
   )
 
@@ -7213,7 +7250,49 @@ object SparkEntry {
         |)
         |SELECT doc_id, r_len, r_vocab,
         |  CAST(1 AS DOUBLE) / (60 + r_len) + CAST(1 AS DOUBLE) / (60 + r_vocab) AS rrf
-        |FROM r1 JOIN r2 USING (doc_id)""".stripMargin
+        |FROM r1 JOIN r2 USING (doc_id)""".stripMargin,
+    // Homoglyph replay: chr()-built confusable alphabet (same order as
+    // TextOps.HomoglyphCyr), same decoration, same skeleton grouping
+    "q_homoglyph_spoof" ->
+      """WITH cy AS (
+        |  SELECT chr(1072)||chr(1077)||chr(1086)||chr(1088)||chr(1089)
+        |    ||chr(1093)||chr(1091)||chr(1110)||chr(1109) AS c
+        |), u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    translate(text, 'aeopcxyis', (SELECT c FROM cy))
+        |  FROM documents WHERE doc_id % 10 = 3
+        |), sk AS (
+        |  SELECT doc_id, text,
+        |    sha256(translate(text, (SELECT c FROM cy), 'aeopcxyis')) AS skeleton_sha
+        |  FROM u
+        |)
+        |SELECT skeleton_sha, CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT text) AS BIGINT) AS n_variants
+        |FROM sk GROUP BY 1
+        |HAVING count(*) > 1 AND count(DISTINCT text) > 1""".stripMargin,
+    // Cogroup replay: the two per-side aggregates outer-joined over
+    // the key union — relationally what the typed fold computes
+    "q_cogroup_recon" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events
+        |), c AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_clicks,
+        |    max(us) AS last_click_us
+        |  FROM ev WHERE event_type = 'click' GROUP BY 1
+        |), p AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+        |    min(us) AS first_purchase_us
+        |  FROM ev WHERE event_type = 'purchase' GROUP BY 1
+        |), u AS (
+        |  SELECT user_id FROM c UNION SELECT user_id FROM p
+        |)
+        |SELECT u.user_id, coalesce(c.n_clicks, 0) AS n_clicks,
+        |  coalesce(p.n_purchases, 0) AS n_purchases,
+        |  c.last_click_us, p.first_purchase_us
+        |FROM u LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin
   )
 
   /** q_table_types oracle: cells CTE -> dense (i,j) -> seeded overwrite

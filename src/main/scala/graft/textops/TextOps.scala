@@ -193,6 +193,23 @@ object TextOps {
       .groupBy(col(idCol), col("entity_type"), col("value"))
       .agg(count(lit(1)).as("n"))
 
+  /** Homoglyph confusable map: the Cyrillic letters that render
+    * identically to Latin а/е/о/р/с/х/у/і/ѕ — the classic spoofing
+    * vector (a "сору" of a page that exact-dedup, URL blocklists, and
+    * n-gram matching all miss because the code points differ).
+    */
+  val HomoglyphCyr: String =
+    "аеорсхуіѕ"
+  val HomoglyphLat: String = "aeopcxyis"
+
+  /** Confusable skeleton: fold Cyrillic lookalikes onto their Latin
+    * twins (a tiny, deterministic slice of Unicode TR39 skeletons).
+    * Comparing skeletons instead of raw text makes homoglyph spoofs
+    * collide with their originals; codegen'd single `translate`.
+    */
+  def homoglyphSkeleton(text: Column): Column =
+    translate(text, HomoglyphCyr, HomoglyphLat)
+
   /** Count of characters in a Unicode script (Latin / Cyrillic / Han /
     * ...): everything outside the script is deleted and the remainder
     * measured. Common-script characters (digits, spaces, punctuation)

@@ -256,4 +256,66 @@ class Round4hSpec extends AnyFunSuite {
       assert(rrf == 1.0 / (60 + r1) + 1.0 / (60 + r2))
     }
   }
+
+  test("homoglyph skeleton collides spoofs with originals, leaves clean text alone") {
+    import spark.implicits._
+    val latin = "the space pace copy"
+    val spoofed = latin.map(ch => {
+      val i = TextOps.HomoglyphLat.indexOf(ch)
+      if (i >= 0) TextOps.HomoglyphCyr(i) else ch
+    }).mkString
+    assert(spoofed != latin) // code points differ...
+    val df = Seq((1L, latin), (2L, spoofed), (3L, "no confusables here?!"))
+      .toDF("id", "t")
+      .select(col("id"), TextOps.homoglyphSkeleton(col("t")).as("sk"), col("t"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(df(1L)._1 == latin && df(2L)._1 == latin) // ...skeletons collide
+    assert(df(3L)._1 == df(3L)._2) // clean text is a fixpoint
+  }
+
+  test("cogroup reconciliation equals the brute per-user aggregation") {
+    import spark.implicits._
+    checkProp(Prop.forAll(Gen.choose(0L, 5000L)) { seed =>
+      val rng = new Random(seed)
+      val ev = (0 until (5 + rng.nextInt(60))).map(i =>
+        (rng.nextInt(6).toLong, (rng.nextInt(1000)).toLong, i.toLong,
+          if (rng.nextBoolean()) "click" else "purchase"))
+      val clicks = ev.filter(_._4 == "click")
+      val purch = ev.filter(_._4 == "purchase")
+      val users = ev.map(_._1).distinct
+      val want = users.map { u =>
+        val c = clicks.filter(_._1 == u)
+        val p = purch.filter(_._1 == u)
+        (u, c.size.toLong, p.size.toLong,
+          if (c.isEmpty) None else Some(c.map(_._2).max),
+          if (p.isEmpty) None else Some(p.map(_._2).min))
+      }.toSet
+      val got = graft.operators.CoGroup.clickPurchaseRecon(spark,
+          clicks.map(e => (e._1, e._2, e._3)).toDF("user_id", "us", "event_id"),
+          purch.map(e => (e._1, e._2, e._3)).toDF("user_id", "us", "event_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSet
+      got == want
+    })
+  }
+
+  test("observe: write-pass metrics equal a recompute, with no second scan coded") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, i % 7)).toDF("id", "v")
+    val dir = java.nio.file.Files.createTempDirectory("graft_obs").toString
+    try {
+      val m = graft.lineage.Observe.writeWithMetrics(df, s"$dir/out",
+        "n" -> count(lit(1)), "v_sum" -> sum(col("v")), "id_max" -> max(col("id")))
+      assert(m("n") == 100L && m("id_max") == 99L)
+      assert(m("v_sum") == (0L until 100L).map(_ % 7).sum)
+      // and the written data is intact
+      assert(spark.read.parquet(s"$dir/out").count() == 100L)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val fs = f.listFiles(); if (fs != null) fs.foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
 }
