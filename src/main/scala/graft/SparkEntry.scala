@@ -3284,6 +3284,36 @@ object SparkEntry {
           .select("user_id", "us", "event_id"),
         ev.filter(col("event_type") === "purchase")
           .select("user_id", "us", "event_id"))
+    }),
+
+    // ---- dedup/delta storage: content-defined chunking — boundaries
+    // where the 4-gram window hash divides the divisor, so an edit only
+    // perturbs nearby chunks (later boundaries re-synchronize); one
+    // doc-keyed exchange shared by the lag window and the chunk groupBy
+    "q_cdc_chunks" -> ((s, dir) =>
+      graft.corpus.Cdc.chunks(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text", divisor = 16)),
+
+    // ---- table evolution: mergeSchema epoch read — the old epoch
+    // lacks `lang`, the merged read surfaces NULL for it; no petabyte
+    // rewrite to add a column
+    "q_schema_evolution" -> ((s, dir) => {
+      streamCleanupHook
+      val root = streamLandingDirs.computeIfAbsent(s"$dir#schev", _ =>
+        java.nio.file.Files.createTempDirectory("graft_schev").toString)
+      graft.lineage.Evolution.mergeSchemaRead(s,
+        s.read.parquet(t(dir, "documents")), root)
+    }),
+
+    // ---- table maintenance: dynamic partition overwrite — the
+    // incremental recompute replaces ONLY the partition it produced
+    // (src1 refreshed, every other partition still stale on read-back)
+    "q_dynamic_overwrite" -> ((s, dir) => {
+      streamCleanupHook
+      val root = streamLandingDirs.computeIfAbsent(s"$dir#dynov", _ =>
+        java.nio.file.Files.createTempDirectory("graft_dynov").toString)
+      graft.lineage.Evolution.dynamicPartitionRefresh(s,
+        s.read.parquet(t(dir, "documents")), root)
     })
   )
 
@@ -7292,7 +7322,43 @@ object SparkEntry {
         |SELECT u.user_id, coalesce(c.n_clicks, 0) AS n_clicks,
         |  coalesce(p.n_purchases, 0) AS n_purchases,
         |  c.last_click_us, p.first_purchase_us
-        |FROM u LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin
+        |FROM u LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin,
+    // CDC replay: same 4-gram portable-hash boundary rule, boundary
+    // CLOSES its chunk (chunk_idx counts boundaries strictly before)
+    "q_cdc_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), p AS (
+        |  SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, toks FROM t
+        |), tk AS (
+        |  SELECT doc_id, pos, toks[pos] AS tok,
+        |    CASE WHEN pos >= 4 AND CAST('0x' || substr(md5(
+        |        toks[pos-3] || ' ' || toks[pos-2] || ' ' || toks[pos-1]
+        |        || ' ' || toks[pos]), 1, 15) AS BIGINT) % 16 = 0
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM p
+        |), ck AS (
+        |  SELECT doc_id, pos, tok,
+        |    coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+        |  FROM tk
+        |)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(min(pos) AS INT) AS start_tok, CAST(count(*) AS BIGINT) AS n_toks,
+        |  sha256(string_agg(tok, ' ' ORDER BY pos)) AS chunk_sha
+        |FROM ck GROUP BY 1, 2""".stripMargin,
+    // Schema-evolution replay: old-epoch rows surface NULL lang
+    "q_schema_evolution" ->
+      """SELECT doc_id, n_chars, CAST(NULL AS VARCHAR) AS lang
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, n_chars, lang FROM documents WHERE doc_id % 2 = 1""".stripMargin,
+    // Dynamic-overwrite replay: only src1 is refreshed, the rest stale
+    "q_dynamic_overwrite" ->
+      """SELECT doc_id,
+        |  CASE WHEN source = 'src1' THEN n_chars ELSE n_chars + 1000 END AS n_chars_m,
+        |  source
+        |FROM documents""".stripMargin
   )
 
   /** q_table_types oracle: cells CTE -> dense (i,j) -> seeded overwrite

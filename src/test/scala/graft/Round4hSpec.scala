@@ -300,6 +300,89 @@ class Round4hSpec extends AnyFunSuite {
     })
   }
 
+  /** Driver twin of Cdc.chunks: boundary at pos when the 4-gram hash
+    * divides, chunk_idx = boundaries strictly before pos.
+    */
+  private def cdcLocal(toks: Vector[String], divisor: Int): Vector[(Long, Int, Long, String)] = {
+    val bounds = toks.indices.map { i0 =>
+      val pos = i0 + 1
+      pos >= 4 && portable60(toks.slice(pos - 4, pos).mkString(" ")) % divisor == 0
+    }
+    val idx = bounds.scanLeft(0L)((acc, b) => if (b) acc + 1 else acc)
+    toks.indices.groupBy(i0 => idx(i0)).toVector.map { case (ci, is) =>
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(is.map(toks).mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (ci, is.min + 1, is.size.toLong, sha)
+    }
+  }
+
+  test("CDC chunks equal the driver fold; an edit only perturbs nearby chunks") {
+    import spark.implicits._
+    val rng = new Random(7L)
+    val words = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val toksA = Vector.fill(400)(words(rng.nextInt(words.size)))
+    val toksB = (toksA.take(200) :+ "INSERTED") ++ toksA.drop(200)
+    val docs = Seq((1L, toksA.mkString(" ")), (2L, toksB.mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = graft.corpus.Cdc.chunks(docs, "doc_id", "text", divisor = 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getString(4)))
+    // exactness vs the driver fold, both docs
+    for ((id, toks) <- Seq(1L -> toksA, 2L -> toksB)) {
+      val want = cdcLocal(toks, 16).map { case (ci, st, n, sha) => (id, ci, st, n, sha) }.toSet
+      assert(got.filter(_._1 == id).toSet == want)
+    }
+    // edit locality: most of A's chunk content survives in B verbatim,
+    // and beats fixed-size chunking after the same single-token insert
+    val shaA = got.filter(_._1 == 1L).map(_._5).toSet
+    val shaB = got.filter(_._1 == 2L).map(_._5).toSet
+    def fixedShas(toks: Vector[String]) = toks.grouped(8).map(_.mkString(" ")).toSet
+    val sharedCdc = (shaA intersect shaB).size
+    val sharedFixed = (fixedShas(toksA) intersect fixedShas(toksB)).size
+    assert(sharedCdc * 2 >= shaA.size, s"cdc shared $sharedCdc of ${shaA.size}")
+    assert(sharedCdc > sharedFixed, s"cdc $sharedCdc <= fixed $sharedFixed")
+  }
+
+  test("mergeSchema read: old-epoch rows surface NULL for the new column") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val root = java.nio.file.Files.createTempDirectory("graft_schev_t").toString
+    try {
+      val m = graft.lineage.Evolution.mergeSchemaRead(spark, docs, root).collect()
+      assert(m.length == docs.count())
+      m.foreach { r =>
+        if (r.getLong(0) % 2 == 0) assert(r.isNullAt(2)) else assert(!r.isNullAt(2))
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val fs = f.listFiles(); if (fs != null) fs.foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
+  test("dynamic partition overwrite refreshes only the recomputed partition") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val root = java.nio.file.Files.createTempDirectory("graft_dynov_t").toString
+    try {
+      val out = graft.lineage.Evolution.dynamicPartitionRefresh(spark, docs, root)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      val truth = docs.select("doc_id", "n_chars", "source").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+      assert(out.length == truth.size)
+      out.foreach { case (id, m, src) =>
+        val (n, s) = truth(id)
+        assert(s == src)
+        if (src == "src1") assert(m == n) else assert(m == n + 1000)
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val fs = f.listFiles(); if (fs != null) fs.foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
   test("observe: write-pass metrics equal a recompute, with no second scan coded") {
     import spark.implicits._
     val df = (0L until 100L).map(i => (i, i % 7)).toDF("id", "v")
