@@ -3314,6 +3314,39 @@ object SparkEntry {
         java.nio.file.Files.createTempDirectory("graft_dynov").toString)
       graft.lineage.Evolution.dynamicPartitionRefresh(s,
         s.read.parquet(t(dir, "documents")), root)
+    }),
+
+    // ---- table maintenance: merge-on-read equality deletes — the
+    // delete commits a small key file (O(deleted keys), never a data
+    // rewrite); readers anti-join the delete keys at scan time
+    "q_mor_deletes" -> ((s, dir) => {
+      streamCleanupHook
+      val root = streamLandingDirs.computeIfAbsent(s"$dir#mor", _ => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_mor").toString
+        val tbl = s"$tmp/tbl"
+        graft.lineage.ParquetCatalog.append(
+          s.read.parquet(t(dir, "documents"))
+            .select(col("doc_id"), col("lang"), col("n_chars")), tbl)
+        graft.lineage.MorDeletes.commitDelete(
+          s.read.parquet(t(dir, "documents"))
+            .filter(col("doc_id") % 7 === 0).select(col("doc_id")),
+          tbl, "doc_id")
+        tmp
+      })
+      graft.lineage.MorDeletes.readCurrent(s, s"$root/tbl", "doc_id")
+    }),
+
+    // ---- view maintenance: incremental equi-join delta — the three-
+    // term rule (dA><B u A><dB u dA><dB); every join has a small delta
+    // side, the base><base product the view already holds never runs
+    "q_incremental_join" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      val a = d.select(col("doc_id"), col("lang"))
+      val b = d.select(col("doc_id"), col("n_chars"))
+      graft.operators.IncrementalJoin.joinDelta(
+        a.filter(col("doc_id") % 2 === 0), a.filter(col("doc_id") % 2 === 1),
+        b.filter(col("doc_id") % 3 =!= 0), b.filter(col("doc_id") % 3 === 0),
+        "doc_id")
     })
   )
 
@@ -7358,7 +7391,16 @@ object SparkEntry {
       """SELECT doc_id,
         |  CASE WHEN source = 'src1' THEN n_chars ELSE n_chars + 1000 END AS n_chars_m,
         |  source
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // MOR replay: the committed rows minus the equality-deleted keys
+    "q_mor_deletes" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id % 7 <> 0""".stripMargin,
+    // Incremental-join replay: the delta of the full join vs the base
+    // join — exactly the rows where a delta participated
+    "q_incremental_join" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id % 2 = 1 OR doc_id % 3 = 0""".stripMargin
   )
 
   /** q_table_types oracle: cells CTE -> dense (i,j) -> seeded overwrite

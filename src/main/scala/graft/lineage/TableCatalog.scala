@@ -250,6 +250,86 @@ object ParquetCatalog extends TableCatalog {
     (listDataFiles(spark, table) -- live).foreach(rel =>
       fs.delete(new Path(root, rel), false))
   }
+
+  // ---- write-audit-publish (Iceberg's WAP / branch commit) ----------
+  //
+  // stageAppend writes the data files plus a STAGED manifest
+  // (stage-<n>) that snapshots() and every reader ignore — the write
+  // is invisible until audited. publishStaged moves the manifest into
+  // the snapshot chain (one atomic rename-equivalent commit);
+  // abortStaged deletes the staged manifest AND its data files, as if
+  // the write never happened. The audit step reads readStaged —
+  // current view + the staged delta — and decides.
+
+  private def stagedIds(spark: SparkSession, table: String): Seq[Long] = {
+    val fs = fsFor(spark, new Path(table))
+    val dir = fs.makeQualified(new Path(table, SnapDir))
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("stage-") => n.stripPrefix("stage-").toLong }
+      .sorted
+  }
+
+  private def stagedFiles(spark: SparkSession, table: String, stageId: Long): Seq[String] = {
+    val fs = fsFor(spark, new Path(table))
+    val root = fs.makeQualified(new Path(table))
+    val in = fs.open(new Path(root, f"$SnapDir/stage-$stageId%09d"))
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      .split("\n").toSeq.filter(_.nonEmpty)
+    finally in.close()
+  }
+
+  /** Stage `df` invisibly; returns the stage id for audit/publish. */
+  def stageAppend(df: DataFrame, table: String): Long = {
+    val spark = df.sparkSession
+    val before = snapshots(spark, table)
+      .flatMap(id => manifestFiles(spark, table, id)).toSet ++
+      stagedIds(spark, table).flatMap(id => stagedFiles(spark, table, id))
+    df.write.mode(SaveMode.Append).parquet(table)
+    val added = (listDataFiles(spark, table) -- before).toSeq.sorted
+    val fs = fsFor(spark, new Path(table))
+    val root = fs.makeQualified(new Path(table))
+    val stageId = (0L +: stagedIds(spark, table)).max + 1
+    fs.mkdirs(new Path(root, SnapDir))
+    val os = fs.create(new Path(root, f"$SnapDir/stage-$stageId%09d"), false)
+    try os.write(added.mkString("\n").getBytes(UTF_8)) finally os.close()
+    stageId
+  }
+
+  /** The audit view: current committed rows + the staged delta. */
+  def readStaged(spark: SparkSession, table: String, stageId: Long): DataFrame = {
+    val fs = fsFor(spark, new Path(table))
+    val root = fs.makeQualified(new Path(table))
+    val staged = spark.read.option("basePath", root.toString)
+      .parquet(stagedFiles(spark, table, stageId)
+        .map(f => new Path(root, f).toString): _*)
+    snapshots(spark, table).lastOption match {
+      case Some(id) => readAsOf(spark, table, id).unionByName(staged)
+      case None => staged
+    }
+  }
+
+  /** Commit the staged write as the next snapshot. */
+  def publishStaged(spark: SparkSession, table: String, stageId: Long): Unit = {
+    val files = stagedFiles(spark, table, stageId)
+    val fs = fsFor(spark, new Path(table))
+    val root = fs.makeQualified(new Path(table))
+    val snapId = snapshots(spark, table).lastOption.getOrElse(0L) + 1
+    val os = fs.create(new Path(root, f"$SnapDir/snap-$snapId%09d"), false)
+    try os.write(files.mkString("\n").getBytes(UTF_8)) finally os.close()
+    fs.delete(new Path(root, f"$SnapDir/stage-$stageId%09d"), false)
+    ()
+  }
+
+  /** Discard the staged write: its manifest and its data files. */
+  def abortStaged(spark: SparkSession, table: String, stageId: Long): Unit = {
+    val fs = fsFor(spark, new Path(table))
+    val root = fs.makeQualified(new Path(table))
+    stagedFiles(spark, table, stageId).foreach(rel =>
+      fs.delete(new Path(root, rel), false))
+    fs.delete(new Path(root, f"$SnapDir/stage-$stageId%09d"), false)
+    ()
+  }
 }
 
 /** Iceberg mapping (not constructible in this sandbox — no runtime jar):

@@ -347,6 +347,70 @@ class LineageSpec extends AnyFunSuite {
     assert(m("n_rows") == 100L && m("v_sum") == 5050L && m("v_max") == 100L)
   }
 
+  test("write-audit-publish: staged rows invisible until publish; abort erases them") {
+    import spark.implicits._
+    import graft.lineage.ParquetCatalog
+    val tbl = tmp() + "/wap"
+    ParquetCatalog.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), tbl)
+    // stage a good batch: invisible to current readers, visible to audit
+    val s1 = ParquetCatalog.stageAppend(Seq((3L, "c")).toDF("id", "v"), tbl)
+    assert(ParquetCatalog.readCurrent(spark, tbl).count() == 2)
+    assert(ParquetCatalog.snapshots(spark, tbl).size == 1)
+    val audit = ParquetCatalog.readStaged(spark, tbl, s1)
+    assert(audit.count() == 3)
+    ParquetCatalog.publishStaged(spark, tbl, s1)
+    assert(ParquetCatalog.readCurrent(spark, tbl)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(ParquetCatalog.snapshots(spark, tbl).size == 2)
+    // stage a bad batch and abort: no trace in data or snapshots
+    val s2 = ParquetCatalog.stageAppend(Seq((99L, "BAD")).toDF("id", "v"), tbl)
+    assert(ParquetCatalog.readStaged(spark, tbl, s2).count() == 4)
+    ParquetCatalog.abortStaged(spark, tbl, s2)
+    assert(ParquetCatalog.readCurrent(spark, tbl).count() == 3)
+    assert(spark.read.parquet(tbl).count() == 3) // files physically gone
+    // and a later commit sequence is unaffected
+    ParquetCatalog.append(Seq((4L, "d")).toDF("id", "v"), tbl)
+    assert(ParquetCatalog.readCurrent(spark, tbl).count() == 4)
+  }
+
+  test("merge-on-read deletes: key-file anti-join, then compaction folds them in") {
+    import spark.implicits._
+    import graft.lineage.{MorDeletes, ParquetCatalog}
+    val tbl = tmp() + "/mor"
+    ParquetCatalog.append((0L until 20L).map(i => (i, s"v$i")).toDF("id", "v"), tbl)
+    MorDeletes.commitDelete(Seq(3L, 7L).toDF("id"), tbl, "id")
+    MorDeletes.commitDelete(Seq(7L, 11L).toDF("id"), tbl, "id") // overlap is fine
+    val mor = MorDeletes.readCurrent(spark, tbl, "id").collect().map(_.getLong(0)).toSet
+    assert(mor == (0L until 20L).toSet -- Set(3L, 7L, 11L))
+    // raw current view still carries the rows (deletes are logical)
+    assert(ParquetCatalog.readCurrent(spark, tbl).count() == 20)
+    val preCompact = ParquetCatalog.snapshots(spark, tbl).last
+    MorDeletes.compactDeletes(spark, tbl, "id")
+    // physically applied now, delete files cleared, MOR == plain read
+    assert(ParquetCatalog.readCurrent(spark, tbl).count() == 17)
+    assert(MorDeletes.readCurrent(spark, tbl, "id").count() == 17)
+    // time travel still sees the pre-delete rows
+    assert(ParquetCatalog.readAsOf(spark, tbl, preCompact).count() == 20)
+  }
+
+  test("incremental join delta equals full join minus base join") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11L)
+    val aAll = (0L until 40L).map(i => (i, s"a$i"))
+    val bAll = (0L until 40L).filter(_ => rng.nextBoolean()).map(i => (i, i * 2))
+    val (aBase, aDelta) = aAll.partition(_._1 % 2 == 0)
+    val (bBase, bDelta) = bAll.partition(_._1 % 3 != 0)
+    val delta = graft.operators.IncrementalJoin.joinDelta(
+        aBase.toDF("k", "av"), aDelta.toDF("k", "av"),
+        bBase.toDF("k", "bv"), bDelta.toDF("k", "bv"), "k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val full = aAll.toDF("k", "av").join(bAll.toDF("k", "bv"), "k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val base = aBase.toDF("k", "av").join(bBase.toDF("k", "bv"), "k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(delta == (full -- base))
+  }
+
   test("merge upsert rejects a target that already has the tombstone column") {
     import spark.implicits._
     val target = Seq((1L, false)).toDF("id", "_deleted")
