@@ -3347,6 +3347,27 @@ object SparkEntry {
         a.filter(col("doc_id") % 2 === 0), a.filter(col("doc_id") % 2 === 1),
         b.filter(col("doc_id") % 3 =!= 0), b.filter(col("doc_id") % 3 === 0),
         "doc_id")
+    }),
+
+    // ---- fault tolerance: restart-safe PageRank — every round commits
+    // to storage, so the (simulated) interrupted 3-round first attempt
+    // resumes to 6 instead of restarting; identical picounit arithmetic
+    // to q_pagerank, here at 6 rounds
+    "q_pagerank_resume" -> ((s, dir) => {
+      streamCleanupHook
+      val c = s.read.parquet(t(dir, "customer"))
+      val fwd = c.select(col("c_custkey").cast("long").as("src"),
+        (lit(1000000L) + col("c_nationkey")).as("dst"))
+      val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      val root = streamLandingDirs.computeIfAbsent(s"$dir#prres", _ => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_prres").toString
+        // the "interrupted" first attempt: three committed rounds
+        graft.operators.PageRank.pageRankResumable(edges, "src", "dst",
+          iters = 3, d = 0.85, stateRoot = s"$tmp/state").count()
+        tmp
+      })
+      graft.operators.PageRank.pageRankResumable(edges, "src", "dst",
+        iters = 6, d = 0.85, stateRoot = s"$root/state")
     })
   )
 
@@ -7400,7 +7421,18 @@ object SparkEntry {
     // join — exactly the rows where a delta participated
     "q_incremental_join" ->
       """SELECT doc_id, lang, n_chars FROM documents
-        |WHERE doc_id % 2 = 1 OR doc_id % 3 = 0""".stripMargin
+        |WHERE doc_id % 2 = 1 OR doc_id % 3 = 0""".stripMargin,
+    // Resumable-PageRank replay: the interrupted-then-resumed run must
+    // equal the plain 6-round unrolled chain — same edges, same
+    // picounit discipline
+    "q_pagerank_resume" ->
+      ("""WITH e AS (
+         |  SELECT DISTINCT CAST(c_custkey AS BIGINT) AS src,
+         |    CAST(1000000 + c_nationkey AS BIGINT) AS dst FROM customer
+         |  UNION
+         |  SELECT DISTINCT CAST(1000000 + c_nationkey AS BIGINT) AS src,
+         |    CAST(c_custkey AS BIGINT) AS dst FROM customer
+         |)""".stripMargin + pagerankTail(iters = 6, d = 0.85))
   )
 
   /** q_table_types oracle: cells CTE -> dense (i,j) -> seeded overwrite

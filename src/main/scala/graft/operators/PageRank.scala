@@ -118,4 +118,41 @@ object PageRank {
       s"PageRank picounit sum overflowed Long — rerun with a smaller quantum (current $quantum)")
     ranks.select(col("node"), col("r").as("pr"))
   }
+
+  /** Restart-safe PageRank: identical arithmetic to [[pageRank]]
+    * (uniform restart, picounit contributions) but every round COMMITS
+    * to `<stateRoot>/round=<k>` via [[graft.lineage.IterativeResume]],
+    * so a driver loss mid-run costs at most the in-flight round and a
+    * rerun resumes instead of restarting — the posture a multi-hour
+    * 100 TB power iteration needs. Reading each round from parquet
+    * also cuts lineage (the durable alternative to localCheckpoint:
+    * pay a write per round, survive anything). Completed runs are
+    * idempotent: a re-invocation reads the final round straight back.
+    */
+  def pageRankResumable(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, d: Double, stateRoot: String,
+      quantum: Double = 1e12): DataFrame = {
+    require(iters >= 1 && d > 0.0 && d < 1.0, s"bad iters=$iters d=$d")
+    val spark = edges.sparkSession
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct()
+    val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val ew = e0.join(deg, "src")
+    val nodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct()
+    graft.lineage.IterativeResume.run(spark, stateRoot, iters,
+        init = nodes.select(col("node"), lit(1.0).as("r")),
+        step = (prev, _) => {
+          val contribs = ew
+            .join(prev, ew("src") === prev("node"))
+            .groupBy(col("dst"))
+            .agg(sum(floor(col("r") / col("deg") * lit(quantum)).cast("long")).as("m"))
+          nodes
+            .join(contribs, nodes("node") === contribs("dst"), "left")
+            .select(col("node"),
+              (lit(1.0 - d) + lit(d) *
+                (coalesce(col("m"), lit(0L)).cast("double") / lit(quantum))).as("r"))
+        })
+      .select(col("node"), col("r").as("pr"))
+  }
 }

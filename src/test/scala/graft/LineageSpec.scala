@@ -393,6 +393,48 @@ class LineageSpec extends AnyFunSuite {
     assert(ParquetCatalog.readAsOf(spark, tbl, preCompact).count() == 20)
   }
 
+  test("iterative resume replays committed rounds from storage, never recomputes") {
+    import spark.implicits._
+    import graft.lineage.IterativeResume
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = tmp() + "/iter"
+    var stepCalls = 0
+    def step(prev: org.apache.spark.sql.DataFrame, k: Int) = {
+      stepCalls += 1
+      prev.select(col("node"), (col("v") + k).as("v"))
+    }
+    val init = (0L until 10L).toDF("node").select(col("node"), lit(0L).as("v"))
+    // interrupted attempt: rounds 0..3 committed
+    IterativeResume.run(spark, root, 3, init, step).count()
+    assert(stepCalls == 3)
+    assert(IterativeResume.lastCommitted(spark, root, 6).contains(3))
+    // resume to 6: exactly three MORE step invocations, none replayed
+    val resumed = IterativeResume.run(spark, root, 6, init, step)
+    assert(stepCalls == 6)
+    val want = (1 to 6).sum.toLong
+    assert(resumed.collect().forall(_.getLong(1) == want))
+    // a completed run re-invoked is a pure read: zero new step calls
+    IterativeResume.run(spark, root, 6, init, step).count()
+    assert(stepCalls == 6)
+  }
+
+  test("resumable PageRank equals the in-memory power iteration bit-for-bit") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5L)
+    val edges = (0 until 60).map(_ => (rng.nextInt(12).toLong, rng.nextInt(12).toLong))
+      .distinct.toDF("src", "dst")
+    val plain = graft.operators.PageRank.pageRank(edges, "src", "dst", iters = 5, d = 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val root = tmp() + "/prres"
+    // interrupt at 2, resume to 5
+    graft.operators.PageRank.pageRankResumable(edges, "src", "dst",
+      iters = 2, d = 0.85, stateRoot = root).count()
+    val resumed = graft.operators.PageRank.pageRankResumable(edges, "src", "dst",
+        iters = 5, d = 0.85, stateRoot = root)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(resumed == plain)
+  }
+
   test("incremental join delta equals full join minus base join") {
     import spark.implicits._
     val rng = new scala.util.Random(11L)
