@@ -3368,6 +3368,20 @@ object SparkEntry {
       })
       graft.operators.PageRank.pageRankResumable(edges, "src", "dst",
         iters = 6, d = 0.85, stateRoot = s"$root/state")
+    }),
+
+    // ---- skew: salted equi-join — output-identical to the plain join,
+    // but hot probe keys spread over hash-salted sub-keys (the manual
+    // form of AQE's skew split, for stages AQE can't see); events keyed
+    // to 10 heavy buckets make every key hot at targetPerTask=100
+    "q_salted_join" -> ((s, dir) => {
+      val ev = s.read.parquet(t(dir, "events"))
+        .select(col("event_id"), pmod(col("user_id"), lit(10L)).as("k"))
+      val dim = ev.select(col("k")).distinct()
+        .select(col("k"), (col("k") * 100 + 7).as("wt"))
+      graft.operators.Skew.saltedJoin(ev, dim, key = "k",
+        tieCol = "event_id", targetPerTask = 100L)
+        .select(col("event_id"), col("k"), col("wt"))
     })
   )
 
@@ -7432,7 +7446,17 @@ object SparkEntry {
          |  UNION
          |  SELECT DISTINCT CAST(1000000 + c_nationkey AS BIGINT) AS src,
          |    CAST(c_custkey AS BIGINT) AS dst FROM customer
-         |)""".stripMargin + pagerankTail(iters = 6, d = 0.85))
+         |)""".stripMargin + pagerankTail(iters = 6, d = 0.85)),
+    // Salted-join replay: salting must be invisible in the result —
+    // the oracle is the PLAIN join
+    "q_salted_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id % 10 AS k FROM events
+        |), dim AS (
+        |  SELECT DISTINCT k, k * 100 + 7 AS wt FROM ev
+        |)
+        |SELECT ev.event_id, ev.k, dim.wt
+        |FROM ev JOIN dim USING (k)""".stripMargin
   )
 
   /** q_table_types oracle: cells CTE -> dense (i,j) -> seeded overwrite

@@ -37,4 +37,35 @@ object Skew {
         expr(s"(cnt + ${targetPerTask - 1}) div $targetPerTask").as("salt_factor"),
         (col("cnt") > targetPerTask).as("is_skewed"))
   }
+
+  /** Skew-mitigated equi-join, output-identical to `left JOIN right ON
+    * key`: the profile above decides each key's salt factor from the
+    * LEFT (probe) side's frequencies; hot left rows spread across
+    * factor sub-keys by a deterministic hash of `tieCol`, and the
+    * right side replicates its rows once per sub-key (bounded fan-out:
+    * sum of factors ≈ |left| / targetPerTask extra right rows). The
+    * join key becomes (key, salt), so the hot key's rows land on
+    * `factor` tasks instead of one straggler — the manual form of
+    * AQE's skew-join split, usable where AQE can't see the skew
+    * (pre-AQE stages, aggregations keyed downstream).
+    *
+    * The profile is a per-key aggregate (map-side combinable) and
+    * broadcasts; cold keys keep factor 1 and pay nothing.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+      tieCol: String, targetPerTask: Long): DataFrame = {
+    val prof = profile(left, key, targetPerTask)
+      .select(col("key").as(key), col("salt_factor"))
+    val l = left.join(broadcast(prof), Seq(key), "left")
+      .withColumn("__salt", pmod(
+        graft.PortableHash.md5Hash60(
+          concat(lit("salt:"), col(tieCol).cast("string"))),
+        coalesce(col("salt_factor"), lit(1L))))
+      .drop("salt_factor")
+    val r = right.join(broadcast(prof), Seq(key), "left")
+      .withColumn("__salt",
+        explode(sequence(lit(0L), coalesce(col("salt_factor"), lit(1L)) - 1)))
+      .drop("salt_factor")
+    l.join(r, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -383,6 +383,37 @@ class Round4hSpec extends AnyFunSuite {
     }
   }
 
+  test("salted join equals the plain join and actually spreads the hot key") {
+    import spark.implicits._
+    checkProp(Prop.forAll(Gen.choose(0L, 5000L)) { seed =>
+      val rng = new Random(seed)
+      // one deliberately hot key (0) plus a cold tail
+      val left = (0 until 300).map(i =>
+        (i.toLong, if (i < 200) 0L else rng.nextInt(8).toLong))
+      val right = (0L until 8L).map(k => (k, k * 10 + 1))
+      val got = graft.operators.Skew.saltedJoin(
+          left.toDF("id", "k"), right.toDF("k", "wt"),
+          key = "k", tieCol = "id", targetPerTask = 50L)
+        .select("id", "k", "wt")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = left.toDF("id", "k").join(right.toDF("k", "wt"), "k")
+        .select("id", "k", "wt")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      got == want
+    })
+    // spread: the hot key's rows land on multiple salts, none holding all
+    import org.apache.spark.sql.functions.{col, concat, lit, pmod}
+    val hot = (0 until 400).map(i => (i.toLong, 0L)).toDF("id", "k")
+    val factors = graft.operators.Skew.profile(hot, "k", 50L)
+      .collect().map(r => r.getAs[Long]("salt_factor")).head
+    assert(factors == 8L)
+    val perSalt = hot.withColumn("s", pmod(
+        graft.PortableHash.md5Hash60(concat(lit("salt:"), col("id").cast("string"))),
+        lit(factors)))
+      .groupBy("s").count().collect().map(_.getLong(1))
+    assert(perSalt.length == 8 && perSalt.max < 400)
+  }
+
   test("observe: write-pass metrics equal a recompute, with no second scan coded") {
     import spark.implicits._
     val df = (0L until 100L).map(i => (i, i % 7)).toDF("id", "v")
