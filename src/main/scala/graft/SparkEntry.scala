@@ -3382,6 +3382,26 @@ object SparkEntry {
       graft.operators.Skew.saltedJoin(ev, dim, key = "k",
         tieCol = "event_id", targetPerTask = 100L)
         .select(col("event_id"), col("k"), col("wt"))
+    }),
+
+    // ---- entity resolution: Fellegi-Sunter match scoring over the
+    // sorted-neighborhood candidates — per-field ln(m/u) agreement
+    // weights precomputed driver-side into micro-nat literals, so the
+    // distributed sum is exact integer addition
+    "q_linkage_score" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), col("n_chars"), col("lang"), col("source"))
+      val pairs = graft.operators.SortedNeighborhood.candidatePairs(
+        d.select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", w = 4, bandWidth = 50.0)
+      graft.operators.Linkage.scorePairs(pairs,
+        d.withColumnRenamed("doc_id", "id"), "id",
+        fields = Seq(
+          (col("lang_a") === col("lang_b"), 0.9, 0.25),
+          (col("source_a") === col("source_b"), 0.8, 0.2),
+          (abs(col("n_chars_a") - col("n_chars_b")) * 20
+            <= least(col("n_chars_a"), col("n_chars_b")), 0.7, 0.1)),
+        thresholdMicro = 1500000L)
     })
   )
 
@@ -7456,7 +7476,40 @@ object SparkEntry {
         |  SELECT DISTINCT k, k * 100 + 7 AS wt FROM ev
         |)
         |SELECT ev.event_id, ev.k, dim.wt
-        |FROM ev JOIN dim USING (k)""".stripMargin
+        |FROM ev JOIN dim USING (k)""".stripMargin,
+    // Linkage replay: the SNM pair CTE + the SAME driver-computed
+    // micro-nat weight literals (no per-row or cross-engine ln)
+    "q_linkage_score" -> {
+      val wLangA = graft.operators.Linkage.microNatWeight(0.9, 0.25)
+      val wLangD = graft.operators.Linkage.microNatWeight(0.1, 0.75)
+      val wSrcA = graft.operators.Linkage.microNatWeight(0.8, 0.2)
+      val wSrcD = graft.operators.Linkage.microNatWeight(0.2, 0.8)
+      val wLenA = graft.operators.Linkage.microNatWeight(0.7, 0.1)
+      val wLenD = graft.operators.Linkage.microNatWeight(0.3, 0.9)
+      s"""WITH r AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY n_chars, doc_id) AS rk
+         |  FROM documents
+         |), p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk <= 3
+         |), j AS (
+         |  SELECT p.id_a, p.id_b, da.lang AS lang_a, db.lang AS lang_b,
+         |    da.source AS source_a, db.source AS source_b,
+         |    da.n_chars AS na, db.n_chars AS nb
+         |  FROM p JOIN documents da ON da.doc_id = p.id_a
+         |         JOIN documents db ON db.doc_id = p.id_b
+         |), sc AS (
+         |  SELECT id_a, id_b,
+         |    CAST(CASE WHEN lang_a = lang_b THEN $wLangA ELSE $wLangD END
+         |      + CASE WHEN source_a = source_b THEN $wSrcA ELSE $wSrcD END
+         |      + CASE WHEN abs(na - nb) * 20 <= least(na, nb)
+         |             THEN $wLenA ELSE $wLenD END AS BIGINT) AS score_micro
+         |  FROM j
+         |)
+         |SELECT id_a, id_b, score_micro,
+         |  score_micro >= 1500000 AS is_match
+         |FROM sc""".stripMargin
+    }
   )
 
   /** q_table_types oracle: cells CTE -> dense (i,j) -> seeded overwrite

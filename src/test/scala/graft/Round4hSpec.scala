@@ -414,6 +414,31 @@ class Round4hSpec extends AnyFunSuite {
     assert(perSalt.length == 8 && perSalt.max < 400)
   }
 
+  test("Fellegi-Sunter scoring sums the exact micro-nat field weights") {
+    import spark.implicits._
+    import graft.operators.Linkage
+    val attrs = Seq(
+      (1L, 100L, "en", "s1"), (2L, 101L, "en", "s1"), // agree on everything
+      (3L, 500L, "zh", "s2"))                         // disagrees with both
+      .toDF("id", "n", "lang", "src")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val fields = Seq(
+      (col("lang_a") === col("lang_b"), 0.9, 0.25),
+      (col("src_a") === col("src_b"), 0.8, 0.2),
+      (abs(col("n_a") - col("n_b")) * 20 <= least(col("n_a"), col("n_b")), 0.7, 0.1))
+    val thr = 1500000L
+    val got = Linkage.scorePairs(pairs, attrs, "id", fields, thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getBoolean(3)))
+      .toMap
+    val allAgree = Linkage.microNatWeight(0.9, 0.25) +
+      Linkage.microNatWeight(0.8, 0.2) + Linkage.microNatWeight(0.7, 0.1)
+    val allDisagree = Linkage.microNatWeight(0.1, 0.75) +
+      Linkage.microNatWeight(0.2, 0.8) + Linkage.microNatWeight(0.3, 0.9)
+    assert(got((1L, 2L)) == (allAgree, true))
+    assert(got((2L, 3L)) == (allDisagree, false))
+    assert(allAgree > thr && allDisagree < 0)
+  }
+
   test("observe: write-pass metrics equal a recompute, with no second scan coded") {
     import spark.implicits._
     val df = (0L until 100L).map(i => (i, i % 7)).toDF("id", "v")
