@@ -374,6 +374,65 @@ object SparkEntry {
     out
   }
 
+  /** Left-outer stream-stream landing: the real corpus file FIRST,
+    * then two far-future sentinel files per side with strictly
+    * increasing mtimes — the sentinels advance the global watermark
+    * (batch k) and give eviction a later batch (k+1) to emit the
+    * null-padded unmatched rows in (see
+    * StreamingState.streamStreamLeftOuterRunOnce). Sentinel keys are
+    * negative so the query filters them back out.
+    */
+  private def streamJoinOuterDrain(s: SparkSession, dir: String): String = {
+    streamCleanupHook
+    val root = streamLandingDirs.computeIfAbsent(s"$dir#ssjoinL", _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ssjoinl").toString
+      val base = s.read.parquet(t(dir, "documents"))
+      base.select(col("doc_id"),
+          timestamp_seconds(lit(1700000000L) + pmod(col("doc_id"), lit(3600L)))
+            .as("l_ts"),
+          col("lang"))
+        .coalesce(1).write.parquet(s"$tmp/left")
+      base.select(col("doc_id").as("r_doc_id"),
+          timestamp_seconds(lit(1700000000L) + pmod(col("doc_id"), lit(3600L))
+            + pmod(col("doc_id"), lit(13L)) * 60L).as("r_ts"),
+          col("n_chars").as("score"))
+        .coalesce(1).write.parquet(s"$tmp/right")
+      def sentinel(side: String, cols: (String, String, String), k: Long,
+          tsSec: Long): Unit = {
+        import s.implicits._
+        Seq((k, new java.sql.Timestamp(tsSec * 1000L),
+            if (side == "left") "xx" else "0"))
+          .toDF(cols._1, cols._2, cols._3)
+          .select(col(cols._1), col(cols._2).cast("timestamp").as(cols._2),
+            if (side == "left") col(cols._3) else col(cols._3).cast("long").as(cols._3))
+          .coalesce(1).write.mode("append").parquet(s"$tmp/$side")
+      }
+      // two watermark-advancing batches per side, far beyond every
+      // real l_ts + range + delay
+      sentinel("left", ("doc_id", "l_ts", "lang"), -1L, 1700300000L)
+      sentinel("right", ("r_doc_id", "r_ts", "score"), -1L, 1700300000L)
+      sentinel("left", ("doc_id", "l_ts", "lang"), -2L, 1700400000L)
+      sentinel("right", ("r_doc_id", "r_ts", "score"), -2L, 1700400000L)
+      // pin the batch order: real first, sentinels after, by mtime
+      for (side <- Seq("left", "right")) {
+        val files = new java.io.File(s"$tmp/$side").listFiles()
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .sortBy(_.lastModified())
+        val base = System.currentTimeMillis() - 600000L
+        files.zipWithIndex.foreach { case (f, i) =>
+          f.setLastModified(base + i * 30000L); ()
+        }
+      }
+      tmp
+    })
+    val run = streamRunSeq.incrementAndGet()
+    val out = s"$root/out$run"
+    graft.streaming.StreamingState.streamStreamLeftOuterRunOnce(
+      s, s"$root/left", s"$root/right", "doc_id", out, s"$root/cp$run",
+      rangeMaxSec = 600L, shufflePartitions = Some(8))
+    out
+  }
+
   /** JSON landing zone for the permissive-source query: the documents
     * digest as JSON lines plus ONE deterministic malformed line in a
     * sidecar file (truncated mid-object). Cached per dir under the
@@ -3402,7 +3461,20 @@ object SparkEntry {
           (abs(col("n_chars_a") - col("n_chars_b")) * 20
             <= least(col("n_chars_a"), col("n_chars_b")), 0.7, 0.1)),
         thresholdMicro = 1500000L)
-    })
+    }),
+
+    // ---- streaming: stream-stream LEFT OUTER join drain — unmatched
+    // left rows emit null-padded only after the global watermark proves
+    // no future match (sentinel files advance it; see
+    // streamJoinOuterDrain); docs with doc_id%13 > 10 miss the 600s
+    // range and surface with NULL r_epoch/score
+    "stream_join_outer" -> ((s, dir) =>
+      s.read.parquet(streamJoinOuterDrain(s, dir))
+        .filter(col("doc_id") >= 0)
+        .select(col("doc_id"),
+          col("l_ts").cast("long").as("l_epoch"),
+          col("r_ts").cast("long").as("r_epoch"),
+          col("lang"), col("score")))
   )
 
   /** The deterministic doc->doc link graph every graph query shares
@@ -7509,7 +7581,22 @@ object SparkEntry {
          |SELECT id_a, id_b, score_micro,
          |  score_micro >= 1500000 AS is_match
          |FROM sc""".stripMargin
-    }
+    },
+    // Outer-join replay: the same range LEFT JOIN — the drain's
+    // watermark/sentinel machinery must be invisible in the result
+    "stream_join_outer" ->
+      """WITH l AS (
+        |  SELECT doc_id, 1700000000 + doc_id % 3600 AS l_epoch, lang
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id AS r_doc_id,
+        |    1700000000 + doc_id % 3600 + (doc_id % 13) * 60 AS r_epoch,
+        |    n_chars AS score
+        |  FROM documents
+        |)
+        |SELECT l.doc_id, l.l_epoch, r.r_epoch, l.lang, r.score
+        |FROM l LEFT JOIN r ON l.doc_id = r.r_doc_id
+        |  AND r.r_epoch >= l.l_epoch AND r.r_epoch <= l.l_epoch + 600""".stripMargin
   )
 
   /** q_table_types oracle: cells CTE -> dense (i,j) -> seeded overwrite

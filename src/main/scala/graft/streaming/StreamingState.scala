@@ -258,6 +258,48 @@ object StreamingState {
     q.awaitTermination()
   }
 
+  /** Stream-stream LEFT OUTER join drain — the fifth join surface and
+    * the trickiest: an unmatched left row can only emit its null-padded
+    * result once the GLOBAL watermark (min across both sources) proves
+    * no future right row can match it (wm > l_ts + rangeMax), and the
+    * emission happens in a LATER micro-batch than the one that raised
+    * the watermark. An AvailableNow drain therefore needs rows arriving
+    * AFTER the real data on BOTH sides — the caller appends far-future
+    * sentinel files (two, so a batch exists after the watermark-raising
+    * one) with strictly increasing modification times, and
+    * `maxFilesPerTrigger=1` makes each file its own batch in mtime
+    * order. Without the range bound or the sentinels, unmatched rows sit
+    * in state forever — the silent-incompleteness failure mode this
+    * drain exists to pin.
+    */
+  def streamStreamLeftOuterRunOnce(spark: SparkSession, leftPath: String,
+      rightPath: String, keyCol: String, outPath: String, checkpoint: String,
+      rangeMaxSec: Long, delay: String = "30 minutes",
+      shufflePartitions: Option[Int] = None): Unit = {
+    val s = sessionFor(spark, shufflePartitions)
+    val lSchema = s.read.parquet(leftPath).schema
+    val rSchema = s.read.parquet(rightPath).schema
+    val l = s.readStream.schema(lSchema)
+      .option("maxFilesPerTrigger", 1).parquet(leftPath)
+      .withWatermark("l_ts", delay)
+    val r = s.readStream.schema(rSchema)
+      .option("maxFilesPerTrigger", 1).parquet(rightPath)
+      .withWatermark("r_ts", delay)
+    val joined = l.join(r,
+      col(keyCol) === col(s"r_$keyCol") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + org.apache.spark.sql.functions
+          .expr(s"INTERVAL $rangeMaxSec SECONDS"),
+      "leftOuter")
+    val q = joined.writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp)
   final case class SessionState(start: Long, end: Long, n: Long)
   final case class Session(user_id: Long, s_start: Long, s_end: Long, n_events: Long)
