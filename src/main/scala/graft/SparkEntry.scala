@@ -3463,6 +3463,53 @@ object SparkEntry {
         thresholdMicro = 1500000L)
     }),
 
+    // ---- monitoring: PSI distribution drift between two corpus epochs
+    // (even/odd doc_id) over the lang histogram — per-bucket
+    // (p-q)·ln(p/q) terms with Laplace smoothing; the ln is discretized
+    // to micro-nats in BOTH engines (the engine-wide float discipline),
+    // every other op a fixed IEEE expression. Bucket table is tiny —
+    // the totals broadcast
+    "q_psi_drift" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents")).select(col("doc_id"), col("lang"))
+      val ref = d.filter(col("doc_id") % 2 === 0)
+        .groupBy("lang").agg(count(lit(1)).as("n_ref"))
+      val cur = d.filter(col("doc_id") % 2 === 1)
+        .groupBy("lang").agg(count(lit(1)).as("n_cur"))
+      val j = ref.join(cur, Seq("lang"), "full")
+        .select(col("lang"),
+          coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+          coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      val tot = j.agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"),
+        count(lit(1)).as("k"))
+      val p = (col("n_ref") + 1).cast("double") / (col("t_ref") + col("k")).cast("double")
+      val q = (col("n_cur") + 1).cast("double") / (col("t_cur") + col("k")).cast("double")
+      val lnMicro = floor(log(p / q) * 1e6 + 0.5) / 1e6
+      j.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_ref"), col("n_cur"),
+          ((p - q) * lnMicro).as("psi_term"))
+    }),
+
+    // ---- crawl policy: robots-style longest-prefix rule matching —
+    // the rule table broadcasts (rule sets are small by definition),
+    // match = prefix test, winner = max struct(prefix length, path);
+    // record-local, zero shuffles of the URL corpus
+    "q_robots_rules" -> ((s, dir) => {
+      import s.implicits._
+      val urls = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"),
+          concat(lit("/doc/"), (col("doc_id") % 7).cast("string"),
+            lit("/p"), col("doc_id").cast("string")).as("url"))
+      val rules = Seq(("/", true), ("/doc", false),
+        ("/doc/3", true), ("/doc/5", true)).toDF("path", "allowed")
+      urls.crossJoin(broadcast(rules))
+        .filter(col("url").startsWith(col("path")))
+        .groupBy(col("doc_id"), col("url"))
+        .agg(max(struct(length(col("path")).as("l"), col("path").as("p"),
+          col("allowed").as("a"))).as("w"))
+        .select(col("doc_id"), col("url"),
+          col("w.p").as("rule_path"), col("w.a").as("allowed"))
+    }),
+
     // ---- streaming: stream-stream LEFT OUTER join drain — unmatched
     // left rows emit null-padded only after the global watermark proves
     // no future match (sentinel files advance it; see
@@ -7582,6 +7629,53 @@ object SparkEntry {
          |  score_micro >= 1500000 AS is_match
          |FROM sc""".stripMargin
     },
+    // PSI replay: identical smoothing, identical micro-nat ln grid,
+    // identical IEEE term expression
+    "q_psi_drift" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang FROM documents
+        |), rf AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_ref FROM d
+        |  WHERE doc_id % 2 = 0 GROUP BY 1
+        |), cu AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_cur FROM d
+        |  WHERE doc_id % 2 = 1 GROUP BY 1
+        |), j AS (
+        |  SELECT coalesce(rf.lang, cu.lang) AS lang,
+        |    coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+        |  FROM rf FULL JOIN cu ON rf.lang = cu.lang
+        |), tt AS (
+        |  SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+        |    CAST(sum(n_cur) AS BIGINT) AS t_cur,
+        |    CAST(count(*) AS BIGINT) AS k
+        |  FROM j
+        |), e AS (
+        |  SELECT lang, n_ref, n_cur,
+        |    CAST(n_ref + 1 AS DOUBLE) / CAST(t_ref + k AS DOUBLE) AS p,
+        |    CAST(n_cur + 1 AS DOUBLE) / CAST(t_cur + k AS DOUBLE) AS q
+        |  FROM j CROSS JOIN tt
+        |)
+        |SELECT lang, n_ref, n_cur,
+        |  (p - q) * (floor(ln(p / q) * 1000000 + 0.5) / 1000000) AS psi_term
+        |FROM e""".stripMargin,
+    // Robots replay: same broadcast rule set, same longest-prefix
+    // winner via (length, path, allowed) struct-max equivalent
+    "q_robots_rules" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    '/doc/' || CAST(doc_id % 7 AS VARCHAR) || '/p' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents
+        |), rules AS (
+        |  SELECT * FROM (VALUES ('/', true), ('/doc', false),
+        |    ('/doc/3', true), ('/doc/5', true)) r(path, allowed)
+        |), m AS (
+        |  SELECT u.doc_id, u.url, r.path, r.allowed,
+        |    row_number() OVER (PARTITION BY u.doc_id
+        |      ORDER BY length(r.path) DESC, r.path DESC) AS rn
+        |  FROM u JOIN rules r ON starts_with(u.url, r.path)
+        |)
+        |SELECT doc_id, url, path AS rule_path, allowed
+        |FROM m WHERE rn = 1""".stripMargin,
     // Outer-join replay: the same range LEFT JOIN — the drain's
     // watermark/sentinel machinery must be invisible in the result
     "stream_join_outer" ->
