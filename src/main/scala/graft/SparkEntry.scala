@@ -3489,6 +3489,23 @@ object SparkEntry {
           ((p - q) * lnMicro).as("psi_term"))
     }),
 
+    // ---- freshness: exponentially-decayed event counts at the corpus
+    // horizon — each event contributes floor(exp(-age/tau)*1e6) integer
+    // micro-units BEFORE the sum, so the aggregate is order-immune
+    // 64-bit addition (a raw double exp sum would drift with partial-
+    // aggregation order); tau = 1h, horizon = max(ts)
+    "q_decay_counts" -> ((s, dir) => {
+      val ev = s.read.parquet(t(dir, "events"))
+        .select(col("event_type"), unix_timestamp(col("ts")).as("sec"))
+      val horizon = ev.agg(max(col("sec")).as("h"))
+      ev.crossJoin(broadcast(horizon))
+        .select(col("event_type"),
+          floor(exp((col("sec") - col("h")).cast("double") / 3600.0) * 1e6)
+            .cast("long").as("w_micro"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_raw"), sum(col("w_micro")).as("decayed_micro"))
+    }),
+
     // ---- crawl policy: robots-style longest-prefix rule matching —
     // the rule table broadcasts (rule sets are small by definition),
     // match = prefix test, winner = max struct(prefix length, path);
@@ -7629,6 +7646,16 @@ object SparkEntry {
          |  score_micro >= 1500000 AS is_match
          |FROM sc""".stripMargin
     },
+    // Decay replay: same per-event integer micro-unit terms (exp of a
+    // bit-identical double argument, floored before the sum)
+    "q_decay_counts" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
+        |), h AS (SELECT max(sec) AS h FROM ev)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_raw,
+        |  CAST(sum(CAST(floor(exp(CAST(sec - h AS DOUBLE) / 3600.0) * 1000000)
+        |    AS BIGINT)) AS BIGINT) AS decayed_micro
+        |FROM ev CROSS JOIN h GROUP BY event_type""".stripMargin,
     // PSI replay: identical smoothing, identical micro-nat ln grid,
     // identical IEEE term expression
     "q_psi_drift" ->
