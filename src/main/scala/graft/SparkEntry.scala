@@ -3489,6 +3489,25 @@ object SparkEntry {
           ((p - q) * lnMicro).as("psi_term"))
     }),
 
+    // ---- inference: deterministic half-sample replicates — 16
+    // hash-derived 50% subsamples of the corpus, each yielding an
+    // integer-exact mean of n_chars (the replicate spread is the
+    // uncertainty estimate a corpus-stat dashboard needs); replica
+    // membership = portable hash parity, so reruns and the oracle
+    // reproduce every replicate bit-for-bit. One explode-by-16 +
+    // one combinable aggregation
+    "q_subsample_reps" -> ((s, dir) =>
+      s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), col("n_chars"),
+          explode(sequence(lit(0), lit(15))).as("rep"))
+        .filter(graft.PortableHash.md5Hash60(
+          concat(lit("rep:"), col("rep").cast("string"), lit(":"),
+            col("doc_id").cast("string"))) % 2 === 0)
+        .groupBy(col("rep"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .withColumn("mean_chars",
+          col("sum_chars").cast("double") / col("n").cast("double"))),
+
     // ---- freshness: exponentially-decayed event counts at the corpus
     // horizon — each event contributes floor(exp(-age/tau)*1e6) integer
     // micro-units BEFORE the sum, so the aggregate is order-immune
@@ -7646,6 +7665,19 @@ object SparkEntry {
          |  score_micro >= 1500000 AS is_match
          |FROM sc""".stripMargin
     },
+    // Replicate replay: same hash-parity membership, integer sums,
+    // one IEEE division
+    "q_subsample_reps" ->
+      """WITH m AS (
+        |  SELECT r.rep, d.doc_id, d.n_chars
+        |  FROM documents d CROSS JOIN (SELECT unnest(range(0, 16)) AS rep) r
+        |  WHERE CAST('0x' || substr(md5('rep:' || CAST(r.rep AS VARCHAR) || ':'
+        |    || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 0
+        |)
+        |SELECT CAST(rep AS INT) AS rep, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_chars
+        |FROM m GROUP BY 1""".stripMargin,
     // Decay replay: same per-event integer micro-unit terms (exp of a
     // bit-identical double argument, floored before the sum)
     "q_decay_counts" ->
