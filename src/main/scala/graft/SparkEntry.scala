@@ -3546,6 +3546,159 @@ object SparkEntry {
           col("w.p").as("rule_path"), col("w.a").as("allowed"))
     }),
 
+    // ---- model eval: exact ROC AUC per source (one-vs-rest lang=en,
+    // score = n_chars) — the Mann-Whitney pair count collapsed onto
+    // the (source, score) count table: concordant/tied/positive/
+    // negative sums are exact BIGINTs, the single IEEE division runs
+    // once per source, ties count half; sources lacking a class → NULL
+    "q_auc" -> ((s, dir) =>
+      graft.eval.Eval.aucBinary(
+        s.read.parquet(t(dir, "documents"))
+          .select(col("source"), col("n_chars"),
+            (col("lang") === "en").as("is_en")),
+        "source", "n_chars", "is_en")),
+
+    // ---- model eval: reliability (calibration) bins — a deterministic
+    // hash-derived micro-probability per doc vs the lang=en outcome;
+    // per-bin mean prediction and empirical rate from integer sums
+    // (the centroid division discipline: /1e6 then /n), one combinable
+    // shuffle onto 10 bin rows
+    "q_calibration" -> ((s, dir) =>
+      s.read.parquet(t(dir, "documents"))
+        .select(
+          (graft.PortableHash.md5Hash60(
+            concat(lit("cal:"), col("doc_id").cast("string"))) % 1000001L)
+            .as("p_micro"),
+          (col("lang") === "en").cast("long").as("pos"))
+        .withColumn("bin", least(expr("p_micro div 100000"), lit(9L)))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("p_micro")).as("sum_p_micro"),
+          sum(col("pos")).as("n_pos"))
+        .select(col("bin"), col("n"), col("n_pos"),
+          (col("sum_p_micro").cast("double") / 1000000.0 /
+            col("n").cast("double")).as("mean_p"),
+          (col("n_pos").cast("double") / col("n").cast("double"))
+            .as("frac_pos"))),
+
+    // ---- model eval: Cohen's kappa between the NB holdout prediction
+    // and the true lang — chance-corrected agreement; confusion matrix
+    // is |classes|^2 rows so everything past the counting shuffle is
+    // metadata-sized, po/pe/kappa one fixed IEEE chain. Single row.
+    "q_cohen_kappa" -> ((s, dir) =>
+      graft.eval.Eval.cohenKappa(
+        graft.textops.NaiveBayes.classifyHoldout(
+          s.read.parquet(t(dir, "documents")), "doc_id", "lang", "text"),
+        "label", "pred_label")),
+
+    // ---- retrieval eval: nDCG@10 + reciprocal rank per query over a
+    // deterministic 20-query retrieval (candidates = doc_id mod 20,
+    // score = portable hash, graded relevance from n_chars); DCG/IDCG
+    // are integer micro-sums against LITERAL per-rank weight tables
+    // (no ln at compare time), one IEEE division per query
+    "q_ndcg" -> ((s, dir) =>
+      graft.eval.Eval.ndcgAtK(
+        s.read.parquet(t(dir, "documents"))
+          .select((col("doc_id") % 20).as("query_id"), col("doc_id"),
+            graft.PortableHash.md5Hash60(
+              concat(lit("ret:"), col("doc_id").cast("string"))).as("score"),
+            when(col("n_chars") % 5 === 0, 2L)
+              .when(col("n_chars") % 3 === 0, 1L)
+              .otherwise(0L).as("rel")),
+        "query_id", "doc_id", "score", "rel", k = 10)),
+
+    // ---- experimentation: sample-ratio-mismatch chi-square terms —
+    // hash-assign event users to 3 arms, per-arm term
+    // (3*observed - n)^2 / (3n) from exact integers (algebraically
+    // (o - n/3)^2 / (n/3) without a pre-floor double); the guardrail
+    // that catches a biased assignment hash before anyone reads the
+    // experiment. 3 output rows
+    "q_srm_chisq" -> ((s, dir) => {
+      val arms = s.read.parquet(t(dir, "events"))
+        .select(col("user_id")).distinct()
+        .select((graft.PortableHash.md5Hash60(
+          concat(lit("exp1:"), col("user_id").cast("string"))) % 3).as("arm"))
+        .groupBy(col("arm")).agg(count(lit(1)).as("n_users"))
+      val tot = arms.agg(sum(col("n_users")).as("n_total"))
+      arms.crossJoin(broadcast(tot))
+        .select(col("arm"), col("n_users"), col("n_total"),
+          ((lit(3L) * col("n_users") - col("n_total")) *
+            (lit(3L) * col("n_users") - col("n_total"))).cast("double")
+            ./((lit(3L) * col("n_total")).cast("double")).as("chisq_term"))
+    }),
+
+    // ---- crawl policy: per-host politeness scheduling — every URL
+    // gets a fetch slot = its priority rank within the host, fetch
+    // time = slot * the host's crawl delay; the window partitions by
+    // host so no partition ever holds more than one host's frontier
+    // (the per-host slate is the semantic unit, like nDCG's queries)
+    "q_crawl_schedule" -> ((s, dir) => {
+      val urls = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"),
+          concat(lit("h"), (col("doc_id") % 50).cast("string")).as("host"),
+          (lit(1L) + (col("doc_id") % 50) % 5).as("delay_sec"),
+          graft.PortableHash.md5Hash60(
+            concat(lit("crawl:"), col("doc_id").cast("string"))).as("prio"))
+      urls.withColumn("slot",
+          row_number().over(Window.partitionBy("host")
+            .orderBy(col("prio").asc, col("doc_id").asc)).cast("long") - 1L)
+        .select(col("doc_id"), col("host"), col("slot"),
+          (col("slot") * col("delay_sec")).as("fetch_at_sec"))
+    }),
+
+    // ---- crawl analytics: URL path-prefix hierarchical rollup — each
+    // URL contributes one row per path prefix (generated record-locally
+    // with a bounded transform, never a self-join), then one combinable
+    // count shuffle onto the prefix trie; the per-directory volume
+    // readout a crawl dashboard wants
+    "q_path_rollup" -> ((s, dir) =>
+      s.read.parquet(t(dir, "documents"))
+        .select(col("n_chars"),
+          concat(lit("/a"), (col("doc_id") % 5).cast("string"),
+            lit("/b"), (col("doc_id") % 7).cast("string"),
+            lit("/p"), col("doc_id").cast("string")).as("url"))
+        .select(col("n_chars"),
+          explode(expr(
+            "transform(sequence(1, 3), d -> " +
+              "struct(d AS depth, concat('/', " +
+              "array_join(slice(split(url, '/'), 2, d), '/')) AS prefix))"))
+            .as("pp"))
+        .groupBy(col("pp.prefix").as("prefix"), col("pp.depth").as("depth"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))),
+
+    // ---- bitext/near-dup mining: mutual nearest-neighbor pairs — each
+    // vector's best cosine neighbor (index-ordered fold, so the a->b
+    // and b->a scores are bit-identical), kept only when the choice is
+    // reciprocal; the exact bounded baseline on a 1-in-4 slice (the
+    // LSH/IVF paths are the scale route, this is the verification net)
+    "q_mutual_knn" -> ((s, dir) => {
+      val v = s.read.parquet(t(dir, "embeddings"))
+        .filter(col("vec_id") % 4 === 0)
+        .select(col("vec_id"), col("embedding"))
+      val cos = v.crossJoin(broadcast(
+          v.select(col("vec_id").as("o_id"), col("embedding").as("ov"))))
+        .filter(col("vec_id") =!= col("o_id"))
+        .select(col("vec_id"), col("o_id"),
+          (expr("aggregate(sequence(1, size(embedding)), 0.0D, (acc, i) -> " +
+            "acc + cast(element_at(embedding, i) as double) * " +
+            "cast(element_at(ov, i) as double))") /
+            (sqrt(expr("aggregate(sequence(1, size(embedding)), 0.0D, (acc, i) -> " +
+              "acc + cast(element_at(embedding, i) as double) * " +
+              "cast(element_at(embedding, i) as double))")) *
+              sqrt(expr("aggregate(sequence(1, size(ov)), 0.0D, (acc, i) -> " +
+                "acc + cast(element_at(ov, i) as double) * " +
+                "cast(element_at(ov, i) as double))")))).as("cos"))
+      val best = cos.groupBy(col("vec_id"))
+        .agg(max(struct(col("cos"), (-col("o_id")).as("no"))).as("b"))
+        .select(col("vec_id"), (-col("b.no")).as("best_id"),
+          col("b.cos").as("best_cos"))
+      best.as("a").join(best.as("b"),
+          col("a.best_id") === col("b.vec_id") &&
+            col("b.best_id") === col("a.vec_id") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          col("a.best_cos").as("cos"))
+    }),
+
     // ---- streaming: stream-stream LEFT OUTER join drain — unmatched
     // left rows emit null-padded only after the global watermark proves
     // no future match (sentinel files advance it; see
@@ -7749,7 +7902,194 @@ object SparkEntry {
         |)
         |SELECT l.doc_id, l.l_epoch, r.r_epoch, l.lang, r.score
         |FROM l LEFT JOIN r ON l.doc_id = r.r_doc_id
-        |  AND r.r_epoch >= l.l_epoch AND r.r_epoch <= l.l_epoch + 600""".stripMargin
+        |  AND r.r_epoch >= l.l_epoch AND r.r_epoch <= l.l_epoch + 600""".stripMargin,
+    // AUC replay: the same (source, score) count table, the same
+    // running-negatives window, exact BIGINT concordant/tied sums,
+    // one IEEE division per source (NULL when a class is absent)
+    "q_auc" ->
+      """WITH ct AS (
+        |  SELECT source AS grp, n_chars AS s,
+        |    CAST(sum(CAST(lang = 'en' AS BIGINT)) AS BIGINT) AS np,
+        |    CAST(sum(CAST(lang <> 'en' AS BIGINT)) AS BIGINT) AS nn
+        |  FROM documents GROUP BY 1, 2
+        |), w AS (
+        |  SELECT grp, np, nn,
+        |    sum(nn) OVER (PARTITION BY grp ORDER BY s
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cumneg
+        |  FROM ct
+        |), a AS (
+        |  SELECT grp AS source,
+        |    CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg,
+        |    CAST(sum(np * (cumneg - nn)) AS BIGINT) AS conc,
+        |    CAST(sum(np * nn) AS BIGINT) AS tied
+        |  FROM w GROUP BY grp
+        |)
+        |SELECT source, n_pos, n_neg,
+        |  CAST(2 * conc + tied AS BIGINT) AS u2,
+        |  CAST(2 * conc + tied AS DOUBLE) /
+        |    nullif(CAST(2 * n_pos * n_neg AS DOUBLE), 0.0) AS auc
+        |FROM a""".stripMargin,
+    // Calibration replay: same hash micro-probability, same bins, the
+    // centroid division discipline (/1e6 then /n) verbatim
+    "q_calibration" ->
+      """WITH p AS (
+        |  SELECT CAST('0x' || substr(md5('cal:' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 1000001 AS p_micro,
+        |    CAST(lang = 'en' AS BIGINT) AS pos
+        |  FROM documents
+        |)
+        |SELECT least(p_micro // 100000, 9) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(pos) AS BIGINT) AS n_pos,
+        |  CAST(sum(p_micro) AS DOUBLE) / 1000000.0 / CAST(count(*) AS DOUBLE)
+        |    AS mean_p,
+        |  CAST(sum(pos) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS frac_pos
+        |FROM p GROUP BY 1""".stripMargin,
+    // Kappa replay: the NB classifier CTE chain extended with the
+    // confusion counts, marginal cross products, and the identical
+    // po/pe/kappa IEEE expression chain
+    "q_cohen_kappa" ->
+      (nbClassifyCtes + ", base AS (\n" + nbClassifyFinal + "\n)" +
+        """, cm AS (
+          |  SELECT label AS ra, pred_label AS rb, CAST(count(*) AS BIGINT) AS c
+          |  FROM base GROUP BY 1, 2
+          |), tt AS (
+          |  SELECT CAST(sum(c) AS BIGINT) AS n,
+          |    CAST(sum(CASE WHEN ra = rb THEN c ELSE 0 END) AS BIGINT) AS n_agree
+          |  FROM cm
+          |), rt AS (SELECT ra AS cls, CAST(sum(c) AS BIGINT) AS cr FROM cm GROUP BY 1
+          |), cl2 AS (SELECT rb AS cls, CAST(sum(c) AS BIGINT) AS cc FROM cm GROUP BY 1
+          |), pn AS (
+          |  SELECT CAST(sum(coalesce(cr, 0) * coalesce(cc, 0)) AS BIGINT) AS pe_num
+          |  FROM rt FULL JOIN cl2 USING (cls)
+          |), e AS (
+          |  SELECT n, n_agree, pe_num,
+          |    CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+          |    CAST(pe_num AS DOUBLE) / CAST(n * n AS DOUBLE) AS pe
+          |  FROM tt CROSS JOIN pn
+          |)
+          |SELECT n, n_agree, pe_num, po, pe, (po - pe) / (1.0 - pe) AS kappa
+          |FROM e""".stripMargin),
+    // nDCG replay: the same deterministic retrieval, the same LITERAL
+    // per-rank micro-weight tables (no ln at compare time), integer
+    // DCG/IDCG sums, one IEEE division per query
+    "q_ndcg" ->
+      """WITH wt AS (
+        |  SELECT * FROM (VALUES (1, 1000000), (2, 630930), (3, 500000),
+        |    (4, 430677), (5, 386853), (6, 356207), (7, 333333),
+        |    (8, 315465), (9, 301030), (10, 289065)) w(rk, w_micro)
+        |), rrw AS (
+        |  SELECT * FROM (VALUES (1, 1000000), (2, 500000), (3, 333333),
+        |    (4, 250000), (5, 200000), (6, 166667), (7, 142857),
+        |    (8, 125000), (9, 111111), (10, 100000)) r(rk, rr_micro)
+        |), cand AS (
+        |  SELECT doc_id % 20 AS query_id, doc_id,
+        |    CAST('0x' || substr(md5('ret:' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS score,
+        |    CASE WHEN n_chars % 5 = 0 THEN 2
+        |         WHEN n_chars % 3 = 0 THEN 1 ELSE 0 END AS rel
+        |  FROM documents
+        |), rkd AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id ASC) AS rk,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rel DESC, doc_id ASC) AS irk
+        |  FROM cand
+        |), dcg AS (
+        |  SELECT query_id,
+        |    CAST(sum(rel * w_micro) AS BIGINT) AS dcg_micro,
+        |    min(CASE WHEN rel > 0 THEN rkd.rk END) AS first_rel
+        |  FROM rkd JOIN wt ON wt.rk = rkd.rk
+        |  WHERE rkd.rk <= 10 GROUP BY 1
+        |), idcg AS (
+        |  SELECT query_id, CAST(sum(rel * w_micro) AS BIGINT) AS idcg_micro
+        |  FROM rkd JOIN wt ON wt.rk = rkd.irk
+        |  WHERE irk <= 10 GROUP BY 1
+        |)
+        |SELECT d.query_id, dcg_micro, idcg_micro,
+        |  CAST(dcg_micro AS DOUBLE) / nullif(CAST(idcg_micro AS DOUBLE), 0.0)
+        |    AS ndcg,
+        |  CAST(coalesce(rr_micro, 0) AS BIGINT) AS rr_micro
+        |FROM dcg d JOIN idcg i ON i.query_id = d.query_id
+        |LEFT JOIN rrw ON rrw.rk = d.first_rel""".stripMargin,
+    // SRM replay: same hash arms, same exact-integer chi-square term
+    // (3o - n)^2 / (3n)
+    "q_srm_chisq" ->
+      """WITH u AS (
+        |  SELECT DISTINCT user_id FROM events
+        |), a AS (
+        |  SELECT CAST('0x' || substr(md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 3 AS arm
+        |  FROM u
+        |), c AS (
+        |  SELECT arm, CAST(count(*) AS BIGINT) AS n_users FROM a GROUP BY 1
+        |), tt AS (SELECT CAST(sum(n_users) AS BIGINT) AS n_total FROM c)
+        |SELECT arm, n_users, n_total,
+        |  CAST((3 * n_users - n_total) * (3 * n_users - n_total) AS DOUBLE) /
+        |    CAST(3 * n_total AS DOUBLE) AS chisq_term
+        |FROM c CROSS JOIN tt""".stripMargin,
+    // Crawl-schedule replay: same host/delay derivation, same
+    // priority-rank window, slot * delay
+    "q_crawl_schedule" ->
+      """WITH u AS (
+        |  SELECT doc_id, 'h' || CAST(doc_id % 50 AS VARCHAR) AS host,
+        |    1 + (doc_id % 50) % 5 AS delay_sec,
+        |    CAST('0x' || substr(md5('crawl:' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS prio
+        |  FROM documents
+        |)
+        |SELECT doc_id, host,
+        |  CAST(row_number() OVER (PARTITION BY host
+        |    ORDER BY prio ASC, doc_id ASC) - 1 AS BIGINT) AS slot,
+        |  CAST((row_number() OVER (PARTITION BY host
+        |    ORDER BY prio ASC, doc_id ASC) - 1) * delay_sec AS BIGINT)
+        |    AS fetch_at_sec
+        |FROM u""".stripMargin,
+    // Path-rollup replay: same synthetic URLs, prefixes generated per
+    // row (unnest over depth 1..3), same counts
+    "q_path_rollup" ->
+      """WITH u AS (
+        |  SELECT n_chars,
+        |    '/a' || CAST(doc_id % 5 AS VARCHAR) || '/b' ||
+        |      CAST(doc_id % 7 AS VARCHAR) || '/p' || CAST(doc_id AS VARCHAR)
+        |      AS url
+        |  FROM documents
+        |), px AS (
+        |  SELECT n_chars, CAST(d.d AS INT) AS depth,
+        |    '/' || array_to_string(string_split(url, '/')[2:CAST(d.d AS INT) + 1], '/')
+        |      AS prefix
+        |  FROM u CROSS JOIN (SELECT unnest(range(1, 4)) AS d) d
+        |)
+        |SELECT prefix, depth, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM px GROUP BY 1, 2""".stripMargin,
+    // Mutual-kNN replay: the quadratic ground truth — same 1-in-4
+    // slice, index-ordered cosine fold, best per vector by
+    // (cos DESC, other ASC), pair kept only when reciprocal
+    "q_mutual_knn" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        |  WHERE vec_id % 4 = 0
+        |), p AS (
+        |  SELECT a.vec_id, b.vec_id AS o_id,
+        |    list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i])) /
+        |      (sqrt(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * a.e[i]))) *
+        |       sqrt(list_sum(list_transform(range(1, len(b.e) + 1), i -> b.e[i] * b.e[i]))))
+        |      AS cos
+        |  FROM v a JOIN v b ON a.vec_id <> b.vec_id
+        |), best AS (
+        |  SELECT vec_id, o_id AS best_id, cos AS best_cos FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos DESC, o_id ASC) AS rn
+        |    FROM p
+        |  ) WHERE rn = 1
+        |)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.best_cos AS cos
+        |FROM best a JOIN best b
+        |  ON a.best_id = b.vec_id AND b.best_id = a.vec_id
+        |  AND a.vec_id < b.vec_id""".stripMargin
   )
 
   /** q_table_types oracle: cells CTE -> dense (i,j) -> seeded overwrite
