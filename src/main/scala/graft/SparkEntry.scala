@@ -3699,6 +3699,70 @@ object SparkEntry {
           col("a.best_cos").as("cos"))
     }),
 
+    // ---- storage layout: zone-map prune audit — docs clustered on
+    // n_chars (GlobalRank's band-offset two-pass, never a global sort)
+    // into 50-row "files", per-file min/max stats, then the
+    // would-scan decision for predicate 200 <= n_chars <= 300; the
+    // readout that proves clustering turns a full scan into a handful
+    // of file reads (the Iceberg/parquet row-group skipping model)
+    "q_zonemap_prune" -> ((s, dir) =>
+      graft.operators.GlobalRank.rankBy(
+          s.read.parquet(t(dir, "documents"))
+            .select(col("doc_id"), col("n_chars")),
+          "n_chars", "doc_id", bandWidth = 50.0)
+        .select(expr("(global_rank - 1) div 50").as("bucket"), col("n_chars"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), min(col("n_chars")).as("min_c"),
+          max(col("n_chars")).as("max_c"))
+        .withColumn("would_scan",
+          (col("max_c") >= 200 && col("min_c") <= 300).cast("int"))),
+
+    // ---- model eval: precision/recall threshold sweep — the PR curve
+    // from the same (score) count table as q_auc: tp/fp at "predict
+    // positive when score >= thr" are running sums over DISTINCT
+    // scores (a metadata-sized frame, |distinct n_chars| rows), class
+    // totals broadcast; the curve a filter threshold is picked from
+    "q_threshold_sweep" -> ((s, dir) => {
+      val ct = s.read.parquet(t(dir, "documents"))
+        .groupBy(col("n_chars").as("thr"))
+        .agg(sum((col("lang") === "en").cast("long")).as("np"),
+          sum((col("lang") =!= "en").cast("long")).as("nn"))
+      val tot = ct.agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"))
+      val w = Window.orderBy(col("thr").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ct.withColumn("tp", sum(col("np")).over(w))
+        .withColumn("fp", sum(col("nn")).over(w))
+        .crossJoin(broadcast(tot))
+        .select(col("thr"), col("tp"), col("fp"),
+          (col("n_pos") - col("tp")).as("fn"),
+          (col("tp").cast("double") /
+            (col("tp") + col("fp")).cast("double")).as("precision"),
+          (col("tp").cast("double") / col("n_pos").cast("double"))
+            .as("recall"))
+    }),
+
+    // ---- corpus stats: vocabulary growth (Heaps law) per epoch — each
+    // trigram TYPE is charged to the FIRST epoch that saw it (min over
+    // a combinable shuffle; trigrams, because the unigram vocab
+    // saturates in one epoch and the readout degenerates), new-type
+    // counts + running cumulative over the 4-row epoch frame; the
+    // freshness readout for deciding whether another crawl epoch still
+    // buys vocabulary. Trigram generation is record-local
+    "q_vocab_growth" -> ((s, dir) =>
+      s.read.parquet(t(dir, "documents"))
+        .select((col("doc_id") % 4).as("epoch"),
+          split(col("text"), " ", -1).as("ts"))
+        .filter(size(col("ts")) >= 3)
+        .select(col("epoch"), explode(expr(
+          "transform(sequence(1, size(ts) - 2), i -> " +
+            "concat(element_at(ts, i), ' ', element_at(ts, i + 1), ' ', " +
+            "element_at(ts, i + 2)))")).as("tok"))
+        .groupBy(col("tok")).agg(min(col("epoch")).as("epoch"))
+        .groupBy(col("epoch")).agg(count(lit(1)).as("new_types"))
+        .withColumn("cum_types",
+          sum(col("new_types")).over(Window.orderBy("epoch")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))),
+
     // ---- streaming: stream-stream LEFT OUTER join drain — unmatched
     // left rows emit null-padded only after the global watermark proves
     // no future match (sentinel files advance it; see
@@ -8089,7 +8153,62 @@ object SparkEntry {
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.best_cos AS cos
         |FROM best a JOIN best b
         |  ON a.best_id = b.vec_id AND b.best_id = a.vec_id
-        |  AND a.vec_id < b.vec_id""".stripMargin
+        |  AND a.vec_id < b.vec_id""".stripMargin,
+    // Zone-map replay: the same (n_chars, doc_id) clustering rank, the
+    // same 50-row files, stats + the identical would-scan predicate
+    "q_zonemap_prune" ->
+      """WITH r AS (
+        |  SELECT n_chars,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) AS rk
+        |  FROM documents
+        |)
+        |SELECT (rk - 1) // 50 AS bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(n_chars) AS min_c, max(n_chars) AS max_c,
+        |  CAST(max(n_chars) >= 200 AND min(n_chars) <= 300 AS INT) AS would_scan
+        |FROM r GROUP BY 1""".stripMargin,
+    // Sweep replay: same count table, same running tp/fp window over
+    // distinct scores, same division chain
+    "q_threshold_sweep" ->
+      """WITH ct AS (
+        |  SELECT n_chars AS thr,
+        |    CAST(sum(CAST(lang = 'en' AS BIGINT)) AS BIGINT) AS np,
+        |    CAST(sum(CAST(lang <> 'en' AS BIGINT)) AS BIGINT) AS nn
+        |  FROM documents GROUP BY 1
+        |), tt AS (
+        |  SELECT CAST(sum(np) AS BIGINT) AS n_pos FROM ct
+        |), w AS (
+        |  SELECT thr,
+        |    CAST(sum(np) OVER (ORDER BY thr DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+        |    CAST(sum(nn) OVER (ORDER BY thr DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp
+        |  FROM ct
+        |)
+        |SELECT thr, tp, fp, CAST(n_pos - tp AS BIGINT) AS fn,
+        |  CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+        |  CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE) AS recall
+        |FROM w CROSS JOIN tt""".stripMargin,
+    // Vocab-growth replay: the same record-local trigram generation,
+    // trigram -> first epoch, per-epoch new-type counts, 4-row cumulative
+    "q_vocab_growth" ->
+      """WITH d AS (
+        |  SELECT doc_id % 4 AS epoch, string_split(text, ' ') AS ts
+        |  FROM documents
+        |), tok AS (
+        |  SELECT epoch, unnest(list_transform(range(1, len(ts) - 1),
+        |    i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1] || ' '
+        |      || ts[CAST(i AS INT) + 2])) AS tok
+        |  FROM d
+        |), f AS (
+        |  SELECT tok, min(epoch) AS epoch FROM tok GROUP BY 1
+        |), g AS (
+        |  SELECT epoch, CAST(count(*) AS BIGINT) AS new_types FROM f GROUP BY 1
+        |)
+        |SELECT epoch, new_types,
+        |  CAST(sum(new_types) OVER (ORDER BY epoch
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_types
+        |FROM g""".stripMargin
   )
 
   /** q_table_types oracle: cells CTE -> dense (i,j) -> seeded overwrite
