@@ -114,6 +114,27 @@ object SparkEntry {
     out
   }
 
+  /** Span-TSV landing zone for the DSv2 connector query: documents
+    * rewritten once per input dir through [[graft.sources.SpanTsv.write]]
+    * (bucket dirs = the zone map the reader prunes on); shares the
+    * stream cleanup hook. One span per doc, media_ref populated on
+    * doc_id % 4 == 0 so the residual (non-pushable) filter has bite.
+    */
+  private def spanTsvLanding(s: SparkSession, dir: String): String =
+    streamLandingDirs.computeIfAbsent(s"$dir#spantsv", _ => {
+      streamCleanupHook
+      val tmp = java.nio.file.Files.createTempDirectory("graft_spantsv").toString
+      graft.sources.SpanTsv.write(
+        s.read.parquet(t(dir, "documents")).select(
+          col("doc_id"), lit(0).as("offset"), lit("text").as("kind"),
+          col("text"),
+          when(col("doc_id") % 4 === 0,
+            concat(lit("img:"), col("doc_id").cast("string")))
+            .otherwise(lit("")).as("media_ref")),
+        s"$tmp/spans", bucketWidth = 50L)
+      tmp
+    }) + "/spans"
+
   /** Streaming-dedup drain: a landing zone of (doc_id, checksum, ts)
     * rows — the corpus plus one exact duplicate (same text, same event
     * time) for every doc_id % 3 == 0 — drained once through
@@ -3698,6 +3719,19 @@ object SparkEntry {
         .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
           col("a.best_cos").as("cos"))
     }),
+
+    // ---- custom DataSourceV2: the span-TSV connector — column
+    // pruning, doc_id filter pushdown, and planning-time zone-map file
+    // skipping implemented at the connector boundary (SpanTsvSource);
+    // the landing zone materializes once per input dir, the query
+    // reads back through format("graft.sources.SpanTsvSource") with a
+    // pushed doc_id window + a residual media_ref filter
+    "q_spantsv_source" -> ((s, dir) =>
+      graft.sources.SpanTsv.read(s, spanTsvLanding(s, dir), bucketWidth = 50L)
+        .filter(col("doc_id") >= 100 && col("doc_id") <= 299 &&
+          col("media_ref") =!= "")
+        .select(col("doc_id"), col("offset"), col("kind"), col("media_ref"),
+          length(col("text")).as("text_len"))),
 
     // ---- storage layout: zone-map prune audit — docs clustered on
     // n_chars (GlobalRank's band-offset two-pass, never a global sort)
@@ -8154,6 +8188,16 @@ object SparkEntry {
         |FROM best a JOIN best b
         |  ON a.best_id = b.vec_id AND b.best_id = a.vec_id
         |  AND a.vec_id < b.vec_id""".stripMargin,
+    // Span-TSV connector replay: the landing zone derives from
+    // documents (sanitation is length-preserving), the pushed doc_id
+    // window and the residual media_ref filter reduce to the plain
+    // predicate — pruning/pushdown must be invisible in the result
+    "q_spantsv_source" ->
+      """SELECT doc_id, CAST(0 AS INT) AS "offset", 'text' AS kind,
+        |  'img:' || CAST(doc_id AS VARCHAR) AS media_ref,
+        |  CAST(length(text) AS INT) AS text_len
+        |FROM documents
+        |WHERE doc_id BETWEEN 100 AND 299 AND doc_id % 4 = 0""".stripMargin,
     // Zone-map replay: the same (n_chars, doc_id) clustering rank, the
     // same 50-row files, stats + the identical would-scan predicate
     "q_zonemap_prune" ->
