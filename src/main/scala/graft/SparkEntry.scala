@@ -1461,6 +1461,17 @@ object SparkEntry {
       graft.media.Wav.windowEnergy(graft.media.Wav.synthesize(s, dir),
         window = 256)),
 
+    // ---- multimodal: perceptual-hash (dHash) image near-dup — the
+    // fingerprint comes from DECODED PIXELS of real PNG payloads
+    // (ImageIO round-trip), banded as 4x16-bit chunks with the simhash
+    // bucket cap, exact 64-bit Hamming rerank. The fixture plants per
+    // content key (doc_id div 4) an exact-hash duplicate (uniform
+    // brightness shift — dHash-invariant), a localized stripe edit
+    // (single-chunk by construction) and an unrelated image.
+    "q_phash_neardup" -> ((s, dir) =>
+      graft.media.Phash.nearDups(
+        graft.media.Phash.synthesizeVariants(s, dir), maxDist = 8)),
+
     // ---- source: binaryFile ingestion — the multimodal LANDING path.
     // Raw blobs live as objects/files, not parquet cells; Spark's
     // binaryFile source scans them file-per-task with path/length
@@ -5943,6 +5954,67 @@ object SparkEntry {
         |  CAST(sum(v * v) AS BIGINT) AS energy,
         |  CAST(max(abs(v)) AS INTEGER) AS peak
         |FROM s GROUP BY doc_id, win_idx""".stripMargin,
+    // dHash replay from the pixel synthesis formula: PNG is lossless
+    // and every pixel is a pure function of (key, variant, x, y), so
+    // the 9x8 luma grid, comparison bits, 4x16-bit chunk packing,
+    // bucket cap and Hamming rerank all reconstruct relationally. The
+    // key is reduced mod 2^24 BEFORE the multiply — identical to the
+    // engine's wrapping Long arithmetic (the pixel keeps only the low
+    // 24 bits and 2^24 divides 2^64) but safe from DuckDB's checked
+    // BIGINT overflow at large doc_id.
+    "q_phash_neardup" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS id, doc_id // 4 AS k, doc_id % 4 AS v FROM documents
+        |), keyed AS (
+        |  SELECT id, v,
+        |    (CASE WHEN v = 3 THEN k * 1000003 + 999999937 ELSE k END) % 16777216 AS kk,
+        |    64 + (k % 7) * 32 AS w, 48 + (k % 5) * 32 AS h
+        |  FROM ids
+        |), smp AS (
+        |  SELECT id, v, kk, w, gi, gj, (gi * w) // 9 AS x, (gj * h) // 8 AS y
+        |  FROM keyed
+        |  CROSS JOIN (SELECT unnest(range(0, 9)) AS gi)
+        |  CROSS JOIN (SELECT unnest(range(0, 8)) AS gj)
+        |), px AS (
+        |  SELECT id, gi, gj, v, w, x,
+        |    (kk * 1315423911 + x * 2654435761 + y * 97531) % 16777216 AS p
+        |  FROM smp
+        |), luma AS (
+        |  SELECT id, gi, gj,
+        |    CASE WHEN v = 2 AND x < w // 9 THEN 127
+        |         ELSE (299 * ((p // 65536) % 128) + 587 * ((p // 256) % 128)
+        |             + 114 * (p % 128)) // 1000
+        |           + CASE WHEN v = 1 THEN 16 ELSE 0 END
+        |    END AS g
+        |  FROM px
+        |), bits AS (
+        |  SELECT a.id, a.gi AS ci, a.gj AS j,
+        |    CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+        |  FROM luma a JOIN luma b
+        |    ON a.id = b.id AND a.gj = b.gj AND b.gi = a.gi + 1
+        |  WHERE a.gi < 8
+        |), bands AS (
+        |  SELECT id, ci // 2 AS chunk,
+        |    CAST(SUM(bit * (1 << ((ci % 2) * 8 + j))) AS BIGINT) AS chunk_val
+        |  FROM bits GROUP BY 1, 2
+        |), capped AS (
+        |  SELECT * FROM (
+        |    SELECT *, count(*) OVER (PARTITION BY chunk, chunk_val) AS bsz
+        |    FROM bands)
+        |  WHERE bsz <= 10000
+        |), cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM capped a JOIN capped b
+        |    ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val AND a.id < b.id
+        |), ham AS (
+        |  SELECT c.id_a, c.id_b,
+        |    CAST(SUM(bit_count(xor(x.chunk_val, y.chunk_val))) AS INTEGER) AS hamming
+        |  FROM cand c
+        |  JOIN bands x ON x.id = c.id_a
+        |  JOIN bands y ON y.id = c.id_b AND y.chunk = x.chunk
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 8""".stripMargin,
     // binaryFile round-trip: same decode-invertibility arithmetic on
     // the %17 landing sample — a changed byte anywhere in the file
     // round-trip flips decode_ok or the decoded dims
