@@ -2945,6 +2945,14 @@ object SparkEntry {
       graft.corpus.CorpusStats.frequencySpectrum(
         s.read.parquet(t(dir, "documents")), "text")),
 
+    // ---- Zipf power-law fit: least-squares ln(freq)-vs-ln(rank) slope
+    // over the top-100 terms — one term-count shuffle + TakeOrdered +
+    // a closed-form single-row aggregate; integer micro-nat sums keep
+    // the fitted doubles order-immune
+    "q_zipf_slope" -> ((s, dir) =>
+      graft.corpus.CorpusStats.zipfFit(
+        s.read.parquet(t(dir, "documents")), "text", topR = 100)),
+
     // ---- intra-document duplicate-line strip (RefinedWeb in-doc
     // repeat removal) over synthesized chorus spam: a case/trim
     // variant chorus + the full body repeated, plus a blank line
@@ -7441,6 +7449,35 @@ object SparkEntry {
         |  SELECT term, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY term
         |)
         |SELECT freq, CAST(count(*) AS BIGINT) AS n_terms FROM tf GROUP BY freq""".stripMargin,
+    // Zipf fit replay: same top-100 head (freq desc, term asc total
+    // order), micro-nat ln discretization, exact BIGINT regression sums,
+    // and expression-order-identical closed-form slope/intercept
+    "q_zipf_slope" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+        |), tf AS (
+        |  SELECT term, count(*) AS freq FROM tok GROUP BY term
+        |), top AS (
+        |  SELECT freq, row_number() OVER (ORDER BY freq DESC, term ASC) AS rank
+        |  FROM tf ORDER BY freq DESC, term ASC LIMIT 100
+        |), pts AS (
+        |  SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS x,
+        |         CAST(floor(ln(CAST(freq AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS y
+        |  FROM top
+        |), s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_terms,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM pts
+        |)
+        |SELECT n_terms,
+        |  CAST(n_terms * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n_terms * sxx - sx * sx AS DOUBLE) AS slope,
+        |  (CAST(sy AS DOUBLE)
+        |     - (CAST(n_terms * sxy - sx * sy AS DOUBLE)
+        |        / CAST(n_terms * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+        |    / (CAST(n_terms AS DOUBLE) * 1e6) AS intercept
+        |FROM s""".stripMargin,
     // In-doc line dedup replay: same chorus construction, indexed
     // list_filter keeping first occurrence of each normalized line
     "q_line_dedup_doc" ->

@@ -176,4 +176,44 @@ object CorpusStats {
       .select(explode(TextOps.tokens(col(textCol))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("freq"))
       .groupBy("freq").agg(count(lit(1)).as("n_terms"))
+
+  /** Zipf power-law fit: least-squares slope/intercept of ln(freq) vs
+    * ln(rank) over the `topR` most frequent terms — the one-number
+    * naturalness check on a crawl slice (natural language sits near
+    * slope -1; template-stamped spam flattens it). Companion readout to
+    * [[frequencySpectrum]]: that reports the whole distribution, this
+    * fits its head.
+    *
+    * Scale shape: one map-side-combined term-count shuffle, then a
+    * TakeOrdered top-R (never a global sort) and a single-row closed-
+    * form aggregate. Determinism: ln is discretized to integer
+    * micro-nats (floor(ln*1e6 + 0.5) — the q_bm25 discipline, StrictMath
+    * vs libm differ by 1 ulp) and all five regression sums are exact
+    * BIGINT, so shuffle arrival order cannot perturb the fitted doubles;
+    * the final slope/intercept divisions are the only float ops and are
+    * expression-order-identical in the oracle.
+    */
+  def zipfFit(docs: DataFrame, textCol: String, topR: Int = 100): DataFrame = {
+    val top = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term").asc).limit(topR)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("freq").desc, col("term").asc)))
+    val sums = top
+      .select(
+        floor(log(col("rank").cast("double")) * 1e6 + 0.5).cast("long").as("x"),
+        floor(log(col("freq").cast("double")) * 1e6 + 0.5).cast("long").as("y"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    sums
+      .withColumn("slope",
+        (col("n_terms") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n_terms") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .withColumn("intercept",
+        (col("sy").cast("double") - col("slope") * col("sx").cast("double")) /
+          (col("n_terms").cast("double") * lit(1e6)))
+      .select(col("n_terms"), col("slope"), col("intercept"))
+  }
 }

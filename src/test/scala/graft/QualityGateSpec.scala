@@ -93,6 +93,28 @@ class QualityGateSpec extends AnyFunSuite {
     assert(spec == Map(2L -> 2L, 3L -> 1L))
   }
 
+  test("zipfFit recovers the slope of an exact power law") {
+    import spark.implicits._
+    // term t_r appears round(1000 / r) times => ln(freq) ~ ln(1000) - 1*ln(rank)
+    val text = (1 to 20).flatMap(r => Seq.fill(math.round(1000.0 / r).toInt)(s"t$r"))
+      .mkString(" ")
+    val fit = graft.corpus.CorpusStats.zipfFit(Seq(text).toDF("text"), "text", topR = 20)
+      .collect().head
+    assert(fit.getLong(0) == 20L)
+    val slope = fit.getDouble(1)
+    assert(slope > -1.01 && slope < -0.99, s"slope=$slope")
+    val intercept = fit.getDouble(2)
+    assert(math.abs(intercept - math.log(1000.0)) < 0.02, s"intercept=$intercept")
+  }
+
+  test("zipfFit is invariant to input partitioning") {
+    import spark.implicits._
+    val docs = (1 to 40).map(i => ((i % 7) + 1 to 10).map(r => s"w$r").mkString(" "))
+    val a = graft.corpus.CorpusStats.zipfFit(docs.toDF("text").repartition(1), "text", 8)
+    val b = graft.corpus.CorpusStats.zipfFit(docs.toDF("text").repartition(13), "text", 8)
+    assert(a.collect().toSeq == b.collect().toSeq)
+  }
+
   private def docs(rows: (Long, String)*): DataFrame = {
     import spark.implicits._
     rows.toSeq.toDF("doc_id", "lang")
