@@ -1060,6 +1060,15 @@ object SparkEntry {
         s.read.parquet(t(dir, "documents")).filter(col("doc_id") < 200),
         "doc_id", "text", n = 3, threshold = 0.05)),
 
+    // ---- dedup: exact prefix-filtering similarity join (AllPairs/
+    // PPJoin) — completeness-guaranteed, cap-free: the oracle is the
+    // UNCAPPED brute-force Jaccard join, so a hash match proves the
+    // rarest-first prefix candidate join lost no pair
+    "q_prefix_join" -> ((s, dir) =>
+      graft.dedup.PrefixJoin.prefixJaccardPairs(
+        s.read.parquet(t(dir, "documents")).filter(col("doc_id") < 2000),
+        "doc_id", "text", n = 3, threshold = 0.15)),
+
     // ---- dedup: MinHash+LSH near-dups (banded; portable md5-derived
     // hash family, so the DuckDB oracle replays it exactly)
     "q_dedup_minhash" -> ((s, dir) =>
@@ -5879,6 +5888,27 @@ object SparkEntry {
         |  CAST(n_common AS DOUBLE) / CAST(ca.n + cb.n - n_common AS DOUBLE) AS jaccard
         |FROM com JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b
         |WHERE CAST(n_common AS DOUBLE) / CAST(ca.n + cb.n - n_common AS DOUBLE) >= 0.05""".stripMargin,
+    "q_prefix_join" ->
+      // UNCAPPED brute force — hash equality proves the engine's
+      // prefix-filtered candidate join is complete, not just precise
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 2000
+        |), sh AS (
+        |  SELECT DISTINCT doc_id AS id, s AS shingle FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+        |    FROM t)
+        |), cnt AS (
+        |  SELECT id, count(*) AS n FROM sh GROUP BY id
+        |), com AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b, n_common,
+        |  CAST(n_common AS DOUBLE) / CAST(ca.n + cb.n - n_common AS DOUBLE) AS jaccard
+        |FROM com JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b
+        |WHERE CAST(n_common AS DOUBLE) / CAST(ca.n + cb.n - n_common AS DOUBLE) >= 0.15""".stripMargin,
     "q_ann_topk" -> annTopkOracle,
     "q_pca_project" -> pcaProjectOracle,
     "q_pca2_project" -> pca2ProjectOracle,

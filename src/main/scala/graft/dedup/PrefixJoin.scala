@@ -1,0 +1,87 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact set-similarity join via prefix filtering (AllPairs / PPJoin
+  * family — Bayardo et al. WWW'07, Xiao et al. WWW'08): finds EVERY
+  * pair of documents with n-gram Jaccard >= threshold, with no
+  * document-frequency cap and no recall trade — the completeness-
+  * guaranteed counterpart to [[Dedup.ngramJaccardPairs]] (which bounds
+  * skew by dropping hot shingles and audits the drop).
+  *
+  * The filter: order the shingle vocabulary globally by (document
+  * frequency asc, shingle asc) — rarest first. If Jaccard(A,B) >= t
+  * then |A∩B| >= t·|A∪B| >= t·max(|A|,|B|), so by pigeonhole the first
+  * |X| - ceil(t·|X|) + 1 tokens of each side in that global order (the
+  * "prefix") must contain a shared token. Equi-joining only prefixes
+  * therefore finds every qualifying pair, and the prefix consists of
+  * each document's RAREST tokens by construction — the candidate join
+  * never keys on a stop-shingle, which is exactly the skew the capped
+  * variant had to drop. A length filter (|B| >= ceil(t·|A|), both
+  * directions) prunes inside the join condition; exact Jaccard over
+  * the full shingle sets verifies each candidate.
+  *
+  * Scale shape: one shingle-keyed shuffle for document frequencies,
+  * one doc-keyed window for the per-doc prefix, a candidate equi-join
+  * keyed only by rare shingles, and two id-keyed verify joins against
+  * per-doc sorted shingle arrays (bounded by document length). Nothing
+  * collects to the driver; no cap, so no audit needed — the DuckDB
+  * oracle is the uncapped brute-force join and must hash-match.
+  */
+object PrefixJoin {
+
+  /** (id_a, id_b, n_common, jaccard) for every pair with n-gram
+    * Jaccard >= threshold — exact and complete (no df cap).
+    */
+  def prefixJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double): DataFrame = {
+    val sh = Dedup.shingles(docs, idCol, textCol, n) // (id, shingle), distinct
+    val docFreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+
+    // per-doc global-order position r and set size sz; the order key
+    // (df, shingle) is a total order within a doc (shingles distinct)
+    val byRarity = Window.partitionBy("id").orderBy(col("df"), col("shingle"))
+    val pos = sh.join(docFreq, "shingle")
+      .withColumn("r", row_number().over(byRarity))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("id")))
+
+    // prefix = first sz - ceil(t*sz) + 1 tokens (rarest-first)
+    val pref = pos
+      .filter(col("r") <= col("sz") - ceil(col("sz") * lit(threshold)) + 1)
+      .select(col("id"), col("shingle"), col("sz"))
+
+    // candidates: prefix-token equi-join + in-join length filter
+    // (Jaccard >= t forces |B| >= t*|A| and |A| >= t*|B|)
+    val a = pref.as("a")
+    val b = pref.as("b")
+    val cand = a.join(b,
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id") &&
+        col("b.sz") >= ceil(col("a.sz") * lit(threshold)) &&
+        col("a.sz") >= ceil(col("b.sz") * lit(threshold)))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+
+    // exact verify: set intersection over full sorted shingle arrays
+    val sets = sh.groupBy("id").agg(
+      sort_array(collect_list(col("shingle"))).as("toks"),
+      count(lit(1)).as("sz"))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("toks").as("__ta"),
+        col("sz").as("n_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("toks").as("__tb"),
+        col("sz").as("n_b")), "id_b")
+      .withColumn("n_common",
+        size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_common"), col("jaccard"))
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import graft.dedup.{Dedup, PrefixJoin}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** Round-4j operators, each checked against an independent exact
+  * implementation:
+  *  1. PrefixJoin.prefixJaccardPairs == the UNCAPPED brute-force
+  *     ngramJaccardPairs (completeness of the prefix filter), on
+  *     random near-dup corpora and on boundary corners.
+  */
+class Round4jSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-round4j-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def checkProp(p: Prop, n: Int = 10): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  /** Random corpus with deliberate near-duplicate structure: a few
+    * base token sequences, each echoed with small edits, plus noise
+    * docs and degenerate short docs (< n tokens → zero shingles).
+    */
+  private def nearDupCorpus(seed: Long): Seq[(Long, String)] = {
+    val rng = new Random(seed)
+    val vocab = (0 until 30).map(i => s"w$i")
+    def sentence(len: Int): Seq[String] =
+      Seq.fill(len)(vocab(rng.nextInt(vocab.size)))
+    val bases = (0 until 3).map(_ => sentence(8 + rng.nextInt(10)))
+    val docs = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+    bases.foreach { b =>
+      docs += b
+      // echo with an edit: replace one token, or append a couple
+      val edited = b.updated(rng.nextInt(b.size), vocab(rng.nextInt(vocab.size)))
+      docs += (if (rng.nextBoolean()) edited else b ++ sentence(2))
+    }
+    docs += sentence(12) // noise
+    docs += sentence(2)  // shorter than n=3 → no shingles
+    docs.zipWithIndex.map { case (toks, i) => (i.toLong, toks.mkString(" ")) }.toSeq
+  }
+
+  test("prefix-filtering join equals uncapped brute-force Jaccard join") {
+    import spark.implicits._
+    checkProp(Prop.forAll(Gen.choose(0L, 5000L)) { seed =>
+      val docs = nearDupCorpus(seed).toDF("doc_id", "text")
+      val t = 0.3
+      val got = PrefixJoin.prefixJaccardPairs(docs, "doc_id", "text", 3, t)
+        .orderBy("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          math.round(r.getDouble(3) * 1e9)))
+      val want = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, t,
+          maxShingleDf = Int.MaxValue)
+        .orderBy("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          math.round(r.getDouble(3) * 1e9)))
+      Prop(got.sameElements(want)) :| s"got=${got.toList} want=${want.toList}"
+    })
+  }
+
+  test("prefix join corners: identical docs, disjoint docs, threshold boundary") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"),        // identical pair → jaccard 1.0
+      (2L, "a b c d e"),
+      (3L, "x y z q r"),        // disjoint from 1/2
+      (4L, "a b c d q"),        // shares 2 of 3-shingles? "a b c","b c d" with doc 1
+      (5L, "p q")               // no shingles at n=3
+    ).toDF("doc_id", "text")
+    val out = PrefixJoin.prefixJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.contains((1L, 2L)) && out((1L, 2L)) == ((3L, 1.0)))
+    // docs 1 and 4: shingles(1)={abc,bcd,cde}, shingles(4)={abc,bcd,cdq};
+    // common 2, union 4 → 0.5, exactly at the closed threshold
+    assert(out.contains((1L, 4L)) && out((1L, 4L)) == ((2L, 0.5)))
+    assert(out.contains((2L, 4L)))
+    assert(!out.keys.exists { case (a, b) => a == 3L || b == 3L || a == 5L || b == 5L })
+  }
+}
