@@ -3402,6 +3402,15 @@ object SparkEntry {
       graft.corpus.Cdc.chunks(
         s.read.parquet(t(dir, "documents")), "doc_id", "text", divisor = 16)),
 
+    // ---- storage: cross-document chunk-store dedup — CDC chunks
+    // grouped by content hash across the corpus; one combinable
+    // chunk_sha shuffle after the chunker's doc-keyed exchange, with
+    // deterministic min-(doc,idx) survivorship and token savings
+    "q_chunk_dedup" -> ((s, dir) =>
+      graft.corpus.Cdc.chunkDedup(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text",
+        divisor = 16, minCopies = 2)),
+
     // ---- table evolution: mergeSchema epoch read — the old epoch
     // lacks `lang`, the merged read surfaces NULL for it; no petabyte
     // rewrite to add a column
@@ -7980,6 +7989,45 @@ object SparkEntry {
         |  CAST(min(pos) AS INT) AS start_tok, CAST(count(*) AS BIGINT) AS n_toks,
         |  sha256(string_agg(tok, ' ' ORDER BY pos)) AS chunk_sha
         |FROM ck GROUP BY 1, 2""".stripMargin,
+    // chunk-store dedup replay: the q_cdc_chunks CTE re-grouped by
+    // content hash, min-(doc,idx) survivorship, (copies-1)*toks savings
+    "q_chunk_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), p AS (
+        |  SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, toks FROM t
+        |), tk AS (
+        |  SELECT doc_id, pos, toks[pos] AS tok,
+        |    CASE WHEN pos >= 4 AND CAST('0x' || substr(md5(
+        |        toks[pos-3] || ' ' || toks[pos-2] || ' ' || toks[pos-1]
+        |        || ' ' || toks[pos]), 1, 15) AS BIGINT) % 16 = 0
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM p
+        |), ck AS (
+        |  SELECT doc_id, pos, tok,
+        |    coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+        |  FROM tk
+        |), chunks AS (
+        |  SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |    CAST(count(*) AS BIGINT) AS n_toks,
+        |    sha256(string_agg(tok, ' ' ORDER BY pos)) AS chunk_sha
+        |  FROM ck GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT chunk_sha, min(n_toks) AS n_toks,
+        |    CAST(count(*) AS BIGINT) AS n_copies,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |  FROM chunks GROUP BY 1 HAVING count(*) >= 2
+        |), keep AS (
+        |  SELECT chunk_sha, doc_id AS keep_doc, chunk_idx AS keep_idx
+        |  FROM (SELECT chunk_sha, doc_id, chunk_idx, row_number() OVER (
+        |      PARTITION BY chunk_sha ORDER BY doc_id, chunk_idx) AS rn
+        |    FROM chunks) WHERE rn = 1
+        |)
+        |SELECT a.chunk_sha, a.n_toks, a.n_copies, a.n_docs,
+        |  k.keep_doc, k.keep_idx,
+        |  (a.n_copies - 1) * a.n_toks AS saved_toks
+        |FROM agg a JOIN keep k USING (chunk_sha)""".stripMargin,
     // Schema-evolution replay: old-epoch rows surface NULL lang
     "q_schema_evolution" ->
       """SELECT doc_id, n_chars, CAST(NULL AS VARCHAR) AS lang

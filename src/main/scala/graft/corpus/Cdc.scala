@@ -51,4 +51,37 @@ object Cdc {
           array_sort(collect_list(struct(col("pos").as("p"), col("tok").as("t")))),
           x => x.getField("t")), " "), 256).as("chunk_sha"))
   }
+
+  /** Cross-document chunk-store deduplication — the report a
+    * content-addressed chunk store (borg/restic/LBFS model) builds
+    * over [[chunks]]: group every chunk in the corpus by its content
+    * hash and emit each hash stored more than once, with copy counts,
+    * distinct-document counts, the canonical copy to keep (lexicographic
+    * min (doc_id, chunk_idx) — deterministic survivorship) and the
+    * token savings from storing the content once. Because CDC
+    * boundaries re-synchronize after edits, shared passages between
+    * near-identical documents land in identical chunks and surface
+    * here even when the documents as wholes differ — the storage-side
+    * complement of passage-level dedup.
+    *
+    * Scale shape: [[chunks]]' one doc-keyed exchange, then ONE
+    * combinable chunk_sha-keyed shuffle (count/min partials map-side);
+    * no self-join, no driver collection. Chunk hashes are uniform, so
+    * the second shuffle has no skew axis beyond genuinely mass-
+    * duplicated content — which is precisely the signal reported.
+    */
+  def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
+      divisor: Int, minCopies: Int = 2): DataFrame =
+    chunks(docs, idCol, textCol, divisor)
+      .groupBy(col("chunk_sha"))
+      .agg(
+        min(col("n_toks")).as("n_toks"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(struct(col("doc_id"), col("chunk_idx"))).as("__keep"))
+      .filter(col("n_copies") >= minCopies)
+      .select(col("chunk_sha"), col("n_toks"), col("n_copies"), col("n_docs"),
+        col("__keep.doc_id").as("keep_doc"),
+        col("__keep.chunk_idx").as("keep_idx"),
+        ((col("n_copies") - 1) * col("n_toks")).as("saved_toks"))
 }

@@ -88,4 +88,32 @@ class Round4jSpec extends AnyFunSuite {
     assert(out.contains((2L, 4L)))
     assert(!out.keys.exists { case (a, b) => a == 3L || b == 3L || a == 5L || b == 5L })
   }
+
+  test("chunk-store dedup equals a driver-side regroup of the chunker's output") {
+    import spark.implicits._
+    // two exact-duplicate docs, one doc sharing a long passage, one noise
+    val passage = (0 until 60).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, passage),
+      (2L, passage),
+      (3L, passage + " tail x y z"),
+      (4L, (0 until 40).map(i => s"n$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val chunks = graft.corpus.Cdc.chunks(docs, "doc_id", "text", divisor = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getString(4)))
+    // driver-side regroup
+    val want = chunks.groupBy(_._4).collect {
+      case (sha, g) if g.length >= 2 =>
+        val keep = g.map(c => (c._1, c._2)).min
+        (sha, g.map(_._3).min, g.length.toLong, g.map(_._1).distinct.length.toLong,
+          keep._1, keep._2, (g.length - 1).toLong * g.map(_._3).min)
+    }.toSet
+    val got = graft.corpus.Cdc.chunkDedup(docs, "doc_id", "text", divisor = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got == want)
+    assert(got.nonEmpty, "fixture must exercise cross-doc chunk reuse")
+    // exact-duplicate docs share every chunk → some sha with n_docs >= 2
+    assert(got.exists(_._4 >= 2))
+  }
 }
