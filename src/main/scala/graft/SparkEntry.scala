@@ -1069,6 +1069,14 @@ object SparkEntry {
         s.read.parquet(t(dir, "documents")).filter(col("doc_id") < 2000),
         "doc_id", "text", n = 3, threshold = 0.15)),
 
+    // ---- linkage: dictionary-accelerated Jaro-Winkler fuzzy match —
+    // distinct+count collapses the key domain before any pair scoring
+    // (value-domain property, never a row-pair explosion); the score is
+    // the native codegen'd jaro_winkler expression, DuckDB byte parity
+    "q_fuzzy_names" -> ((s, dir) =>
+      graft.operators.FuzzyJoin.jaroWinklerPairs(s,
+        s.read.parquet(t(dir, "part")), "p_name", threshold = 0.9)),
+
     // ---- dedup: MinHash+LSH near-dups (banded; portable md5-derived
     // hash family, so the DuckDB oracle replays it exactly)
     "q_dedup_minhash" -> ((s, dir) =>
@@ -5897,6 +5905,18 @@ object SparkEntry {
         |  CAST(n_common AS DOUBLE) / CAST(ca.n + cb.n - n_common AS DOUBLE) AS jaccard
         |FROM com JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b
         |WHERE CAST(n_common AS DOUBLE) / CAST(ca.n + cb.n - n_common AS DOUBLE) >= 0.05""".stripMargin,
+    "q_fuzzy_names" ->
+      // the native expression is pinned to DuckDB's byte-level
+      // jaro_winkler_similarity, so the score column hash-matches
+      """WITH n AS (
+        |  SELECT p_name AS name, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM part GROUP BY 1
+        |)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  jaro_winkler_similarity(a.name, b.name) AS jw,
+        |  a.cnt AS n_a, b.cnt AS n_b
+        |FROM n a JOIN n b ON a.name < b.name
+        |WHERE jaro_winkler_similarity(a.name, b.name) >= 0.9""".stripMargin,
     "q_prefix_join" ->
       // UNCAPPED brute force — hash equality proves the engine's
       // prefix-filtered candidate join is complete, not just precise

@@ -20,7 +20,8 @@ object GraftFunctions {
     "nfc_norm" -> (exprs => NfcNormalizeExpr(exprs.head)),
     "html_main_content" -> (exprs => HtmlMainContentExpr(exprs.head)),
     "bpe_count" -> (exprs => BpeCountExpr(exprs(0), exprs(1))),
-    "topk_longs" -> (exprs => TopKLongsAgg(exprs(0), exprs(1))))
+    "topk_longs" -> (exprs => TopKLongsAgg(exprs(0), exprs(1))),
+    "jaro_winkler" -> (exprs => JaroWinklerExpr(exprs(0), exprs(1))))
 
   /** Trained-BPE token count Column over `text` — the merge table rides
     * as an in-plan literal so the registry builder stays stateless.
@@ -36,6 +37,14 @@ object GraftFunctions {
   def nfcNorm(spark: SparkSession, text: Column): Column = {
     register(spark)
     call_function("nfc_norm", text)
+  }
+
+  /** Jaro-Winkler similarity (native expression; DuckDB
+    * `jaro_winkler_similarity` byte-level parity).
+    */
+  def jaroWinkler(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function("jaro_winkler", a, b)
   }
 
   /** C4-style text normalization: NFC composition, control characters

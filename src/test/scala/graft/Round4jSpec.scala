@@ -116,4 +116,36 @@ class Round4jSpec extends AnyFunSuite {
     // exact-duplicate docs share every chunk → some sha with n_docs >= 2
     assert(got.exists(_._4 >= 2))
   }
+
+  test("jaro_winkler expression matches DuckDB-probed goldens (byte semantics)") {
+    val jw = (a: String, b: String) => graft.functions.JaroWinklerExpr
+      .similarity(a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    // goldens probed from duckdb jaro_winkler_similarity this round
+    assert(math.abs(jw("martha", "marhta") - 0.9611111111111111) < 1e-15)
+    assert(math.abs(jw("dixon", "dicksonx") - 0.8133333333333332) < 1e-15)
+    assert(math.abs(jw("jellyfish", "smellyfish") - 0.8962962962962964) < 1e-15)
+    assert(math.abs(jw("DWAYNE", "DUANE") - 0.8400000000000001) < 1e-15)
+    assert(jw("", "") == 0.0 && jw("a", "") == 0.0) // DuckDB: empty => 0
+    assert(jw("abc", "abc") == 1.0)
+    assert(jw("a", "b") == 0.0 && jw("ab", "ba") == 0.0)
+    // boost threshold: jaro 0.5 with common prefix 2 stays 0.5
+    assert(jw("abcdefgh", "abzzzzzz") == 0.5)
+    // byte-level: multi-byte é counts per byte (prefix 4 incl. é bytes)
+    assert(math.abs(jw("aaéb", "aaéc") - 0.92) < 1e-15)
+    assert(math.abs(jw("abcd", "acbd") - 0.9249999999999999) < 1e-15)
+    // long strings differing at position 0 beat 0.9 without any boost —
+    // the case that makes first-char blocking incomplete (documented)
+    assert(jw("a" + "x" * 19, "b" + "x" * 19) > 0.9)
+  }
+
+  test("fuzzy name match surfaces the planted near-identical dictionary pairs") {
+    import spark.implicits._
+    val df = Seq.tabulate(200)(i =>
+      (i.toLong, if (i % 3 == 0) "cold widget" else if (i % 3 == 1) "old widget" else "blue bolt"))
+      .toDF("id", "name")
+    val out = graft.operators.FuzzyJoin.jaroWinklerPairs(spark, df, "name", 0.9)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(3), r.getLong(4)))
+    assert(out.length == 1)
+    assert(out.head == (("cold widget", "old widget", 67L, 67L)))
+  }
 }
