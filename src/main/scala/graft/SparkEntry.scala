@@ -1386,6 +1386,23 @@ object SparkEntry {
         queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10,
         coarseDims = 16, shortlist = 50)),
 
+    // ---- ANN: exact MIPS top-k with Cauchy-Schwarz norm-bound pruning
+    // — dot products computed only for the 64 highest-norm items plus
+    // the tail rows whose |x||q| clears the per-query k-th-best bound;
+    // output bit-identical to brute force (the oracle IS brute force)
+    "q_mips_topk" -> ((s, dir) =>
+      Ann.mipsTopK(
+        s.read.parquet(t(dir, "embeddings")), "vec_id", "embedding",
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10, normPrefix = 64)),
+
+    // ---- ANN: MIPS prune audit — per query, head items scored, tail
+    // items pruned without a dot product, tail items scored (the
+    // no-silent-caps posture: the work-saving claim is itself oracled)
+    "q_mips_prune_audit" -> ((s, dir) =>
+      Ann.mipsPruneAudit(
+        s.read.parquet(t(dir, "embeddings")), "vec_id", "embedding",
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10, normPrefix = 64)),
+
     // ---- embedding analytics: JL random projection 64 -> 16 dims —
     // the data-independent reduction (no training pass; one broadcast
     // map; a row's projection never changes as the corpus grows)
@@ -5939,6 +5956,65 @@ object SparkEntry {
         |FROM com JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b
         |WHERE CAST(n_common AS DOUBLE) / CAST(ca.n + cb.n - n_common AS DOUBLE) >= 0.15""".stripMargin,
     "q_ann_topk" -> annTopkOracle,
+    "q_mips_topk" ->
+      // brute-force MIPS: the engine's norm-bound pruning is EXACT, so
+      // the oracle needs no pruning replay — un-normalized dot, rank by
+      // (score DESC, neighbor_id), top 10 per query
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id IN (0, 1, 2, 3, 4)
+        |), s AS (
+        |  SELECT q.query_id, v.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, len(v.e) + 1), i -> q.qe[i] * v.e[i])) AS score
+        |  FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id
+        |), r AS (
+        |  SELECT query_id, neighbor_id, score,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        |  FROM s
+        |)
+        |SELECT query_id, neighbor_id, rank, score FROM r WHERE rank <= 10""".stripMargin,
+    "q_mips_prune_audit" ->
+      // full replay of the pruning pipeline: 64th-largest norm cutoff
+      // (ORDER BY DESC LIMIT then min — same tie semantics as the
+      // engine's TakeOrderedAndProject), head scores, per-query 10th-
+      // best bound, and the identical safety-margined keep predicate
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e,
+        |    sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+        |      i -> (embedding::DOUBLE[])[i] * (embedding::DOUBLE[])[i]))) AS nrm
+        |  FROM embeddings
+        |), cut AS (
+        |  SELECT min(nrm) AS c FROM (SELECT nrm FROM v ORDER BY nrm DESC LIMIT 64)
+        |), q AS (
+        |  SELECT vec_id AS query_id, e AS qe, nrm AS qnrm
+        |  FROM v WHERE vec_id IN (0, 1, 2, 3, 4)
+        |), hs AS (
+        |  SELECT q.query_id, v.vec_id AS item_id,
+        |    list_sum(list_transform(range(1, len(v.e) + 1), i -> q.qe[i] * v.e[i])) AS score
+        |  FROM v CROSS JOIN cut CROSS JOIN q
+        |  WHERE v.nrm >= cut.c AND v.vec_id <> q.query_id
+        |), kth AS (
+        |  SELECT query_id, score AS kth_score FROM (
+        |    SELECT query_id, score,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, item_id) AS r
+        |    FROM hs) WHERE r = 10
+        |), hc AS (
+        |  SELECT query_id, count(*) AS n_head FROM hs GROUP BY query_id
+        |), tl AS (
+        |  SELECT q.query_id,
+        |    (kth.kth_score IS NULL OR v.nrm * q.qnrm >=
+        |       kth.kth_score - abs(kth.kth_score) * 1e-9 - 1e-12) AS keep
+        |  FROM v CROSS JOIN cut CROSS JOIN q
+        |  LEFT JOIN kth ON kth.query_id = q.query_id
+        |  WHERE v.nrm < cut.c AND v.vec_id <> q.query_id
+        |)
+        |SELECT tl.query_id,
+        |  hc.n_head,
+        |  sum(CASE WHEN keep THEN 0 ELSE 1 END) AS n_pruned,
+        |  sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_scored
+        |FROM tl JOIN hc ON hc.query_id = tl.query_id
+        |GROUP BY 1, 2""".stripMargin,
     "q_pca_project" -> pcaProjectOracle,
     "q_pca2_project" -> pca2ProjectOracle,
     "q_random_project" ->

@@ -284,6 +284,115 @@ object Ann {
         col("rank").cast("bigint").as("rank"), col("sim"))
   }
 
+  /** Shared MIPS scaffolding: items with norms, broadcast query set,
+    * the `normPrefix`-th largest item norm as the head/tail cutoff,
+    * head scores, per-query k-th-best head score, and the tail rows
+    * flagged with the Cauchy-Schwarz keep decision. Both [[mipsTopK]]
+    * and [[mipsPruneAudit]] build on this so operator and audit can
+    * never disagree about what was pruned.
+    */
+  private def mipsParts(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIds: Seq[Long],
+      k: Int,
+      normPrefix: Int): (DataFrame, DataFrame) = {
+    require(normPrefix > k,
+      s"normPrefix ($normPrefix) must exceed k ($k) so the head pass can seed a k-th-best bound")
+    val items = emb.select(col(idCol).cast("long").as("item_id"),
+      asDouble(col(vecCol)).as("item_vec"),
+      norm(asDouble(col(vecCol))).as("item_nrm"))
+    val queries = items
+      .filter(col("item_id").isin(queryIds: _*))
+      .select(col("item_id").as("query_id"), col("item_vec").as("query_vec"),
+        col("item_nrm").as("query_nrm"))
+    // normPrefix-th largest norm: TakeOrderedAndProject — only
+    // `normPrefix` scalars ever reach the driver, no global sort.
+    val cutoff = items.select(col("item_nrm"))
+      .orderBy(col("item_nrm").desc)
+      .limit(normPrefix)
+      .agg(min(col("item_nrm")))
+      .head().getDouble(0)
+    val headScored = items.filter(col("item_nrm") >= cutoff)
+      .crossJoin(broadcast(queries))
+      .filter(col("item_id") =!= col("query_id"))
+      .withColumn("score", dot(col("query_vec"), col("item_vec")))
+    val kw = Window.partitionBy("query_id").orderBy(col("score").desc, col("item_id"))
+    val kth = headScored.withColumn("r", row_number().over(kw))
+      .filter(col("r") === k)
+      .select(col("query_id").as("tq"), col("score").as("kth_score"))
+    // Safety margin on the prune bound: in exact arithmetic
+    // dot <= |q||x| (Cauchy-Schwarz), but both sides are IEEE folds; a
+    // 1e-9 relative + 1e-12 absolute slack dwarfs the ~64*eps rounding
+    // of a 64-dim fold, so pruning stays EXACT (never drops a true
+    // top-k member) while still discarding the norm-dominated tail.
+    val bound = col("kth_score") - abs(col("kth_score")) * lit(1e-9) - lit(1e-12)
+    val tailFlagged = items.filter(col("item_nrm") < cutoff)
+      .crossJoin(broadcast(queries
+        .join(kth, col("query_id") === col("tq"), "left").drop("tq")))
+      .filter(col("item_id") =!= col("query_id"))
+      .withColumn("keep",
+        col("kth_score").isNull || col("item_nrm") * col("query_nrm") >= bound)
+    (headScored, tailFlagged)
+  }
+
+  /** EXACT maximum-inner-product-search top-k (query.item, un-normalized
+    * — the retrieval objective when vectors are trained with dot-product
+    * similarity and norm carries importance) with Cauchy-Schwarz
+    * norm-bound pruning. Two phases: (1) score only the `normPrefix`
+    * highest-norm items (the only items that can produce large products)
+    * to seed a per-query k-th-best lower bound s_k; (2) scan the tail
+    * but compute the dot ONLY for items with |x|.|q| >= s_k — everything
+    * below the bound provably cannot enter the top-k, so at 10^9 vectors
+    * with the usual long-tailed norm distribution the expensive fold
+    * runs on a small fraction of the corpus while the output stays
+    * bit-identical to brute force (the oracle IS brute force).
+    * Output: (query_id, neighbor_id, rank, score).
+    */
+  def mipsTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIds: Seq[Long],
+      k: Int,
+      normPrefix: Int = 64): DataFrame = {
+    val (headScored, tailFlagged) = mipsParts(emb, idCol, vecCol, queryIds, k, normPrefix)
+    val tailScored = tailFlagged.filter(col("keep"))
+      .withColumn("score", dot(col("query_vec"), col("item_vec")))
+    val all = headScored.select(col("query_id"), col("item_id"), col("score"))
+      .unionByName(tailScored.select(col("query_id"), col("item_id"), col("score")))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("item_id"))
+    all.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("item_id").as("neighbor_id"),
+        col("rank").cast("bigint").as("rank"), col("score"))
+  }
+
+  /** No-silent-caps audit for [[mipsTopK]] (same posture as the LSH and
+    * SimHash cap audits): per query, how many items the head pass
+    * scored, how many tail items the norm bound pruned WITHOUT computing
+    * their dot product, and how many tail items were scored. The prune
+    * decision is replayed from the same shared scaffolding the operator
+    * uses, so this is the ground truth of the work-saving claim.
+    */
+  def mipsPruneAudit(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIds: Seq[Long],
+      k: Int,
+      normPrefix: Int = 64): DataFrame = {
+    val (headScored, tailFlagged) = mipsParts(emb, idCol, vecCol, queryIds, k, normPrefix)
+    val headCnt = headScored.groupBy("query_id")
+      .agg(count(lit(1)).as("n_head"))
+    tailFlagged.groupBy("query_id")
+      .agg(sum(when(col("keep"), 0L).otherwise(1L)).as("n_pruned"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_scored"))
+      .join(headCnt, "query_id")
+      .select(col("query_id"), col("n_head"), col("n_pruned"), col("n_scored"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (sim >= threshold) among a
     * bounded id range — exact via self-join; the LSH path above is the
     * unbounded-scale variant.

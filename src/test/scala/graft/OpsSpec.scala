@@ -677,4 +677,59 @@ class OpsSpec extends AnyFunSuite {
     for (r <- narrow)
       assert(exact((r.getLong(0), r.getLong(1))) == r.getDouble(3))
   }
+
+  test("mips: norm-bound pruning is exact vs local brute force; audit accounts for every row") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val got = Ann.mipsTopK(emb, "vec_id", "embedding", qids, k = 10, normPrefix = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // local brute-force MIPS with the same left-to-right fold + tiebreak
+    val vecs = emb.collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      .toMap
+    def dotL(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val want = qids.flatMap { q =>
+      vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, dotL(vecs(q), v)) }
+        .sortBy { case (id, s) => (-s, id) }
+        .take(10).zipWithIndex
+        .map { case ((id, s), i) => (q, id, (i + 1).toLong, s) }
+    }.toSet
+    assert(got == want)
+    // audit: head + pruned + scored covers every non-self item exactly
+    // once per query, and the bound actually prunes on this corpus
+    val n = emb.count()
+    val audit = Ann.mipsPruneAudit(emb, "vec_id", "embedding", qids, k = 10, normPrefix = 64)
+      .collect()
+    assert(audit.length == qids.length)
+    for (r <- audit) {
+      assert(r.getAs[Long]("n_head") + r.getAs[Long]("n_pruned") +
+        r.getAs[Long]("n_scored") == n - 1)
+    }
+  }
+
+  test("mips: skewed-norm corpus actually prunes, output still exact") {
+    import spark.implicits._
+    // query (1,0); ids 1..30 high-norm collinear items (dot == norm);
+    // ids 31..60 tiny near-orthogonal items — their |x||q| bound sits
+    // far below the 5th-best head score, so the tail pass must prune
+    // them WITHOUT computing their dot product
+    val rows = Seq((0L, Seq(1.0f, 0.0f))) ++
+      (1 to 30).map(i => (i.toLong, Seq(1.0f + i * 0.01f, 0.0f))) ++
+      (31 to 60).map(i => (i.toLong, Seq(0.001f, 0.001f)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val got = Ann.mipsTopK(emb, "vec_id", "embedding", Seq(0L), k = 5, normPrefix = 16)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toList
+    // top-5 by dot = the 5 largest-norm collinear items, 30 down to 26
+    assert(got == List((30L, 1L), (29L, 2L), (28L, 3L), (27L, 4L), (26L, 5L)))
+    val audit = Ann.mipsPruneAudit(emb, "vec_id", "embedding", Seq(0L), k = 5, normPrefix = 16)
+      .collect().head
+    assert(audit.getAs[Long]("n_head") + audit.getAs[Long]("n_pruned") +
+      audit.getAs[Long]("n_scored") == 60L)
+    assert(audit.getAs[Long]("n_pruned") >= 30L)
+  }
 }
