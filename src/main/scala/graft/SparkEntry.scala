@@ -1811,6 +1811,42 @@ object SparkEntry {
         s.read.parquet(t(dir, "documents")), "doc_id", "text",
         budget = 4096, groups = 8)),
 
+    // ---- corpus: packing-efficiency audit — per-pack occupancy,
+    // straddle overflow, and can-never-fit oversize docs over the
+    // q_pack_sequences layout (the no-silent-caps companion: the greedy
+    // streaming packer's fill-quality trade is measured, not assumed)
+    "q_pack_audit" -> ((s, dir) =>
+      graft.corpus.Packing.packAudit(
+        graft.corpus.Packing.packSequences(
+          s.read.parquet(t(dir, "documents")), "doc_id", "text",
+          budget = 4096, groups = 8), budget = 4096)),
+
+    // ---- corpus: k-anonymity (Sweeney 2002) — each doc publishes its
+    // quasi-identifiers (lang, source, 256-char length bucket) at the
+    // finest prefix level whose group holds >= 20 rows, coarser levels
+    // NULLed explicitly; group_n evidences the k contract per row.
+    // groupBy-per-level + join back, never count-over-window (a coarse
+    // prefix's window partition would funnel billions of rows through
+    // one task at 100 TB)
+    "q_kanon" -> ((s, dir) =>
+      graft.corpus.Privacy.kAnonymize(
+        s.read.parquet(t(dir, "documents"))
+          .select(col("doc_id"), col("lang"), col("source"),
+            floor(length(col("text")) / 256).cast("long").as("len_bucket")),
+        "doc_id", Seq("lang", "source", "len_bucket"), k = 20)),
+
+    // ---- operators: sampled range-partition bounds + realized bucket
+    // occupancy — Spark's RangePartitioner primitive made first-class
+    // and DETERMINISTIC (portable-hash sample, exact order statistics,
+    // value-only boundary comparison), with the balance claim itself
+    // emitted as the auditable result; the single unpartitioned sort
+    // runs over the bounded sample only
+    "q_range_bounds" -> ((s, dir) =>
+      graft.operators.RangeBounds.boundsAndOccupancy(
+        s.read.parquet(t(dir, "documents"))
+          .select(col("doc_id"), length(col("text")).cast("long").as("n_chars")),
+        "n_chars", "doc_id", buckets = 8, sampleRate = 0.2, salt = "rb")),
+
     // ---- ANN: int8 embedding quantization (4x memory at 10^9 vectors;
     // explicit half-up arithmetic so the oracle replays it exactly).
     // Exploded to (vec_id, i, q_i, scale) scalar rows: round 2's driver
@@ -4883,6 +4919,88 @@ object SparkEntry {
         |SELECT doc_id, grp, CAST(floor(start_off / 4096.0) AS BIGINT) AS pack_id,
         |  n_tokens, CAST(start_off AS BIGINT) AS start_off
         |FROM c""".stripMargin,
+    // Pack audit: replay the packing CTE, then per-pack occupancy /
+    // straddle-overflow / oversize accounting in exact integers
+    "q_pack_audit" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST('0x' || substr(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |      % 1000000 AS hv
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, CAST(hv % 8 AS INTEGER) AS grp, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_off
+        |  FROM h
+        |), p AS (
+        |  SELECT grp, CAST(floor(start_off / 4096.0) AS BIGINT) AS pack_id,
+        |    n_tokens, CAST(start_off AS BIGINT) AS start_off
+        |  FROM c
+        |)
+        |SELECT grp, pack_id, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens_sum,
+        |  CAST(greatest(0, max(start_off + n_tokens) - (pack_id + 1) * 4096) AS BIGINT)
+        |    AS overflow_tokens,
+        |  CAST(sum(CASE WHEN n_tokens > 4096 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oversize_docs
+        |FROM p GROUP BY grp, pack_id""".stripMargin,
+    // k-anonymity: per-level group counts via windows (DuckDB is
+    // single-node — the engine's groupBy+join shape exists for scale,
+    // not semantics), finest level with count >= 20, coarser QI NULLed
+    "q_kanon" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(floor(length(text) / 256.0) AS BIGINT) AS len_bucket
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, lang, source, len_bucket,
+        |    count(*) OVER (PARTITION BY lang, source, len_bucket) AS c0,
+        |    count(*) OVER (PARTITION BY lang, source) AS c1,
+        |    count(*) OVER (PARTITION BY lang) AS c2,
+        |    count(*) OVER () AS c3
+        |  FROM d
+        |), l AS (
+        |  SELECT *, CASE WHEN c0 >= 20 THEN 0 WHEN c1 >= 20 THEN 1
+        |                 WHEN c2 >= 20 THEN 2 ELSE 3 END AS lvl
+        |  FROM c
+        |)
+        |SELECT doc_id, CAST(lvl AS INTEGER) AS level,
+        |  CASE WHEN lvl <= 2 THEN lang END AS lang,
+        |  CASE WHEN lvl <= 1 THEN source END AS source,
+        |  CASE WHEN lvl <= 0 THEN len_bucket END AS len_bucket,
+        |  CAST(CASE lvl WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2
+        |       ELSE c3 END AS BIGINT) AS group_n
+        |FROM l""".stripMargin,
+    // Range bounds: replay the portable-hash sample, rank it, pick the
+    // floor(i*n/8) order statistics, assign every row by value-only
+    // comparison against the bound list, count per bucket
+    "q_range_bounds" ->
+      """WITH s AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS v
+        |  FROM documents
+        |  WHERE CAST('0x' || substr(md5('rb' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |    % 1000000 < 200000
+        |), r AS (
+        |  SELECT v, row_number() OVER (ORDER BY v, doc_id) AS rn FROM s
+        |), p AS (
+        |  SELECT i, (i * n) // 8 AS pos
+        |  FROM (SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS i)
+        |  CROSS JOIN (SELECT count(*) AS n FROM s)
+        |), bd AS (
+        |  SELECT list(r.v ORDER BY p.i) AS bounds
+        |  FROM p JOIN r ON r.rn = p.pos
+        |), a AS (
+        |  SELECT CAST(length(text) AS BIGINT) AS v FROM documents
+        |), asg AS (
+        |  SELECT CAST(len(list_filter(bd.bounds, b -> b <= a.v)) AS BIGINT) AS bucket,
+        |    bd.bounds AS bounds
+        |  FROM a CROSS JOIN bd
+        |)
+        |SELECT bucket,
+        |  CASE WHEN bucket = 0 THEN NULL ELSE bounds[CAST(bucket AS INTEGER)] END AS bound_lo,
+        |  count(*) AS n_rows
+        |FROM asg GROUP BY 1, 2""".stripMargin,
     "q_embed_quant" ->
       """WITH v AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings

@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated query-name filter for fast local
+    // iteration (the driver always passes exactly two args = full dump)
+    val Array(sfDir, outDir) = args.take(2)
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -20,7 +24,7 @@ object Verify {
     // documents.parquet) so the extraction oracles can reconstruct the
     // expected output in pure SQL from the same rows. oracleSql entries
     // reference it via the {OUT} placeholder substituted below.
-    locally {
+    if (only.isEmpty) locally {
       import org.apache.spark.sql.functions.{col, explode}
       def dump(df: org.apache.spark.sql.DataFrame, name: String): Unit =
         df.select(col("doc_id"), explode(col("spans")).as("s"))
@@ -33,7 +37,9 @@ object Verify {
       // extract_*_adv per-strategy oracles
       dump(graft.fixtures.SpanGen.adversarialDocs(spark).toDF(), "spans_adv_input")
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -53,6 +59,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("{OUT}", outDir))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -61,4 +61,40 @@ object Packing {
       .select(col("doc_id"), col("grp"), col("pack_id"), col("n_tokens"),
         col("start_off"))
   }
+
+  /** Packing-efficiency audit over a [[packSequences]] layout — the
+    * no-silent-caps companion: greedy streaming packing trades fill
+    * quality for determinism and one bounded shuffle, and this makes
+    * that trade measurable per pack instead of an article of faith.
+    * One groupBy (map-side combinable, one row per pack) over the
+    * layout:
+    *
+    *  - `n_docs`, `n_tokens_sum`: occupancy of the pack (tokens of
+    *    every document that STARTS in it — the pack-membership rule);
+    *  - `overflow_tokens`: tokens the pack's last document runs past
+    *    the budget boundary (the straddle the greedy contract allows;
+    *    the trainer truncates or carries these);
+    *  - `n_oversize_docs`: documents longer than the whole budget — no
+    *    packing can fit them, so they must be split upstream; leaving
+    *    them uncounted is exactly the silent cap this audit exists to
+    *    prevent.
+    *
+    * All-integer output (exact across engines); underfill is derivable
+    * as budget + overflow_tokens - n_tokens_sum.
+    */
+  def packAudit(packs: DataFrame, budget: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    packs
+      .groupBy(col("grp"), col("pack_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens_sum"),
+        max(col("start_off") + col("n_tokens")).as("__max_end"),
+        sum(when(col("n_tokens") > budget, 1L).otherwise(0L))
+          .as("n_oversize_docs"))
+      .select(col("grp"), col("pack_id"), col("n_docs"), col("n_tokens_sum"),
+        greatest(lit(0L),
+          col("__max_end") - (col("pack_id") + 1) * budget).as("overflow_tokens"),
+        col("n_oversize_docs"))
+  }
 }
