@@ -1835,6 +1835,18 @@ object SparkEntry {
             floor(length(col("text")) / 256).cast("long").as("len_bucket")),
         "doc_id", Seq("lang", "source", "len_bucket"), k = 20)),
 
+    // ---- corpus: l-diversity audit over the q_kanon ladder — per
+    // published equivalence class, distinct sensitive values (first
+    // token as the content proxy) across the generalized group; catches
+    // the homogeneity attack k-anonymity alone permits
+    "q_ldiversity" -> ((s, dir) =>
+      graft.corpus.Privacy.lDiversity(
+        s.read.parquet(t(dir, "documents"))
+          .select(col("doc_id"), col("lang"), col("source"),
+            floor(length(col("text")) / 256).cast("long").as("len_bucket"),
+            element_at(split(col("text"), " "), 1).as("sens")),
+        "doc_id", Seq("lang", "source", "len_bucket"), "sens", k = 20, l = 3)),
+
     // ---- operators: sampled range-partition bounds + realized bucket
     // occupancy — Spark's RangePartitioner primitive made first-class
     // and DETERMINISTIC (portable-hash sample, exact order statistics,
@@ -4972,6 +4984,53 @@ object SparkEntry {
         |  CAST(CASE lvl WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2
         |       ELSE c3 END AS BIGINT) AS group_n
         |FROM l""".stripMargin,
+    // l-diversity: per-level count + count(DISTINCT sens) ladders via
+    // grouped subqueries (population-side, k-map posture), finest level
+    // with count >= 20, class rollup with the l >= 3 verdict
+    "q_ldiversity" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(floor(length(text) / 256.0) AS BIGINT) AS len_bucket,
+        |    split_part(text, ' ', 1) AS sens
+        |  FROM documents
+        |), g0 AS (
+        |  SELECT lang, source, len_bucket, count(*) AS c0,
+        |    count(DISTINCT sens) AS d0 FROM d GROUP BY 1, 2, 3
+        |), g1 AS (
+        |  SELECT lang, source, count(*) AS c1,
+        |    count(DISTINCT sens) AS d1 FROM d GROUP BY 1, 2
+        |), g2 AS (
+        |  SELECT lang, count(*) AS c2, count(DISTINCT sens) AS d2
+        |  FROM d GROUP BY 1
+        |), g3 AS (
+        |  SELECT count(*) AS c3, count(DISTINCT sens) AS d3 FROM d
+        |), j AS (
+        |  SELECT d.lang, d.source, d.len_bucket,
+        |    c0, d0, c1, d1, c2, d2, c3, d3
+        |  FROM d
+        |  JOIN g0 USING (lang, source, len_bucket)
+        |  JOIN g1 USING (lang, source)
+        |  JOIN g2 USING (lang)
+        |  CROSS JOIN g3
+        |), l AS (
+        |  SELECT *, CASE WHEN c0 >= 20 THEN 0 WHEN c1 >= 20 THEN 1
+        |                 WHEN c2 >= 20 THEN 2 ELSE 3 END AS lvl
+        |  FROM j
+        |), p AS (
+        |  SELECT lvl,
+        |    CASE WHEN lvl <= 2 THEN lang END AS lang,
+        |    CASE WHEN lvl <= 1 THEN source END AS source,
+        |    CASE WHEN lvl <= 0 THEN len_bucket END AS len_bucket,
+        |    CASE lvl WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2
+        |         ELSE c3 END AS gn,
+        |    CASE lvl WHEN 0 THEN d0 WHEN 1 THEN d1 WHEN 2 THEN d2
+        |         ELSE d3 END AS ns
+        |  FROM l
+        |)
+        |SELECT CAST(lvl AS INTEGER) AS level, lang, source, len_bucket,
+        |  CAST(max(gn) AS BIGINT) AS group_n, count(*) AS n_published,
+        |  CAST(max(ns) AS BIGINT) AS n_sensitive, max(ns) >= 3 AS l_ok
+        |FROM p GROUP BY 1, 2, 3, 4""".stripMargin,
     // Range bounds: replay the portable-hash sample, rank it, pick the
     // floor(i*n/8) order statistics, assign every row by value-only
     // comparison against the bound list, count per bucket

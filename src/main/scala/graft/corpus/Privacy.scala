@@ -36,6 +36,16 @@ object Privacy {
     * >= k rows. QI columns must be non-null (the per-level counts join
     * back on them null-unsafely; map missing values to a sentinel
     * upstream) — NULL in the output always means "generalized away".
+    *
+    * Honesty note on the guarantee: per-row finest-level generalization
+    * gives the k-MAP property — every published QI combination matches
+    * >= k rows of the ORIGINAL population — not strict equivalence-class
+    * k-anonymity, where the PUBLISHED rows sharing a combination must
+    * themselves number >= k (that stronger form needs global recoding:
+    * one level for the whole corpus, which over-generalizes every row
+    * to the weakest group's level). k-map is the standard release
+    * criterion when, as here, the adversary's reference is the
+    * population the corpus was drawn from.
     */
   def kAnonymize(df: DataFrame, idCol: String, qiCols: Seq[String],
       k: Int): DataFrame = {
@@ -66,5 +76,64 @@ object Privacy {
     }
     withLevel.select(
       (col(idCol) +: col("level") +: published :+ groupN.as("group_n")): _*)
+  }
+
+  /** l-diversity audit (Machanavajjhala et al. 2007) over the same QI
+    * ladder as [[kAnonymize]]: one row per published equivalence class
+    * (level + generalized QI prefix) with the class's population size
+    * (`group_n`), rows actually published in it (`n_published`), the
+    * number of DISTINCT sensitive values across the generalized group
+    * (`n_sensitive` — population-side, matching the k-map posture), and
+    * the verdict `l_ok = n_sensitive >= l`. k-anonymity alone permits a
+    * homogeneity attack (a group of >= k rows all sharing one sensitive
+    * value reveals it without re-identification); this is the audit
+    * that catches it.
+    *
+    * Scale posture: one count+countDistinct groupBy per ladder level
+    * (depth = QI arity) joined back by shuffle equi-join, then one
+    * class-level groupBy — same never-a-coarse-window shape as
+    * kAnonymize; exact distinct counts are per-level aggregates whose
+    * result cardinality is the distinct-prefix count, not the row
+    * count.
+    */
+  def lDiversity(df: DataFrame, idCol: String, qiCols: Seq[String],
+      sensitiveCol: String, k: Int, l: Int): DataFrame = {
+    require(k > 0 && l > 0, s"k and l must be positive, got k=$k l=$l")
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    val nLevels = qiCols.length
+    val base = df.select(
+      (col(idCol) +: col(sensitiveCol).as("__sens") +: qiCols.map(col)): _*)
+    var cur = base
+    for (lvl <- 0 until nLevels) {
+      val key = qiCols.dropRight(lvl)
+      val aggd = base.groupBy(key.map(col): _*)
+        .agg(count(lit(1)).as(s"__cnt$lvl"),
+          countDistinct(col("__sens")).as(s"__div$lvl"))
+      cur = cur.join(aggd, key, "left")
+    }
+    val total = base.agg(count(lit(1)).as(s"__cnt$nLevels"),
+      countDistinct(col("__sens")).as(s"__div$nLevels"))
+    cur = cur.crossJoin(broadcast(total))
+    val level = (0 until nLevels).foldRight(lit(nLevels)) { (lvl, rest) =>
+      when(col(s"__cnt$lvl") >= k, lvl).otherwise(rest)
+    }
+    val withLevel = cur.withColumn("level", level.cast("int"))
+    val published = qiCols.zipWithIndex.map { case (c, i) =>
+      when(col("level") <= lit(nLevels - 1 - i), col(c))
+        .otherwise(lit(null)).as(c)
+    }
+    val groupN = (0 until nLevels).foldRight(col(s"__cnt$nLevels")) {
+      (lvl, rest) => when(col("level") === lvl, col(s"__cnt$lvl")).otherwise(rest)
+    }
+    val nSens = (0 until nLevels).foldRight(col(s"__div$nLevels")) {
+      (lvl, rest) => when(col("level") === lvl, col(s"__div$lvl")).otherwise(rest)
+    }
+    withLevel
+      .select((col("level") +: published :+ groupN.as("__gn") :+ nSens.as("__ns")): _*)
+      .groupBy((col("level") +: qiCols.map(col)): _*)
+      .agg(max(col("__gn")).as("group_n"),
+        count(lit(1)).as("n_published"),
+        max(col("__ns")).as("n_sensitive"))
+      .withColumn("l_ok", col("n_sensitive") >= l)
   }
 }

@@ -798,6 +798,28 @@ class OpsSpec extends AnyFunSuite {
       || r.getAs[Int]("level") == 3))
   }
 
+  test("l-diversity: homogeneous group flagged, diverse group passes") {
+    import spark.implicits._
+    // (en, a, 0): 12 rows but ONE sensitive value -> k-anonymous yet
+    // NOT l-diverse at l=3 (the homogeneity attack case);
+    // (en, b, 0): 12 rows with 4 distinct sensitive values -> l_ok
+    val rows =
+      (1L to 12L).map(i => (i, "en", "a", 0L, "flu")) ++
+      (13L to 24L).map(i => (i, "en", "b", 0L, s"v${i % 4}"))
+    val df = rows.toDF("doc_id", "lang", "source", "len_bucket", "sens")
+    val out = graft.corpus.Privacy
+      .lDiversity(df, "doc_id", Seq("lang", "source", "len_bucket"), "sens",
+        k = 10, l = 3)
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[String]("source")) -> r)
+      .toMap
+    val ga = out(("en", "a"))
+    assert(ga.getAs[Int]("level") == 0 && ga.getAs[Long]("group_n") == 12L)
+    assert(ga.getAs[Long]("n_sensitive") == 1L && !ga.getAs[Boolean]("l_ok"))
+    val gb = out(("en", "b"))
+    assert(gb.getAs[Long]("n_sensitive") == 4L && gb.getAs[Boolean]("l_ok"))
+    assert(gb.getAs[Long]("n_published") == 12L)
+  }
+
   test("pack audit: token accounting is exact, straddle and oversize are flagged") {
     import spark.implicits._
     // deterministic hand layout: bypass hashing by auditing a
