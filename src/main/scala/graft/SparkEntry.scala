@@ -3802,22 +3802,26 @@ object SparkEntry {
     // reciprocal; the exact bounded baseline on a 1-in-4 slice (the
     // LSH/IVF paths are the scale route, this is the verification net)
     "q_mutual_knn" -> ((s, dir) => {
+      // per-vector norms precomputed ONCE (n rows) before the n^2
+      // cross join — the same IEEE expression as the former per-pair
+      // form (sqrt of the identical index-ordered fold), so the cosine
+      // stays bit-identical while the pair stage drops from three
+      // 64-element folds to one
       val v = s.read.parquet(t(dir, "embeddings"))
         .filter(col("vec_id") % 4 === 0)
-        .select(col("vec_id"), col("embedding"))
+        .select(col("vec_id"), col("embedding"),
+          sqrt(expr("aggregate(sequence(1, size(embedding)), 0.0D, (acc, i) -> " +
+            "acc + cast(element_at(embedding, i) as double) * " +
+            "cast(element_at(embedding, i) as double))")).as("nrm"))
       val cos = v.crossJoin(broadcast(
-          v.select(col("vec_id").as("o_id"), col("embedding").as("ov"))))
+          v.select(col("vec_id").as("o_id"), col("embedding").as("ov"),
+            col("nrm").as("o_nrm"))))
         .filter(col("vec_id") =!= col("o_id"))
         .select(col("vec_id"), col("o_id"),
           (expr("aggregate(sequence(1, size(embedding)), 0.0D, (acc, i) -> " +
             "acc + cast(element_at(embedding, i) as double) * " +
             "cast(element_at(ov, i) as double))") /
-            (sqrt(expr("aggregate(sequence(1, size(embedding)), 0.0D, (acc, i) -> " +
-              "acc + cast(element_at(embedding, i) as double) * " +
-              "cast(element_at(embedding, i) as double))")) *
-              sqrt(expr("aggregate(sequence(1, size(ov)), 0.0D, (acc, i) -> " +
-                "acc + cast(element_at(ov, i) as double) * " +
-                "cast(element_at(ov, i) as double))")))).as("cos"))
+            (col("nrm") * col("o_nrm"))).as("cos"))
       val best = cos.groupBy(col("vec_id"))
         .agg(max(struct(col("cos"), (-col("o_id")).as("no"))).as("b"))
         .select(col("vec_id"), (-col("b.no")).as("best_id"),

@@ -170,10 +170,21 @@ object Phash {
   /** Near-dup image pairs: banded candidates (bucket cap as in
     * simhashNearDups) reranked by exact 64-bit Hamming <= maxDist.
     * Output (id_a, id_b, hamming), id_a < id_b.
+    *
+    * The band frame is persisted (MEMORY_AND_DISK) across its five
+    * reads (cap window, both sides of the candidate self-join, both
+    * rerank re-attach joins) — without it every read re-runs the
+    * CPU-bound PNG encode+decode+hash over the whole corpus, which
+    * measured 4-5x the operator's real cost. The cache is four int
+    * rows per image (the payload bytes are never cached or shuffled);
+    * the small pair result is checkpointed eagerly so the cache can be
+    * dropped here rather than leaked to session end (the
+    * minhashNearDups pattern).
     */
   def nearDups(blobs: Dataset[MediaBlob], maxDist: Int = 8,
       maxBucketSize: Int = 10000): DataFrame = {
     val bands = chunkRows(blobs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val capped = bands
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy("chunk", "chunk_val")))
       .filter(col("bsz") <= maxBucketSize)
@@ -184,7 +195,7 @@ object Phash {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    cand
+    val out = cand
       .join(bands.select(col("id").as("id_a"), col("chunk"),
         col("chunk_val").as("cv_a")), "id_a")
       .join(bands.select(col("id").as("id_b"), col("chunk"),
@@ -194,5 +205,8 @@ object Phash {
         .as("hamming"))
       .filter(col("hamming") <= maxDist)
       .select(col("id_a"), col("id_b"), col("hamming"))
+    val (cp, _) = graft.dedup.Dedup.checkpointOwned(out)
+    bands.unpersist(blocking = false)
+    cp
   }
 }
