@@ -1847,6 +1847,20 @@ object SparkEntry {
             element_at(split(col("text"), " "), 1).as("sens")),
         "doc_id", Seq("lang", "source", "len_bucket"), "sens", k = 20, l = 3)),
 
+    // ---- corpus: t-closeness audit — third rung of the privacy
+    // ladder: per published class, total-variation distance between its
+    // sensitive-value distribution and the corpus's, carried as an
+    // exact integer fraction (no float division; decimal products so
+    // 10^12-row magnitudes can't wrap), verdict at t = 3/10
+    "q_tcloseness" -> ((s, dir) =>
+      graft.corpus.Privacy.tCloseness(
+        s.read.parquet(t(dir, "documents"))
+          .select(col("doc_id"), col("lang"), col("source"),
+            floor(length(col("text")) / 256).cast("long").as("len_bucket"),
+            element_at(split(col("text"), " "), 1).as("sens")),
+        "doc_id", Seq("lang", "source", "len_bucket"), "sens",
+        k = 20, tNum = 3, tDen = 10)),
+
     // ---- operators: sampled range-partition bounds + realized bucket
     // occupancy — Spark's RangePartitioner primitive made first-class
     // and DETERMINISTIC (portable-hash sample, exact order statistics,
@@ -5035,6 +5049,66 @@ object SparkEntry {
         |  CAST(max(gn) AS BIGINT) AS group_n, count(*) AS n_published,
         |  CAST(max(ns) AS BIGINT) AS n_sensitive, max(ns) >= 3 AS l_ok
         |FROM p GROUP BY 1, 2, 3, 4""".stripMargin,
+    // t-closeness: same level ladder; per-level (prefix, sens) counts
+    // unioned, classes x global-sens expansion, exact HUGEINT TVD
+    // fraction, cross-multiplied verdict at 3/10
+    "q_tcloseness" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(floor(length(text) / 256.0) AS BIGINT) AS len_bucket,
+        |    split_part(text, ' ', 1) AS sens
+        |  FROM documents
+        |), c AS (
+        |  SELECT lang, source, len_bucket, sens,
+        |    count(*) OVER (PARTITION BY lang, source, len_bucket) AS c0,
+        |    count(*) OVER (PARTITION BY lang, source) AS c1,
+        |    count(*) OVER (PARTITION BY lang) AS c2,
+        |    count(*) OVER () AS c3
+        |  FROM d
+        |), l AS (
+        |  SELECT *, CASE WHEN c0 >= 20 THEN 0 WHEN c1 >= 20 THEN 1
+        |                 WHEN c2 >= 20 THEN 2 ELSE 3 END AS lvl
+        |  FROM c
+        |), classes AS (
+        |  SELECT lvl,
+        |    CASE WHEN lvl <= 2 THEN lang END AS lang,
+        |    CASE WHEN lvl <= 1 THEN source END AS source,
+        |    CASE WHEN lvl <= 0 THEN len_bucket END AS len_bucket,
+        |    max(CASE lvl WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2
+        |        ELSE c3 END) AS nc
+        |  FROM l GROUP BY 1, 2, 3, 4
+        |), cs AS (
+        |  SELECT 0 AS lvl, lang, source, len_bucket, sens, count(*) AS cc
+        |  FROM d GROUP BY 1, 2, 3, 4, 5
+        |  UNION ALL
+        |  SELECT 1, lang, source, NULL, sens, count(*) FROM d GROUP BY 1, 2, 3, 4, 5
+        |  UNION ALL
+        |  SELECT 2, lang, NULL, NULL, sens, count(*) FROM d GROUP BY 1, 2, 3, 4, 5
+        |  UNION ALL
+        |  SELECT 3, NULL, NULL, NULL, sens, count(*) FROM d GROUP BY 1, 2, 3, 4, 5
+        |), gs AS (
+        |  SELECT sens, count(*) AS cg FROM d GROUP BY 1
+        |), ngl AS (
+        |  SELECT count(*) AS n_g FROM d
+        |), pairs AS (
+        |  SELECT cl.lvl, cl.lang, cl.source, cl.len_bucket, cl.nc,
+        |    gs.cg, coalesce(cs.cc, 0) AS cc
+        |  FROM classes cl CROSS JOIN gs
+        |  LEFT JOIN cs ON cs.lvl = cl.lvl AND cs.sens = gs.sens
+        |    AND cs.lang IS NOT DISTINCT FROM cl.lang
+        |    AND cs.source IS NOT DISTINCT FROM cl.source
+        |    AND cs.len_bucket IS NOT DISTINCT FROM cl.len_bucket
+        |), agg AS (
+        |  SELECT lvl, lang, source, len_bucket, nc, n_g,
+        |    sum(abs(CAST(cc AS HUGEINT) * n_g - CAST(cg AS HUGEINT) * nc)) AS num
+        |  FROM pairs CROSS JOIN ngl GROUP BY 1, 2, 3, 4, 5, 6
+        |)
+        |SELECT CAST(lvl AS INTEGER) AS level, lang, source, len_bucket,
+        |  CAST(nc AS BIGINT) AS group_n,
+        |  CAST(num AS BIGINT) AS tvd_num,
+        |  CAST(2 * CAST(nc AS HUGEINT) * n_g AS BIGINT) AS tvd_den,
+        |  num * 10 <= 3 * 2 * CAST(nc AS HUGEINT) * n_g AS t_ok
+        |FROM agg""".stripMargin,
     // Range bounds: replay the portable-hash sample, rank it, pick the
     // floor(i*n/8) order statistics, assign every row by value-only
     // comparison against the bound list, count per bucket

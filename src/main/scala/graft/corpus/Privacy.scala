@@ -1,6 +1,6 @@
 package graft.corpus
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** k-anonymity over quasi-identifier columns — the privacy-hardening
@@ -135,5 +135,103 @@ object Privacy {
         count(lit(1)).as("n_published"),
         max(col("__ns")).as("n_sensitive"))
       .withColumn("l_ok", col("n_sensitive") >= l)
+  }
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
+    * rung of the privacy ladder: l-diversity counts distinct sensitive
+    * values but a group can hold l distinct values in wildly skewed
+    * proportions and still leak (skewness attack); t-closeness bounds
+    * the total-variation distance between each published class's
+    * sensitive-value distribution and the whole corpus's at
+    * t = tNum/tDen.
+    *
+    * One row per published equivalence class (same k-map ladder as
+    * [[kAnonymize]]):
+    *   TVD = (1/2) * sum_s |c_s/n_class - g_s/n_glob|
+    * carried as the EXACT integer fraction
+    *   tvd_num / tvd_den = sum_s |c_s*n_glob - g_s*n_class| / (2*n_class*n_glob)
+    * and verdict t_ok decided by cross-multiplication
+    * (tvd_num * tDen <= tNum * tvd_den) — no float division anywhere,
+    * so the oracle replays bit-for-bit. Products are computed in
+    * DECIMAL(38,0) (at 10^12 rows n_class*n_glob overflows a long); the
+    * emitted columns cast back to BIGINT, which under ANSI fails loudly
+    * rather than wrapping if a deployment's magnitudes outgrow them.
+    *
+    * Scale posture: per-level (prefix, sens) groupBys (map-side
+    * combinable, result cardinality = distinct prefix x sens), a
+    * classes x global-sens-distribution expansion bounded by
+    * |classes| * |distinct sens| (both aggregate-sized, never row
+    * counts), and null-safe equi-joins throughout — same
+    * never-a-coarse-window shape as the rest of the ladder.
+    */
+  def tCloseness(df: DataFrame, idCol: String, qiCols: Seq[String],
+      sensitiveCol: String, k: Int, tNum: Long, tDen: Long): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(tNum >= 0 && tDen > 0, s"t must be a fraction >= 0, got $tNum/$tDen")
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    val nLevels = qiCols.length
+    val base = df.select(
+      (col(idCol) +: col(sensitiveCol).as("__sens") +: qiCols.map(col)): _*)
+    // level ladder (population counts per prefix), as in kAnonymize
+    var cur = base
+    for (lvl <- 0 until nLevels) {
+      val key = qiCols.dropRight(lvl)
+      cur = cur.join(
+        base.groupBy(key.map(col): _*).agg(count(lit(1)).as(s"__cnt$lvl")),
+        key, "left")
+    }
+    cur = cur.crossJoin(
+      broadcast(base.agg(count(lit(1)).as(s"__cnt$nLevels"))))
+    val level = (0 until nLevels).foldRight(lit(nLevels)) { (lvl, rest) =>
+      when(col(s"__cnt$lvl") >= k, lvl).otherwise(rest)
+    }
+    val withLevel = cur.withColumn("level", level.cast("int"))
+    val published = qiCols.zipWithIndex.map { case (c, i) =>
+      when(col("level") <= lit(nLevels - 1 - i), col(c))
+        .otherwise(lit(null)).as(c)
+    }
+    val groupN = (0 until nLevels).foldRight(col(s"__cnt$nLevels")) {
+      (lvl, rest) => when(col("level") === lvl, col(s"__cnt$lvl")).otherwise(rest)
+    }
+    // published classes with their population size
+    val classes = withLevel
+      .select((col("level") +: published :+ groupN.as("__gn")): _*)
+      .groupBy((col("level") +: qiCols.map(col)): _*)
+      .agg(max(col("__gn")).as("__nc"))
+    // per-level (prefix, sens) population counts, prefix NULL-padded to
+    // the full QI shape so one frame serves every level
+    val qiTypes = qiCols.map(c => base.schema(c).dataType)
+    val classSens = (0 to nLevels).map { lvl =>
+      val key = qiCols.dropRight(lvl)
+      base.groupBy((key.map(col) :+ col("__sens")): _*)
+        .agg(count(lit(1)).as("__cs"))
+        .select((lit(lvl).cast("int").as("__l2") +:
+          qiCols.zip(qiTypes).map { case (c, dt) =>
+            (if (key.contains(c)) col(c) else lit(null).cast(dt)).as(s"${c}__2")
+          }) :+ col("__sens").as("__s2") :+ col("__cs"): _*)
+    }.reduce(_ unionByName _)
+    // global sensitive-value distribution
+    val gs = base.groupBy(col("__sens")).agg(count(lit(1)).as("__cg"))
+    val ng = base.agg(count(lit(1)).as("__ng"))
+    val joinCond = (col("level") === col("__l2")) &&
+      (col("__sens") === col("__s2")) &&
+      qiCols.map(c => col(c) <=> col(s"${c}__2")).reduce(_ && _)
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    classes
+      .crossJoin(gs)
+      .join(classSens, joinCond, "left")
+      .crossJoin(broadcast(ng))
+      .withColumn("__c", coalesce(col("__cs"), lit(0L)))
+      .groupBy((col("level") +: qiCols.map(col) :+ col("__nc") :+ col("__ng")): _*)
+      .agg(sum(abs(dec(col("__c")) * dec(col("__ng")) -
+        dec(col("__cg")) * dec(col("__nc")))).as("__num"))
+      .select((col("level") +: qiCols.map(col) :+
+        col("__nc").cast("long").as("group_n") :+
+        col("__num").cast("long").as("tvd_num") :+
+        (dec(lit(2)) * dec(col("__nc")) * dec(col("__ng"))).cast("long")
+          .as("tvd_den") :+
+        (col("__num") * dec(lit(tDen)) <=
+          dec(lit(tNum)) * dec(lit(2)) * dec(col("__nc")) * dec(col("__ng")))
+          .as("t_ok")): _*)
   }
 }

@@ -820,6 +820,31 @@ class OpsSpec extends AnyFunSuite {
     assert(gb.getAs[Long]("n_published") == 12L)
   }
 
+  test("t-closeness: skewed class flagged, proportional class passes, fraction exact") {
+    import spark.implicits._
+    // global sens distribution: A x15, B x15 (n=30). class (en,a,0):
+    // all A -> TVD = (|10*30-15*10| + |0-15*10|) / (2*10*30) = 300/600
+    // = 1/2 > 3/10; class (en,b,0): 5 A + 5 B, exactly the global
+    // mixture -> TVD 0; class (en,c,0): all B -> 1/2 again
+    val rows =
+      (1L to 10L).map(i => (i, "en", "a", 0L, "A")) ++
+      (11L to 15L).map(i => (i, "en", "b", 0L, "A")) ++
+      (16L to 20L).map(i => (i, "en", "b", 0L, "B")) ++
+      (21L to 30L).map(i => (i, "en", "c", 0L, "B"))
+    val df = rows.toDF("doc_id", "lang", "source", "len_bucket", "sens")
+    val out = graft.corpus.Privacy
+      .tCloseness(df, "doc_id", Seq("lang", "source", "len_bucket"), "sens",
+        k = 5, tNum = 3, tDen = 10)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val skewed = out("a")
+    assert(skewed.getAs[Long]("tvd_num") == 300L && skewed.getAs[Long]("tvd_den") == 600L)
+    assert(!skewed.getAs[Boolean]("t_ok")) // 0.5 > 0.3
+    val even = out("b")
+    assert(even.getAs[Long]("tvd_num") == 0L && even.getAs[Boolean]("t_ok"))
+    assert(even.getAs[Long]("group_n") == 10L && skewed.getAs[Long]("group_n") == 10L)
+    assert(!out("c").getAs[Boolean]("t_ok"))
+  }
+
   test("pack audit: token accounting is exact, straddle and oversize are flagged") {
     import spark.implicits._
     // deterministic hand layout: bypass hashing by auditing a
