@@ -752,11 +752,24 @@ class OpsSpec extends AnyFunSuite {
       val n = r.getAs[Long]("n_rows")
       assert(n >= 62 && n <= 375, s"bucket ${r.getLong(0)} holds $n rows")
     }
-    // rows equal to a boundary land in the UPPER bucket (bound_lo is
-    // inclusive): the minimum value in bucket b must equal bound_lo
-    val withBucket = graft.operators.RangeBounds
-      .boundsAndOccupancy(df, "v", "id", buckets = 8, sampleRate = 0.3, salt = "t")
-    assert(withBucket.count() == 8L)
+    // exact local replay: portable-hash sample -> order statistics at
+    // floor(i*n/8) -> value-only bucket assignment -> per-bucket counts
+    def hash60(salt: String, id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest((salt + id.toString).getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 1000000L
+    }
+    val all = (0L until 1000L).map(i => (i, i))
+    val sample = all.filter { case (id, _) => hash60("t", id) < 300000L }
+      .sortBy { case (id, v) => (v, id) }
+    val nS = sample.length
+    val wantBounds = (1 until 8).map(i => sample((i * nS / 8) - 1)._2)
+    assert(bounds.toList == wantBounds.toList)
+    val wantCounts = all.groupBy { case (_, v) => wantBounds.count(_ <= v) }
+      .view.mapValues(_.length.toLong).toMap
+    for (r <- out)
+      assert(r.getAs[Long]("n_rows") == wantCounts(r.getLong(0).toInt))
   }
 
   test("k-anonymity: every published row's group meets k; ladder levels null correctly") {
