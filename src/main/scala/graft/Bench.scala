@@ -253,12 +253,21 @@ object Bench {
     val loadavgEnd = loadavg1m()
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"typed_cross_check_sec":$typedSec%.3f,"sf":"$sfDir","docs":$nDocs,"docs_per_sec":$docsPerSec%.1f,"cpus":"$cpus","trials":2,"query_errs":$qErrs,"failed_queries":${errs.size},"query_cpu_sec":$qCpu,"task_cpu_sec":$taskCpuSec%.1f,"loadavg_start":$loadavgStart%.2f,"loadavg_end":$loadavgEnd%.2f}"""
-    println(json)
     // also land the line in a file: sbt prefixes forked stdout with
     // "[info] ", which broke the driver's JSON parse in round 1
     val jsonPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON",
       "/root/repo/target/bench_last.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(jsonPath), json + "\n")
+    // The JSON line must be the LAST thing on stdout: round 4's artifact
+    // was unparseable because a lingering RocksDB StateStore maintenance
+    // thread logged a WARN stack trace AFTER the JSON. Quiesce streaming
+    // state, silence all further logging, stop Spark, THEN print.
+    spark.streams.active.foreach(q => scala.util.Try(q.stop()))
+    scala.util.Try(
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop())
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    println(json)
+    System.out.flush()
   }
 }

@@ -1405,11 +1405,14 @@ object SparkEntry {
 
     // ---- embedding analytics: JL random projection 64 -> 16 dims —
     // the data-independent reduction (no training pass; one broadcast
-    // map; a row's projection never changes as the corpus grows)
+    // map; a row's projection never changes as the corpus grows).
+    // Emitted one scalar row per output dimension (vec_id, b, x): the
+    // driver compare cannot hash array-typed columns
     "q_random_project" -> ((s, dir) =>
       Ann.randomProject(s,
         s.read.parquet(t(dir, "embeddings")), "vec_id", "embedding",
-        k = 16, seed = 42L)),
+        k = 16, seed = 42L)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("b", "x")))),
 
     // ---- embedding analytics: PCA top-component projection — one
     // fixed-point covariance shuffle (d^2 partial sums per partition),
@@ -2098,7 +2101,10 @@ object SparkEntry {
       val w = Window.partitionBy("user_id").orderBy(col("n_seen").desc)
       s.read.parquet(out)
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("user_id"), col("n_seen"), col("types"), col("counts"))
+        .select(col("user_id"), col("n_seen"),
+          explode(arrays_zip(col("types"), col("counts"))).as("z"))
+        .select(col("user_id"), col("n_seen"),
+          col("z.types").as("event_type"), col("z.counts").as("cnt"))
     }),
 
     // ---- streaming: latest-3 events per user on ListState (the
@@ -2123,7 +2129,11 @@ object SparkEntry {
       val w = Window.partitionBy("user_id").orderBy(col("n_seen").desc)
       s.read.parquet(out)
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("user_id"), col("n_seen"), col("ids"), col("cents"))
+        .select(col("user_id"), col("n_seen"),
+          posexplode(arrays_zip(col("ids"), col("cents"))).as(Seq("pos", "z")))
+        .select(col("user_id"), col("n_seen"),
+          (col("pos") + 1).cast("int").as("rank"),
+          col("z.ids").as("id"), col("z.cents").as("cents"))
     }),
 
     // ---- streaming: per-user running totals on transformWithState
@@ -2427,6 +2437,18 @@ object SparkEntry {
     // triangle = three docs pairwise sharing passages)
     "q_triangles" -> ((s, dir) =>
       graft.operators.Triangles.triangles(
+        graft.dedup.Winnow.candidatePairs(
+          graft.dedup.Winnow.fingerprints(
+            s.read.parquet(t(dir, "documents")), "doc_id", "text", k = 4, w = 4),
+          minShared = 2),
+        "id_a", "id_b")),
+
+    // ---- the same triangles via DEGREE orientation — the hub-skew
+    // hardening (oriented out-degree bounded by ~sqrt(m), so a hub id
+    // ordered low can't fan out quadratic wedges); output-identical to
+    // q_triangles, so the identical oracle gates it
+    "q_triangles_degree" -> ((s, dir) =>
+      graft.operators.Triangles.trianglesDegreeOriented(
         graft.dedup.Winnow.candidatePairs(
           graft.dedup.Winnow.fingerprints(
             s.read.parquet(t(dir, "documents")), "doc_id", "text", k = 4, w = 4),
@@ -4775,7 +4797,7 @@ object SparkEntry {
          |  FROM d
          |), c AS (
          |  SELECT doc_id, n_tokens, qscore,
-         |    sum(n_tokens) OVER (ORDER BY qscore DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         |    CAST(sum(n_tokens) OVER (ORDER BY qscore DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
          |  FROM q
          |)
          |SELECT doc_id, n_tokens, qscore, cum_tokens FROM c
@@ -5370,8 +5392,8 @@ object SparkEntry {
         |  SELECT event_type, bin, count(*) AS cnt FROM b GROUP BY 1, 2
         |), cum AS (
         |  SELECT event_type, bin,
-        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
-        |    sum(cnt) OVER (PARTITION BY event_type) AS n
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
         |  FROM c
         |), qs AS (
         |  SELECT * FROM (VALUES ('p50', 1, 2), ('p90', 9, 10),
@@ -6266,8 +6288,8 @@ object SparkEntry {
         |)
         |SELECT tl.query_id,
         |  hc.n_head,
-        |  sum(CASE WHEN keep THEN 0 ELSE 1 END) AS n_pruned,
-        |  sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_scored
+        |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_pruned,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_scored
         |FROM tl JOIN hc ON hc.query_id = tl.query_id
         |GROUP BY 1, 2""".stripMargin,
     "q_pca_project" -> pcaProjectOracle,
@@ -6287,7 +6309,7 @@ object SparkEntry {
         |    list_sum(list_transform(range(1, 65), i -> w[i] * e[i])) * sqrt(3.0 / 16) AS x
         |  FROM v CROSS JOIN planes
         |)
-        |SELECT vec_id, list(x ORDER BY b) AS proj FROM p GROUP BY vec_id""".stripMargin,
+        |SELECT vec_id, CAST(b AS INTEGER) AS b, x FROM p""".stripMargin,
     "q_ann_matryoshka" ->
       // two-stage replay: coarse cosine over dims 1..16 (same
       // left-to-right list_sum as the engine's sliced fold), top-50
@@ -6600,6 +6622,17 @@ object SparkEntry {
           |  FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
           |)
           |SELECT a, b, c FROM w JOIN e e3 ON w.b = e3.u AND w.c = e3.v""".stripMargin),
+    // degree-oriented enumeration emits the exact same triangle set
+    // (each once, a < b < c), so the id-oriented replay gates it too
+    "q_triangles_degree" ->
+      (s"""WITH wp AS (
+          |$winnowPairsSql
+          |), e AS (SELECT DISTINCT id_a AS u, id_b AS v FROM wp
+          |), w AS (
+          |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+          |  FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+          |)
+          |SELECT a, b, c FROM w JOIN e e3 ON w.b = e3.u AND w.c = e3.v""".stripMargin),
     // clustering coefficient: same wedge enumeration, then per-node
     // triangle and degree counts; one integer/integer IEEE division
     "q_clustering_coeff" ->
@@ -6887,25 +6920,30 @@ object SparkEntry {
     "stream_dedup" ->
       "SELECT DISTINCT sha256(text) AS checksum FROM documents",
     "stream_type_counts" ->
-      // the final MapState per user == the plain batch pivot, emitted
-      // as type-sorted parallel arrays
+      // the final MapState per user == the plain batch pivot; one
+      // scalar row per (user, type) — arrays can't be driver-hashed
       """WITH c AS (
         |  SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1, 2
+        |), n AS (
+        |  SELECT user_id, CAST(sum(cnt) AS BIGINT) AS n_seen FROM c GROUP BY 1
         |)
-        |SELECT user_id, CAST(sum(cnt) AS BIGINT) AS n_seen,
-        |  list(event_type ORDER BY event_type) AS types,
-        |  list(cnt ORDER BY event_type) AS counts
-        |FROM c GROUP BY 1""".stripMargin,
+        |SELECT c.user_id, n.n_seen, c.event_type, c.cnt
+        |FROM c JOIN n ON n.user_id = c.user_id""".stripMargin,
     "stream_latest_k" ->
       // the final ListState content per user == the 3 largest event_ids
-      // (and their cents) — plain batch top-k by a total order
+      // (and their cents) — plain batch top-k by a total order; one
+      // scalar row per kept event — arrays can't be driver-hashed
       """WITH ev AS (
         |  SELECT user_id, event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events
+        |), r AS (
+        |  SELECT user_id, event_id, cents,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rank,
+        |    count(*) OVER (PARTITION BY user_id) AS n_seen
+        |  FROM ev
         |)
-        |SELECT user_id, count(*) AS n_seen,
-        |  (list(event_id ORDER BY event_id DESC))[1:3] AS ids,
-        |  (list(cents ORDER BY event_id DESC))[1:3] AS cents
-        |FROM ev GROUP BY 1""".stripMargin,
+        |SELECT user_id, CAST(n_seen AS BIGINT) AS n_seen,
+        |  CAST(rank AS INTEGER) AS rank, event_id AS id, cents
+        |FROM r WHERE rank <= 3""".stripMargin,
     "stream_running" ->
       // running totals drained via transformWithState reduce to the
       // plain batch aggregate (max of a strictly increasing per-user
@@ -7184,7 +7222,7 @@ object SparkEntry {
     // engines (Spark `div` == DuckDB `//`), ceil via (+t-1) div t
     "q_skew_profile" ->
       """WITH c AS (SELECT user_id AS key, count(*) AS cnt FROM events GROUP BY 1),
-        |t AS (SELECT sum(cnt) AS total FROM c)
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
         |SELECT key, cnt, cnt * 1000000 // total AS share_ppm,
         |  (cnt + 49) // 50 AS salt_factor, cnt > 50 AS is_skewed
         |FROM c, t""".stripMargin,
@@ -7304,7 +7342,7 @@ object SparkEntry {
         |  FROM events
         |)
         |SELECT user_id, event_id,
-        |  sum(cents) OVER w AS roll_sum_cents,
+        |  CAST(sum(cents) OVER w AS BIGINT) AS roll_sum_cents,
         |  count(*) OVER w AS roll_n,
         |  CAST(sum(cents) OVER w AS DOUBLE) / (count(*) OVER w) AS roll_mean
         |FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id

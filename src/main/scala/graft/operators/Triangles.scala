@@ -12,11 +12,10 @@ import org.apache.spark.sql.functions._
   * sharing their low endpoint into wedges (a < b < c), close each
   * wedge with one more equi-join — two shuffles, no cartesian, output
   * each triangle exactly once as (a, b, c). Wedge fan-out is bounded
-  * by the max oriented out-degree; at web scale the standard
-  * hardening is DEGREE orientation (low-degree -> high-degree, which
-  * bounds oriented out-degree by ~sqrt(m)) — one extra degree join,
-  * same plan shape, noted here because id orientation is the form the
-  * relational oracle replays verbatim.
+  * by the max oriented out-degree; id orientation is the form the
+  * relational oracle replays verbatim, and [[trianglesDegreeOriented]]
+  * is the output-identical web-scale hardening (low-degree ->
+  * high-degree orientation bounds oriented out-degree by ~sqrt(m)).
   */
 object Triangles {
 
@@ -42,6 +41,57 @@ object Triangles {
     wedges
       .join(e.as("e3"), col("b") === col("e3.u") && col("c") === col("e3.v"))
       .select(col("a"), col("b"), col("c"))
+  }
+
+  /** Degree-oriented enumeration — the web-scale hardening named in the
+    * scaladoc above. Each edge is oriented from its lower-(degree, id)
+    * endpoint to the higher one, which bounds every node's oriented
+    * out-degree by O(sqrt(m)): a node with oriented out-degree d has d
+    * neighbors whose degree is >= its own (>= d), so d^2 <= 2m. Wedge
+    * fan-out on a hub-skewed graph therefore drops from C(deg_hub, 2)
+    * — quadratic in the hub — to C(O(sqrt(m)), 2) total. One extra
+    * degree join over the id-oriented plan, same two equi-join shape;
+    * the output is identical: each triangle exactly once as
+    * (a, b, c) with a < b < c.
+    */
+  def trianglesDegreeOriented(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val d = orientedByDegree(edges, srcCol, dstCol)
+    // wedge (x; y, z) with (dy, y) < (dz, z) in the same total order
+    // that oriented the edges — so the closing edge {y, z}, if present,
+    // is stored oriented y -> z and one equi-join finds it
+    val wedges = d.as("e1")
+      .join(d.as("e2"), col("e1.x") === col("e2.x") &&
+        (col("e1.dy") < col("e2.dy") ||
+          (col("e1.dy") === col("e2.dy") && col("e1.y") < col("e2.y"))))
+      .select(col("e1.x").as("w0"), col("e1.y").as("w1"), col("e2.y").as("w2"))
+    wedges
+      .join(d.as("e3"), col("w1") === col("e3.x") && col("w2") === col("e3.y"))
+      .select(array_sort(array(col("w0"), col("w1"), col("w2"))).as("t"))
+      .select(col("t").getItem(0).as("a"), col("t").getItem(1).as("b"),
+        col("t").getItem(2).as("c"))
+  }
+
+  /** (x, y, dy): each undirected edge once, oriented low -> high in the
+    * (degree, id) total order; dy carries the head's degree so the
+    * wedge join can order out-neighbors without another lookup.
+    * Package-visible so tests can assert the sqrt(m) out-degree bound.
+    */
+  private[graft] def orientedByDegree(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = oriented(edges, srcCol, dstCol)
+    val deg = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val ann = e
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    ann.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("x"),
+      when(uFirst, col("v")).otherwise(col("u")).as("y"),
+      when(uFirst, col("dv")).otherwise(col("du")).as("dy"))
   }
 
   /** Per-node local clustering coefficient — the "how clique-like is

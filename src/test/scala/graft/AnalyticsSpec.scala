@@ -236,6 +236,30 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 2L, 3L), (1L, 2L, 4L)))
   }
 
+  test("triangles: degree orientation — identical output, hub wedges bounded") {
+    import spark.implicits._
+    // hub-skewed fixture: star hub 0 -> 1..60 plus a K4 on {1,2,3,4}.
+    // Triangles: the K4's C(4,3)=4 plus (0,a,b) for each K4 edge = 10.
+    val star = (1L to 60L).map(i => (0L, i))
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val edges = (star ++ k4).toDF("id_a", "id_b")
+    val byId = graft.operators.Triangles.triangles(edges, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val byDeg = graft.operators.Triangles
+      .trianglesDegreeOriented(edges, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(byDeg == byId && byId.size == 10)
+    // the bound the hardening exists for: id orientation fans the hub
+    // (id 0, degree 60) into C(60,2) = 1770 wedges; degree orientation
+    // points every star edge AT the hub, so total wedge work collapses
+    // to the K4's interior (C(4,2)+C(3,2)+C(2,2-as-pairs) = 10)
+    val d = graft.operators.Triangles.orientedByDegree(edges, "id_a", "id_b")
+    val wedgeWork = d.groupBy(col("x")).agg(count(lit(1)).as("od"))
+      .select(sum(col("od") * (col("od") - 1) / 2).cast("long"))
+      .head().getLong(0)
+    assert(wedgeWork <= 10L, s"degree-oriented wedge work $wedgeWork")
+  }
+
   test("KMV overlap: empty slices give defined zeros, not NULLs") {
     import spark.implicits._
     val got = graft.operators.Kmv.overlapEstimate(

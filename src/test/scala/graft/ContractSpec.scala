@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{ArrayType, MapType}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Guards on the SparkEntry driver contract itself.
@@ -9,8 +11,40 @@ import org.scalatest.funsuite.AnyFunSuite
   * added for an already-oracled name) never fails compilation — the
   * engine and the oracle can silently resolve to DIFFERENT entries.
   * The source-scan test makes that a hard failure.
+  *
+  * The driver-compat test guards the OTHER harness contract: the graded
+  * compare loads both result sets into pandas and row-sorts them, which
+  * crashes on array/map cells (unhashable ndarray) — three round-4 rows
+  * (q_random_project, stream_latest_k, stream_type_counts) errored for
+  * exactly this. Its sibling defect class — DuckDB HUGEINT from an
+  * uncast sum() hashing as pandas float64 `20000.0` against Spark's
+  * `20000` — needs DuckDB+pandas to detect and is gated by
+  * tools/oracle_check.py's driver-compat lint (dtype-drift + sort
+  * checks), run per round over the full Verify output.
   */
 class ContractSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-contract-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("driver-compat: no query emits a top-level array/map column") {
+    val sf = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, f) =>
+        f(spark, sf).schema.fields.collect {
+          case fd if fd.dataType.isInstanceOf[ArrayType] ||
+            fd.dataType.isInstanceOf[MapType] =>
+            s"$name.${fd.name}: ${fd.dataType.simpleString}"
+        }
+    }
+    assert(offenders.isEmpty,
+      s"array/map outputs crash the driver's pandas row-sort: $offenders")
+  }
 
   test("every query has exactly one oracle and vice versa") {
     val q = SparkEntry.queries.keySet

@@ -68,6 +68,37 @@ for name in sorted(oracles):
     rows_ok = len(o_rows) == len(s_rows)
     schema_ok = sorted(o_cols) == sorted(s_cols)
     hash_ok = schema_ok and table_hash(o_cols, o_rows) == table_hash(s_cols, s_rows)
+    # Driver-compat lint: the graded harness compares PANDAS frames, not
+    # python tuples. Two divergences fetchall() tolerates but pandas
+    # doesn't (both bit us in round 4):
+    #  1. DuckDB HUGEINT (uncast sum) -> pandas float64 -> the driver
+    #     hashes '20000.0' against Spark's '20000'. Detect: one side's
+    #     dtype is floating, the other's is integer.
+    #  2. array-typed columns -> pandas object cells hold numpy arrays ->
+    #     the driver's sort_values crashes (unhashable ndarray). Detect:
+    #     run the same sort_values.
+    compat_errs = []
+    try:
+        o_pdf = con.execute(sql).df()
+        s_pdf = con.execute(f"SELECT * FROM '{spark_glob}'").df()
+        for c in sorted(set(o_cols) & set(s_cols)):
+            od, sd = o_pdf[c].dtype, s_pdf[c].dtype
+            import pandas.api.types as pt
+            if (pt.is_float_dtype(od) != pt.is_float_dtype(sd)) and (
+                pt.is_numeric_dtype(od) and pt.is_numeric_dtype(sd)
+            ):
+                compat_errs.append(f"dtype drift on '{c}': oracle {od} vs spark {sd}")
+        for side, pdf in (("oracle", o_pdf), ("spark", s_pdf)):
+            try:
+                pdf.sort_values(by=sorted(pdf.columns), kind="mergesort")
+            except Exception as e:
+                compat_errs.append(f"{side} frame unsortable by driver: {e}")
+    except Exception as e:
+        compat_errs.append(f"pandas conversion failed: {e}")
+    if compat_errs:
+        fails += 1
+        print(f"FAIL {name}: driver-compat: " + "; ".join(compat_errs))
+        continue
     if rows_ok and schema_ok and hash_ok:
         print(f"ok   {name}: rows={len(s_rows)}")
     else:
