@@ -159,7 +159,23 @@ object Bench {
     val spark = session(cpus)
     spark.sparkContext.setLogLevel("WARN")
 
-    val loadavgStart = loadavg1m()
+    // Load gate: ambient host load inflates every wall-clock number
+    // (round 4's artifact ran at loadavg 11 and read ~10% slow). Wait
+    // up to SPARK_GRAFT_LOAD_WAIT_SEC for the 1-minute loadavg to fall
+    // under ~cores/4; if it never does, the artifact self-flags as
+    // contaminated instead of silently publishing inflated timings.
+    val loadThreshold =
+      math.max(2.0, scala.util.Try(cpus.toDouble).getOrElse(8.0) / 4.0)
+    val loadDeadline = System.nanoTime() +
+      sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_SEC", "120").toLong * 1000000000L
+    var loadavgStart = loadavg1m()
+    while (loadavgStart > loadThreshold && System.nanoTime() < loadDeadline) {
+      System.err.println(
+        f"[bench] loadavg $loadavgStart%.2f > $loadThreshold%.2f — waiting for a quiet host")
+      Thread.sleep(10000)
+      loadavgStart = loadavg1m()
+    }
+    val contaminated = loadavgStart > loadThreshold
     val cpuListener = new CpuListener
     spark.sparkContext.addSparkListener(cpuListener)
     val cpuAtStart = cpuListener.settledCpuNs()
@@ -252,7 +268,7 @@ object Bench {
     val taskCpuSec = (cpuListener.settledCpuNs() - cpuAtStart) / 1e9
     val loadavgEnd = loadavg1m()
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"typed_cross_check_sec":$typedSec%.3f,"sf":"$sfDir","docs":$nDocs,"docs_per_sec":$docsPerSec%.1f,"cpus":"$cpus","trials":2,"query_errs":$qErrs,"failed_queries":${errs.size},"query_cpu_sec":$qCpu,"task_cpu_sec":$taskCpuSec%.1f,"loadavg_start":$loadavgStart%.2f,"loadavg_end":$loadavgEnd%.2f}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"typed_cross_check_sec":$typedSec%.3f,"sf":"$sfDir","docs":$nDocs,"docs_per_sec":$docsPerSec%.1f,"cpus":"$cpus","trials":2,"query_errs":$qErrs,"failed_queries":${errs.size},"query_cpu_sec":$qCpu,"task_cpu_sec":$taskCpuSec%.1f,"loadavg_start":$loadavgStart%.2f,"loadavg_end":$loadavgEnd%.2f,"contaminated":$contaminated}"""
     // also land the line in a file: sbt prefixes forked stdout with
     // "[info] ", which broke the driver's JSON parse in round 1
     val jsonPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON",

@@ -1122,6 +1122,19 @@ object SparkEntry {
         s.read.parquet(t(dir, "documents")), "doc_id", "text",
         n = 3, k = 64, bands = 16, threshold = 0.5)),
 
+    // ---- the same clustering through the shape-probed chooser
+    // (connectedComponentsAuto): a near-dup pair graph is dense blobs,
+    // so the probe must land on pointer jumping — and either choice is
+    // label-identical, which the shared recursive-CTE oracle gates
+    "q_dedup_cluster_auto" -> ((s, dir) => {
+      val (pairs, sigs) = Dedup.minhashNearDupsWithSigs(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text",
+        n = 3, k = 64, bands = 16, threshold = 0.5)
+      val (labels, _, _) = Dedup.connectedComponentsAuto(pairs)
+      sigs.unpersist(blocking = false)
+      labels.withColumn("keep", col("doc_id") === col("cluster_id"))
+    }),
+
     // ---- dedup ACTION: canonical-representative selection — per
     // near-dup cluster keep the best doc by (n_chars desc, doc_id asc)
     // rather than q_dedup_cluster's min-id convention (real pipelines
@@ -5832,6 +5845,21 @@ object SparkEntry {
       // recursive CTE computes min-reachable-id per node — an
       // independent formulation of what the Spark side derives by
       // pointer-jumping label propagation
+      s"""WITH RECURSIVE $minhashPairsCtes, pr AS (
+         |  SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5
+         |), e2 AS (
+         |  SELECT id_a AS u, id_b AS v FROM pr UNION SELECT id_b, id_a FROM pr
+         |), reach AS (
+         |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM e2)
+         |  UNION
+         |  SELECT e2.u, reach.r FROM e2 JOIN reach ON reach.u = e2.v
+         |)
+         |SELECT u AS doc_id, min(r) AS cluster_id, min(r) = u AS keep
+         |FROM reach GROUP BY u""".stripMargin,
+    // the chooser's output is label-identical to q_dedup_cluster by
+    // construction (both implementations are spec-asserted against
+    // union-find), so the identical recursive-CTE oracle gates it
+    "q_dedup_cluster_auto" ->
       s"""WITH RECURSIVE $minhashPairsCtes, pr AS (
          |  SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5
          |), e2 AS (

@@ -23,8 +23,13 @@ object Verify {
     // the extract_* queries run on, derived deterministically from
     // documents.parquet) so the extraction oracles can reconstruct the
     // expected output in pure SQL from the same rows. oracleSql entries
-    // reference it via the {OUT} placeholder substituted below.
-    if (only.isEmpty) locally {
+    // reference it via the {OUT} placeholder substituted below. With a
+    // query filter, dump whenever any SELECTED oracle references {OUT}
+    // — a filtered run on an extract_* query must not emit oracle SQL
+    // pointing at parquet that was never written.
+    val selectedOracles = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
+    if (only.isEmpty || selectedOracles.values.exists(_.contains("{OUT}"))) locally {
       import org.apache.spark.sql.functions.{col, explode}
       def dump(df: org.apache.spark.sql.DataFrame, name: String): Unit =
         df.select(col("doc_id"), explode(col("spans")).as("s"))
@@ -58,8 +63,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.forall(_.contains(k)) }
+    val json = selectedOracles
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("{OUT}", outDir))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

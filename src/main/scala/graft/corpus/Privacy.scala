@@ -30,12 +30,27 @@ import org.apache.spark.sql.functions._
   */
 object Privacy {
 
+  /** Left-join per-prefix aggregate rows back onto `cur` with NULL-SAFE
+    * key equality. groupBy already treats a NULL QI value as one real
+    * group, so the join-back must too — a null-unsafe key would let a
+    * NULL-QI row silently miss its own group's count and demote to the
+    * catch-all level, diverging from any oracle that groups NULLs
+    * (window PARTITION BY / USING both do).
+    */
+  private def joinBackNullSafe(cur: DataFrame, aggd: DataFrame,
+      key: Seq[String]): DataFrame = {
+    val renamed = key.foldLeft(aggd)((d, c) => d.withColumnRenamed(c, s"${c}__k"))
+    val cond = key.map(c => col(c) <=> col(s"${c}__k")).reduce(_ && _)
+    cur.join(renamed, cond, "left").drop(key.map(c => s"${c}__k"): _*)
+  }
+
   /** (idCol, level, <qi columns — NULL where generalized away>,
     * group_n) for every input row; `level` in [0, qiCols.length], the
     * number of trailing QI columns suppressed to reach a group of
-    * >= k rows. QI columns must be non-null (the per-level counts join
-    * back on them null-unsafely; map missing values to a sentinel
-    * upstream) — NULL in the output always means "generalized away".
+    * >= k rows. NULL QI values are first-class: they count and join
+    * back as one real group (null-safe keys end to end); in the output,
+    * `level` disambiguates a genuinely-NULL published value from one
+    * generalized away (column i is suppressed iff i >= arity - level).
     *
     * Honesty note on the guarantee: per-row finest-level generalization
     * gives the k-MAP property — every published QI combination matches
@@ -57,7 +72,7 @@ object Privacy {
       val key = qiCols.dropRight(lvl)
       val cnts = df.groupBy(key.map(col): _*)
         .agg(count(lit(1)).as(s"__cnt$lvl"))
-      cur = cur.join(cnts, key, "left")
+      cur = joinBackNullSafe(cur, cnts, key)
     }
     val total = df.agg(count(lit(1)).as(s"__cnt$nLevels"))
     cur = cur.crossJoin(broadcast(total))
@@ -109,7 +124,7 @@ object Privacy {
       val aggd = base.groupBy(key.map(col): _*)
         .agg(count(lit(1)).as(s"__cnt$lvl"),
           countDistinct(col("__sens")).as(s"__div$lvl"))
-      cur = cur.join(aggd, key, "left")
+      cur = joinBackNullSafe(cur, aggd, key)
     }
     val total = base.agg(count(lit(1)).as(s"__cnt$nLevels"),
       countDistinct(col("__sens")).as(s"__div$nLevels"))
@@ -176,9 +191,9 @@ object Privacy {
     var cur = base
     for (lvl <- 0 until nLevels) {
       val key = qiCols.dropRight(lvl)
-      cur = cur.join(
+      cur = joinBackNullSafe(cur,
         base.groupBy(key.map(col): _*).agg(count(lit(1)).as(s"__cnt$lvl")),
-        key, "left")
+        key)
     }
     cur = cur.crossJoin(
       broadcast(base.agg(count(lit(1)).as(s"__cnt$nLevels"))))

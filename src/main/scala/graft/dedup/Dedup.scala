@@ -453,6 +453,52 @@ object Dedup {
       idB: String = "id_b", maxIters: Int = 25): DataFrame =
     connectedComponentsJump(pairs, idA, idB, maxIters)._1
 
+  /** Shape-probed chooser between the two components implementations.
+    * One bounded probe pass (canonical-edge degree groupBy reduced to
+    * three scalars: node count, summed degree, max degree) classifies
+    * the graph:
+    *
+    *  - low mean degree (< 3) AND low max degree (<= 8) -> components
+    *    can be LONG CHAINS (path/citation/linked-page shapes: mean
+    *    degree ~2, no hubs) -> star rounds, which contract chain depth
+    *    twice per round and shuffle a shrinking frontier;
+    *  - anything else -> dense blobs (near-dup families, mean degree
+    *    high) or hub-centered stars (max degree high, diameter 2) —
+    *    both shallow -> pointer jumping, which wins on per-round job
+    *    count there (see [[connectedComponents]] scaladoc timings).
+    *
+    * The probe executes the upstream pair lineage once, so the input is
+    * persisted for its duration; the chosen implementation eagerly
+    * localCheckpoints its own base before returning, after which the
+    * probe cache is dropped. Returns (labels, rounds, choice) with
+    * choice in {"star", "jump"} so callers (and specs) can audit the
+    * decision.
+    */
+  def connectedComponentsAuto(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIters: Int = 25): (DataFrame, Int, String) = {
+    val p = pairs
+      .select(col(idA).cast("long").as(idA), col(idB).cast("long").as(idB))
+      .persist()
+    try {
+      val e = p.select(least(col(idA), col(idB)).as("u"),
+          greatest(col(idA), col(idB)).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      val deg = e.select(col("u").as("x"))
+        .union(e.select(col("v").as("x")))
+        .groupBy(col("x")).agg(count(lit(1)).as("d"))
+      val stats = deg.agg(count(lit(1)).as("n"), sum(col("d")).as("sd"),
+        max(col("d")).as("dmax")).head()
+      val n = stats.getLong(0)
+      val meanDeg = if (n == 0) 0.0 else stats.getLong(1).toDouble / n
+      val maxDeg = if (n == 0) 0L else stats.getLong(2)
+      val pickStar = n > 0 && meanDeg < 3.0 && maxDeg <= 8
+      val (labels, rounds) =
+        if (pickStar) connectedComponentsStar(p, idA, idB, maxIters)
+        else connectedComponentsJump(p, idA, idB, maxIters)
+      (labels, rounds, if (pickStar) "star" else "jump")
+    } finally p.unpersist(blocking = false)
+  }
+
   /** Alternating two-phase connected components (the large-star /
     * small-star construction of Kiveris et al., "Connected Components in
     * MapReduce and Beyond", SoCC 2014). Edges are kept canonical-downhill

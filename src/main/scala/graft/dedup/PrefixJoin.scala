@@ -51,9 +51,18 @@ object PrefixJoin {
       .withColumn("r", row_number().over(byRarity))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy("id")))
 
+    // ceil(t*sz) computed robustly: if the FP product lands one ulp
+    // ABOVE an exact integer (t*sz = m + eps), plain ceil returns m+1 —
+    // one token too few in the prefix, a hole in the completeness
+    // guarantee. Subtracting 1e-9 before ceil absorbs that ulp; it can
+    // only ever shrink the bound (longer prefix, looser length filter),
+    // which errs on the COMPLETE side, never drops a qualifying pair.
+    def ceilT(szCol: org.apache.spark.sql.Column) =
+      ceil(szCol * lit(threshold) - lit(1e-9))
+
     // prefix = first sz - ceil(t*sz) + 1 tokens (rarest-first)
     val pref = pos
-      .filter(col("r") <= col("sz") - ceil(col("sz") * lit(threshold)) + 1)
+      .filter(col("r") <= col("sz") - ceilT(col("sz")) + 1)
       .select(col("id"), col("shingle"), col("sz"))
 
     // candidates: prefix-token equi-join + in-join length filter
@@ -62,8 +71,8 @@ object PrefixJoin {
     val b = pref.as("b")
     val cand = a.join(b,
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id") &&
-        col("b.sz") >= ceil(col("a.sz") * lit(threshold)) &&
-        col("a.sz") >= ceil(col("b.sz") * lit(threshold)))
+        col("b.sz") >= ceilT(col("a.sz")) &&
+        col("a.sz") >= ceilT(col("b.sz")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
 

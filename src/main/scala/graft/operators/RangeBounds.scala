@@ -45,6 +45,12 @@ object RangeBounds {
     * hold at least `buckets` rows (positions collide below that and the
     * bound list comes up short — sizing the sample is the caller's
     * contract, as it is for RangePartitioner).
+    *
+    * `valueCol` must be an INTEGRAL type (byte/short/int/long): bounds
+    * and buckets are computed in long arithmetic, and silently casting a
+    * double/decimal column would truncate values and shift every bucket
+    * boundary. Enforced with a loud schema require; fractional callers
+    * should pre-scale to integers (e.g. cents) and own the rounding.
     */
   def boundsAndOccupancy(
       df: DataFrame,
@@ -54,6 +60,16 @@ object RangeBounds {
       sampleRate: Double,
       salt: String = "rangebounds"): DataFrame = {
     require(buckets > 1, s"buckets must be > 1, got $buckets")
+    val vType = df.schema(valueCol).dataType
+    require(
+      Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(vType),
+      s"valueCol '$valueCol' must be integral (byte/short/int/long), got " +
+        s"${vType.simpleString}: casting fractional values to long would " +
+        "silently truncate and shift bucket boundaries")
     val rows = df.select(col(tieCol).as("__tie"),
       col(valueCol).cast("long").as("__v"))
     val sample = Sampling.hashSample(rows, "__tie", sampleRate, salt)

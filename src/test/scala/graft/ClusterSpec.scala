@@ -71,6 +71,24 @@ class ClusterSpec extends AnyFunSuite {
     assert(Dedup.connectedComponents(pairsDf()).count() == 0)
   }
 
+  test("auto chooser: star on a long path, jump on a blob, labels exact") {
+    // long path (mean degree ~2, max degree 2, diameter 127) -> star
+    val path = (1L until 128L).map(i => (i, i + 1))
+    val (pLabels, _, pChoice) = Dedup.connectedComponentsAuto(pairsDf(path: _*))
+    assert(pChoice == "star", s"path graph chose $pChoice")
+    val pGot = pLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pGot == unionFind(path))
+    // dense blob (a 12-clique: mean degree 11) + a pendant -> jump
+    val clique = for {
+      a <- 1L to 12L; b <- 1L to 12L if a < b
+    } yield (a, b)
+    val blob = clique :+ (12L, 13L)
+    val (bLabels, _, bChoice) = Dedup.connectedComponentsAuto(pairsDf(blob: _*))
+    assert(bChoice == "jump", s"blob graph chose $bChoice")
+    val bGot = bLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bGot == unionFind(blob))
+  }
+
   test("checkpointOwned pins exactly its own blocks (foreign caches untouched)") {
     import spark.implicits._
     // the CC rounds unpersist by these ids; if Spark ever stops exposing

@@ -811,6 +811,35 @@ class OpsSpec extends AnyFunSuite {
       || r.getAs[Int]("level") == 3))
   }
 
+  test("k-anonymity: NULL quasi-identifier values form a real group") {
+    import spark.implicits._
+    // 12 rows share (NULL, x): groupBy counts NULL as one group, and the
+    // null-safe join-back must credit those rows with their own group's
+    // size — not silently demote them to the catch-all (the engine/oracle
+    // divergence a null-unsafe equi-join would create)
+    val rows: Seq[(Long, Option[String], String)] =
+      (1L to 12L).map(i => (i, None: Option[String], "x")) ++
+      (13L to 24L).map(i => (i, Some("en"), "y")) ++
+      Seq((25L, Some("zz"), "z"))
+    val df = rows.toDF("doc_id", "lang", "source")
+    val out = graft.corpus.Privacy
+      .kAnonymize(df, "doc_id", Seq("lang", "source"), k = 10)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (i <- 1L to 12L) {
+      val r = out(i)
+      assert(r.getAs[Int]("level") == 0 && r.getAs[Long]("group_n") == 12L,
+        s"NULL-QI row $i demoted: level=${r.getAs[Int]("level")}")
+      assert(r.isNullAt(r.fieldIndex("lang"))
+        && r.getAs[String]("source") == "x")
+    }
+    for (i <- 13L to 24L) {
+      val r = out(i)
+      assert(r.getAs[Int]("level") == 0 && r.getAs[Long]("group_n") == 12L)
+    }
+    assert(out(25L).getAs[Int]("level") == 2
+      && out(25L).getAs[Long]("group_n") == 25L)
+  }
+
   test("l-diversity: homogeneous group flagged, diverse group passes") {
     import spark.implicits._
     // (en, a, 0): 12 rows but ONE sensitive value -> k-anonymous yet
