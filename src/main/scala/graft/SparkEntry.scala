@@ -1877,6 +1877,25 @@ object SparkEntry {
         "doc_id", Seq("lang", "source", "len_bucket"), "sens",
         k = 20, tNum = 3, tDen = 10)),
 
+    // ---- corpus: ε-DP noisy counts — fourth rung of the privacy
+    // ladder (Laplace mechanism, sensitivity 1, ε = 0.5): seeded
+    // inverse-CDF noise from the portable hash, discretized to integer
+    // micro-units BEFORE the add, so the released values replay exactly
+    "q_dp_counts" -> ((s, dir) =>
+      graft.corpus.Privacy.dpNoisyCounts(
+        s.read.parquet(t(dir, "events"))
+          .withColumn("user_bucket", col("user_id") % 10),
+        Seq("event_type", "user_bucket"), eps = 0.5, salt = "dp5")),
+
+    // ---- the curator-side noise audit (NOT part of the release —
+    // noise + noisy count reconstructs the truth): signed noise, scale
+    // b, and the 3b utility check per group
+    "q_dp_audit" -> ((s, dir) =>
+      graft.corpus.Privacy.dpNoiseAudit(
+        s.read.parquet(t(dir, "events"))
+          .withColumn("user_bucket", col("user_id") % 10),
+        Seq("event_type", "user_bucket"), eps = 0.5, salt = "dp5")),
+
     // ---- operators: sampled range-partition bounds + realized bucket
     // occupancy — Spark's RangePartitioner primitive made first-class
     // and DETERMINISTIC (portable-hash sample, exact order statistics,
@@ -5144,6 +5163,46 @@ object SparkEntry {
         |  CAST(2 * CAST(nc AS HUGEINT) * n_g AS BIGINT) AS tvd_den,
         |  num * 10 <= 3 * 2 * CAST(nc AS HUGEINT) * n_g AS t_ok
         |FROM agg""".stripMargin,
+    // DP noisy counts: replay the seeded inverse-CDF Laplace draw —
+    // same two salted md5 hashes, same (h%1e6)/1e6 uniform, same
+    // -ln(1-f)*(1e6/eps) magnitude floored at +0.5, same parity sign,
+    // same integer micro-unit add
+    "q_dp_counts" ->
+      """WITH g AS (
+        |  SELECT event_type, user_id % 10 AS user_bucket, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), h AS (
+        |  SELECT event_type, user_bucket, cnt,
+        |    CAST('0x' || substr(md5('dp5:u' || concat_ws(chr(31), event_type, CAST(user_bucket AS VARCHAR))), 1, 15) AS BIGINT) AS hu,
+        |    CAST('0x' || substr(md5('dp5:s' || concat_ws(chr(31), event_type, CAST(user_bucket AS VARCHAR))), 1, 15) AS BIGINT) AS hs
+        |  FROM g
+        |), n AS (
+        |  SELECT event_type, user_bucket, cnt, hs,
+        |    CAST(floor(-ln(1.0 - (hu % 1000000) / 1000000.0) * (1000000.0 / 0.5) + 0.5) AS BIGINT) AS mag
+        |  FROM h
+        |)
+        |SELECT event_type, user_bucket,
+        |  CAST(cnt * 1000000 + CASE WHEN hs % 2 = 0 THEN mag ELSE -mag END AS BIGINT) AS noisy_cnt_micro
+        |FROM n""".stripMargin,
+    "q_dp_audit" ->
+      """WITH g AS (
+        |  SELECT event_type, user_id % 10 AS user_bucket, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), h AS (
+        |  SELECT event_type, user_bucket,
+        |    CAST('0x' || substr(md5('dp5:u' || concat_ws(chr(31), event_type, CAST(user_bucket AS VARCHAR))), 1, 15) AS BIGINT) AS hu,
+        |    CAST('0x' || substr(md5('dp5:s' || concat_ws(chr(31), event_type, CAST(user_bucket AS VARCHAR))), 1, 15) AS BIGINT) AS hs
+        |  FROM g
+        |), n AS (
+        |  SELECT event_type, user_bucket,
+        |    CASE WHEN hs % 2 = 0 THEN 1 ELSE -1 END *
+        |      CAST(floor(-ln(1.0 - (hu % 1000000) / 1000000.0) * (1000000.0 / 0.5) + 0.5) AS BIGINT) AS noise_micro
+        |  FROM h
+        |)
+        |SELECT event_type, user_bucket, CAST(noise_micro AS BIGINT) AS noise_micro,
+        |  CAST(2000000 AS BIGINT) AS b_micro,
+        |  abs(noise_micro) <= 6000000 AS within_3b
+        |FROM n""".stripMargin,
     // Range bounds: replay the portable-hash sample, rank it, pick the
     // floor(i*n/8) order statistics, assign every row by value-only
     // comparison against the bound list, count per bucket

@@ -152,6 +152,74 @@ object Privacy {
       .withColumn("l_ok", col("n_sensitive") >= l)
   }
 
+  /** ε-differentially-private noisy counts (Laplace mechanism,
+    * sensitivity 1, Dwork et al. 2006) — the fourth rung of the privacy
+    * ladder: k-anonymity/l-diversity/t-closeness bound what a published
+    * ROW reveals; DP bounds what a published AGGREGATE reveals, with the
+    * count query's classic calibration b = 1/ε.
+    *
+    * Noise is SEEDED: inverse-CDF Laplace draws from two independent
+    * portable 60-bit hashes of (salt, group key) — magnitude from
+    * f = (h_u mod 1e6)/1e6 ∈ [0,1) via X = (1/ε)·(−ln(1−f)), sign from
+    * h_s parity — discretized to integer micro-units BEFORE the add, so
+    * the release is order-immune 64-bit arithmetic and the DuckDB
+    * oracle replays every released value bit-for-bit. Determinism also
+    * means a rerun releases the SAME values (no silent ε-budget burn on
+    * retries) — and it means the salt IS the secret: an adversary who
+    * learns it can subtract the noise, so the salt must never ship with
+    * the release (the standard trade-off of seeded-noise deployments).
+    * Groups absent from the data are not released; if absence itself is
+    * sensitive, pad the group domain upstream before calling this.
+    *
+    * Scale posture: ONE map-side-combinable groupBy; the noise is a
+    * codegen'd expression over the aggregate's result rows (cardinality
+    * = |groups|, never |rows|); zero extra shuffles, nothing driver-side.
+    */
+  def dpNoisyCounts(df: DataFrame, groupCols: Seq[String], eps: Double,
+      salt: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(eps > 0, s"epsilon must be positive, got $eps")
+    val counted = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+    counted.select((groupCols.map(col) :+
+      (col("cnt") * lit(1000000L) +
+        dpNoiseMicro(groupCols, eps, salt)).as("noisy_cnt_micro")): _*)
+  }
+
+  /** Curator-side utility audit of [[dpNoisyCounts]]'s noise (NOT part
+    * of the release — publishing the noise next to the noisy count
+    * reconstructs the true count): per group, the signed micro-unit
+    * noise, the Laplace scale b in micro-units, and whether the draw
+    * landed within 3b (P ≈ 95% per group) — the readout a curator signs
+    * off on before shipping the release.
+    */
+  def dpNoiseAudit(df: DataFrame, groupCols: Seq[String], eps: Double,
+      salt: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(eps > 0, s"epsilon must be positive, got $eps")
+    val bMicro = math.round(1e6 / eps)
+    df.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("cnt"))
+      .select((groupCols.map(col) :+
+        dpNoiseMicro(groupCols, eps, salt).as("noise_micro")): _*)
+      .withColumn("b_micro", lit(bMicro))
+      .withColumn("within_3b", abs(col("noise_micro")) <= lit(3L * bMicro))
+  }
+
+  /** Signed seeded Laplace draw in integer micro-units for the given
+    * group key (see [[dpNoisyCounts]] for the construction).
+    */
+  private def dpNoiseMicro(groupCols: Seq[String], eps: Double,
+      salt: String): Column = {
+    // unit-separator-joined key: without a separator ("ab","c") and
+    // ("a","bc") would collide and share their noise draw
+    val key = concat_ws("\u001f", groupCols.map(c => col(c).cast("string")): _*)
+    val hu = graft.PortableHash.salted60(key, s"$salt:u")
+    val hs = graft.PortableHash.salted60(key, s"$salt:s")
+    val f = (hu % lit(1000000L)).cast("double") / lit(1000000.0)
+    val mag = floor(-log(lit(1.0) - f) * lit(1e6 / eps) + lit(0.5)).cast("long")
+    when(hs % 2 === 0, mag).otherwise(-mag)
+  }
+
   /** t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
     * rung of the privacy ladder: l-diversity counts distinct sensitive
     * values but a group can hold l distinct values in wildly skewed

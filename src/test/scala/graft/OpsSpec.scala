@@ -840,6 +840,40 @@ class OpsSpec extends AnyFunSuite {
       && out(25L).getAs[Long]("group_n") == 25L)
   }
 
+  test("DP noisy counts: deterministic, Laplace-calibrated, release-consistent") {
+    import spark.implicits._
+    // 200 single-row groups: enough independent draws to check the
+    // noise CALIBRATION (mean |X| -> b = 1/eps), not just determinism
+    val df = (1L to 200L).map(g => (g, "x")).toDF("grp", "payload")
+    val rel1 = graft.corpus.Privacy
+      .dpNoisyCounts(df, Seq("grp"), eps = 0.5, salt = "t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rel2 = graft.corpus.Privacy
+      .dpNoisyCounts(df, Seq("grp"), eps = 0.5, salt = "t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rel1 == rel2, "seeded noise must be rerun-stable")
+    val audit = graft.corpus.Privacy
+      .dpNoiseAudit(df, Seq("grp"), eps = 0.5, salt = "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    // release == true count (1 per group, in micro-units) + audited noise
+    for ((g, noise, b, _) <- audit) {
+      assert(b == 2000000L)
+      assert(rel1(g) == 1000000L + noise, s"group $g inconsistent")
+    }
+    // calibration: for Laplace(b), E|X| = b; 200 draws put the sample
+    // mean well inside [0.6b, 1.5b], and ~95% inside 3b
+    val meanAbs = audit.map(_._2.abs.toDouble).sum / audit.length
+    assert(meanAbs > 0.6 * 2e6 && meanAbs < 1.5 * 2e6, s"mean |noise| $meanAbs")
+    val within = audit.count(_._4)
+    assert(within >= (audit.length * 0.85).toInt, s"only $within within 3b")
+    // different salt => different noise (the salt IS the secret)
+    val rel3 = graft.corpus.Privacy
+      .dpNoisyCounts(df, Seq("grp"), eps = 0.5, salt = "u")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rel3 != rel1)
+  }
+
   test("l-diversity: homogeneous group flagged, diverse group passes") {
     import spark.implicits._
     // (en, a, 0): 12 rows but ONE sensitive value -> k-anonymous yet
