@@ -4,6 +4,17 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** True when the dump must write the span-input fixture parquet: the
+    * run is unfiltered, or some SELECTED oracle references the {OUT}
+    * placeholder — a filtered run on an extract_* query must never emit
+    * oracle SQL pointing at parquet that was not written.
+    */
+  private[graft] def needsFixtureDump(only: Option[Set[String]]): Boolean =
+    only.isEmpty || SparkEntry.oracleSql.exists { case (k, sql) =>
+      only.forall(_.contains(k)) && sql.contains("{OUT}")
+    }
+
   def main(args: Array[String]): Unit = {
     // optional 3rd arg: comma-separated query-name filter for fast local
     // iteration (the driver always passes exactly two args = full dump)
@@ -29,7 +40,7 @@ object Verify {
     // pointing at parquet that was never written.
     val selectedOracles = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
-    if (only.isEmpty || selectedOracles.values.exists(_.contains("{OUT}"))) locally {
+    if (needsFixtureDump(only)) locally {
       import org.apache.spark.sql.functions.{col, explode}
       def dump(df: org.apache.spark.sql.DataFrame, name: String): Unit =
         df.select(col("doc_id"), explode(col("spans")).as("s"))

@@ -46,6 +46,16 @@ class ContractSpec extends AnyFunSuite {
       s"array/map outputs crash the driver's pandas row-sort: $offenders")
   }
 
+  test("filtered Verify dumps span fixtures exactly when a selected oracle needs them") {
+    // unfiltered: always dump
+    assert(Verify.needsFixtureDump(None))
+    // extract oracles reconstruct from the dumped {OUT}/spans_* tables
+    assert(Verify.needsFixtureDump(Some(Set("extract_e1_spans"))))
+    assert(Verify.needsFixtureDump(Some(Set("q_sha2", "extract_e2_adv"))))
+    // pure-table oracles must not trigger the (expensive) fixture dump
+    assert(!Verify.needsFixtureDump(Some(Set("q_sha2", "q_filter_word"))))
+  }
+
   test("every query has exactly one oracle and vice versa") {
     val q = SparkEntry.queries.keySet
     // the two span-input identity oracles are oracle-only by design:

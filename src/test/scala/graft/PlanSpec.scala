@@ -409,4 +409,12 @@ class PlanSpec extends AnyFunSuite {
       rm(new java.io.File(dir))
     }
   }
+  test("degree-oriented triangles: equi-joins only, no cartesian or NLJ") {
+    val p = plan("q_triangles_degree")
+    // the hardening's whole point is that hub skew can't force a
+    // quadratic join: every join in the plan must stay an equi-join
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      p.take(2000))
+  }
+
 }
