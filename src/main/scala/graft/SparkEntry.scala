@@ -1492,7 +1492,7 @@ object SparkEntry {
 
     // ---- multimodal: binary round-trip — REAL ImageIO decode for
     // png/jpg payloads (dims from the decoder, format from the magic),
-    // stub-container parse for mp4
+    // real ISO BMFF box walk for mp4 (tkhd dims, stts frame count)
     "q_media_meta" -> ((s, dir) =>
       Media.decode(Media.synthesize(s, dir))
         .select(col("doc_id"), col("width"), col("height"),
@@ -1619,8 +1619,8 @@ object SparkEntry {
     }),
 
     // ---- multimodal: resize — real ImageIO scaled re-encode for
-    // images, header rewrite for the stub video container — verified by
-    // re-decoding the resized BYTES (dims must come from the payload)
+    // images, container re-encode with the target track dims for mp4 —
+    // verified by re-decoding the resized BYTES (dims from the payload)
     "q_media_resize" -> ((s, dir) =>
       Media.decode(Media.resize(Media.synthesize(s, dir), 128, 96))
         .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
@@ -1628,8 +1628,8 @@ object SparkEntry {
 
     // ---- multimodal: frame sampling (every 3rd frame as its own blob).
     // Video only: a still image is its single frame, and real image
-    // payload sizes are codec-dependent — only the stub container's
-    // byte-size contract is SQL-expressible for the oracle
+    // payload sizes are codec-dependent — only the mp4 container's
+    // fixed box-structure + payload byte contract is SQL-expressible
     "q_media_frames" -> ((s, dir) =>
       Media.frameSample(
           Media.synthesize(s, dir).filter(col("format") === "mp4"), stride = 3)
@@ -4651,23 +4651,25 @@ object SparkEntry {
          |  % 1000000 < 500000""".stripMargin
     },
     // resize contract: the re-decoded RESIZED BYTES must report the
-    // target dims (real ImageIO round-trip for images, stub container
-    // for mp4); frames/format are functions of doc_id
+    // target dims (real ImageIO round-trip for images, ISO BMFF
+    // container re-encode for mp4); frames/format are functions of doc_id
     "q_media_resize" ->
       """SELECT doc_id, 128 AS width, 96 AS height,
         |  CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 10 ELSE 1 END AS INTEGER) AS n_frames,
         |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'mp4' END AS format,
         |  true AS decode_ok
         |FROM documents""".stripMargin,
-    // video docs only (doc_id % 3 = 2): stub-container frames with the
-    // deterministic byte-size contract
+    // video docs only (doc_id % 3 = 2): each frame is a single-sample
+    // ISO BMFF container, so n_bytes = the fixed box-structure cost
+    // (ftyp 24 + moov 329 + mdat header 8 = 361, Mp4.HeaderBytes) plus
+    // the deterministic mdat payload contract
     "q_media_frames" ->
       """WITH f AS (
         |  SELECT doc_id, unnest(range(0, 1 + doc_id % 10, 3)) AS frame_idx
         |  FROM documents WHERE doc_id % 3 = 2
         |)
         |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
-        |  CAST(17 + least(1024,
+        |  CAST(361 + least(1024,
         |    ((64 + (doc_id % 7) * 32) * (48 + (doc_id % 5) * 32)) // 64) AS INTEGER) AS n_bytes
         |FROM f""".stripMargin,
     "q_sample_hash" ->

@@ -5,8 +5,6 @@ import org.apache.spark.sql.functions._
 
 import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
-import java.nio.ByteBuffer
-import java.security.MessageDigest
 import javax.imageio.ImageIO
 
 /** Multimodal columns: image/audio/video as opaque `binary` with typed
@@ -19,11 +17,13 @@ import javax.imageio.ImageIO
   * actual image bytes and the format is sniffed from the payload's
   * magic, never trusted from metadata.
   *
-  * Video (mp4) stays a clearly-marked deterministic STUB container (no
-  * video codec exists in this container): a 17-byte GIMG header + a
-  * sha256-derived payload whose size tracks w*h. Swapping in a real
-  * demuxer changes only the GIMG branch of `decodeBytes` and the video
-  * branches of `resize`/`frameSample`.
+  * Video (mp4) is a REAL ISO BMFF container ([[Mp4]]): genuine
+  * ftyp/moov box grammar, with width/height parsed from tkhd's 16.16
+  * fixed-point fields and the frame count from the stts sample table —
+  * a standards box walk, not a private header. Only the SAMPLE DATA
+  * inside mdat stays a deterministic sha256-derived stub (no video
+  * codec exists in this container image); a real decoder would change
+  * only the mdat interpretation in `frameSample`, not the demux layer.
   */
 object Media {
 
@@ -38,21 +38,12 @@ object Media {
 
   final case class FrameSample(doc_id: Long, frame_idx: Int, content: Array[Byte])
 
-  val Magic: Array[Byte] = "GIMG".getBytes("US-ASCII")
-
-  /** STUB video container: 17-byte header (magic, w, h, frames, format
-    * byte) + sha256(doc_id)-derived bytes, size = min(1024, w*h/64).
+  /** Real ISO BMFF container around a stub mdat payload — see [[Mp4]].
+    * Blob size keeps the SQL-expressible contract
+    * `Mp4.HeaderBytes + min(1024, w*h/64)`.
     */
-  def encodeBytes(docId: Long, w: Int, h: Int, frames: Int, fmt: Byte): Array[Byte] = {
-    val payloadLen = math.min(1024, (w * h) / 64)
-    val buf = ByteBuffer.allocate(17 + payloadLen)
-    buf.put(Magic).putInt(w).putInt(h).putInt(frames).put(fmt)
-    val digest = MessageDigest.getInstance("SHA-256")
-      .digest(docId.toString.getBytes("US-ASCII"))
-    var i = 0
-    while (i < payloadLen) { buf.put(digest(i % digest.length)); i += 1 }
-    buf.array()
-  }
+  def encodeBytes(docId: Long, w: Int, h: Int, frames: Int): Array[Byte] =
+    Mp4.encode(docId, w, h, frames)
 
   /** Deterministic REAL image: every pixel is a pure function of
     * (doc_id, x, y), encoded via ImageIO as actual PNG or JPEG bytes.
@@ -89,22 +80,14 @@ object Media {
   def formatOf(id: Long): String = (id % 3) match {
     case 0 => "png"; case 1 => "jpg"; case _ => "mp4"
   }
-  private def formatByte(fmt: String): Byte = fmt match {
-    case "png" => 0; case "jpg" => 1; case _ => 2
-  }
-  private def formatName(b: Byte): String = b match {
-    case 0 => "png"; case 1 => "jpg"; case _ => "mp4"
-  }
-
-  /** Payload format from the bytes themselves: PNG/JPEG magic numbers. */
+  /** Payload format from the bytes themselves: PNG/JPEG magic numbers,
+    * ISO BMFF ftyp for mp4.
+    */
   def sniffFormat(b: Array[Byte]): String =
     if (b.length >= 8 && (b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') "png"
     else if (b.length >= 3 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8 && (b(2) & 0xFF) == 0xFF) "jpg"
+    else if (Mp4.isMp4(b)) "mp4"
     else "unknown"
-
-  private def isStubContainer(b: Array[Byte]): Boolean =
-    b.length >= 17 && b(0) == Magic(0) && b(1) == Magic(1) &&
-      b(2) == Magic(2) && b(3) == Magic(3)
 
   /** One synthetic media blob per documents row: real PNG/JPEG bytes for
     * image docs (one frame — a still image IS its single frame), the
@@ -124,7 +107,7 @@ object Media {
         if (fmt == "mp4") {
           val f = framesOf(id)
           MediaBlob(id, s"media://$id/0", fmt, w, h, f,
-            encodeBytes(id, w, h, f, formatByte(fmt)))
+            encodeBytes(id, w, h, f))
         } else
           MediaBlob(id, s"media://$id/0", fmt, w, h, 1, encodeImage(id, w, h, fmt))
       }
@@ -132,15 +115,16 @@ object Media {
 
   /** (width, height, n_frames, format, decode_ok) from the payload
     * BYTES alone: a real ImageIO decode for image payloads (dimensions
-    * from the decoder, format from the magic), a header parse for the
-    * stub video container.
+    * from the decoder, format from the magic), a real ISO BMFF box walk
+    * for mp4 (tkhd dims, stts frame count); both fail closed.
     */
   def decodeBytes(content: Array[Byte]): (Int, Int, Int, String, Boolean) = {
     if (content == null || content.length < 8) (-1, -1, -1, "invalid", false)
-    else if (isStubContainer(content)) {
-      val buf = ByteBuffer.wrap(content, 4, 13)
-      val w = buf.getInt; val h = buf.getInt; val f = buf.getInt
-      (w, h, f, formatName(buf.get()), true)
+    else if (Mp4.isMp4(content)) {
+      Mp4.parse(content) match {
+        case Some((w, h, f)) => (w, h, f, "mp4", true)
+        case None => (-1, -1, -1, "invalid", false)
+      }
     } else {
       // fail closed on malformed payloads: ImageIO returns null for
       // unrecognized bytes but THROWS on truncated/corrupt headers, and
@@ -163,24 +147,28 @@ object Media {
   }
 
   /** Resize: a REAL scaled re-encode for images (ImageIO decode ->
-    * Graphics2D scale -> re-encode in the same format); a header rewrite
-    * that keeps the payload-size contract for the stub video container.
+    * Graphics2D scale -> re-encode in the same format); for mp4 a
+    * re-encode of the container with the target track dimensions (the
+    * stts sample table carries over — resizing does not change the
+    * frame count).
     */
   def resize(blobs: Dataset[MediaBlob], targetW: Int, targetH: Int): Dataset[MediaBlob] = {
     import blobs.sparkSession.implicits._
     blobs.map { b =>
-      if (isStubContainer(b.content)) {
+      if (Mp4.isMp4(b.content)) {
         // bytes-only posture, same as decodeBytes: the branch keys on
-        // the payload magic and the frame count / format byte come from
-        // the container header — a blob MISLABELED mp4 keeps its real
-        // image payload (next branch) instead of being silently
-        // replaced by a synthesized stub that then re-decodes "valid"
-        val hdr = ByteBuffer.wrap(b.content, 4, 13)
-        hdr.getInt; hdr.getInt
-        val frames = hdr.getInt
-        val fmtByte = hdr.get()
-        MediaBlob(b.doc_id, b.media_ref, b.format, targetW, targetH, frames,
-          encodeBytes(b.doc_id, targetW, targetH, frames, fmtByte))
+        // the payload magic and the frame count comes from the parsed
+        // container — a blob MISLABELED mp4 keeps its real image
+        // payload (next branch) instead of being silently replaced by
+        // a synthesized container that then re-decodes "valid"; an
+        // mp4-magic blob whose box tree fails to parse passes through
+        // unchanged so its re-decode surfaces the corruption
+        Mp4.parse(b.content) match {
+          case Some((_, _, frames)) =>
+            MediaBlob(b.doc_id, b.media_ref, b.format, targetW, targetH,
+              frames, encodeBytes(b.doc_id, targetW, targetH, frames))
+          case None => b
+        }
       } else {
         // same fail-closed posture as decodeBytes: a corrupt payload
         // passes through unchanged (its re-decode then reports the
@@ -205,28 +193,28 @@ object Media {
   }
 
   /** Every `stride`-th frame as its own blob. A still image is its own
-    * single frame (the original payload passes through); video frames
-    * come from the stub synthesis — a real demuxer would replace only
-    * that branch.
+    * single frame (the original payload passes through); each sampled
+    * video frame is emitted as a single-sample mp4 container (real box
+    * structure, stub sample bytes — a real codec would replace only the
+    * mdat interpretation here).
     */
   def frameSample(blobs: Dataset[MediaBlob], stride: Int): Dataset[FrameSample] = {
     import blobs.sparkSession.implicits._
     blobs.flatMap { b =>
       // branch on the payload magic (bytes-only posture, as in resize /
       // decodeBytes): real image bytes pass through even when the
-      // metadata row mislabels them as video — and the synthesized
-      // frames take dims + format byte from the container HEADER, not
-      // the metadata row, so a mislabeled row cannot re-stamp stub
-      // content with a bogus format
-      if (isStubContainer(b.content)) {
-        val hdr = ByteBuffer.wrap(b.content, 4, 13)
-        val w = hdr.getInt
-        val h = hdr.getInt
-        val frames = hdr.getInt
-        val fmtByte = hdr.get()
-        (0 until frames by stride).map { fi =>
-          FrameSample(b.doc_id, fi,
-            encodeBytes(b.doc_id * 131L + fi, w, h, 1, fmtByte))
+      // metadata row mislabels them as video — and the frame containers
+      // take dims + frame count from the PARSED container, not the
+      // metadata row, so a mislabeled row cannot re-stamp content with
+      // bogus geometry; unparseable mp4-magic blobs yield no frames
+      if (Mp4.isMp4(b.content)) {
+        Mp4.parse(b.content) match {
+          case Some((w, h, frames)) =>
+            (0 until frames by stride).map { fi =>
+              FrameSample(b.doc_id, fi,
+                encodeBytes(b.doc_id * 131L + fi, w, h, 1))
+            }
+          case None => Seq.empty[FrameSample]
         }
       } else Seq(FrameSample(b.doc_id, 0, b.content))
     }

@@ -524,9 +524,34 @@ class OpsSpec extends AnyFunSuite {
     val r7 = decoded.find(_.getAs[Long]("doc_id") == 7L).get
     assert(r7.getAs[Int]("width") == 64 && r7.getAs[Int]("height") == 112)
     assert(r7.getAs[Int]("n_frames") == 1 && r7.getAs[String]("format") == "jpg")
-    // doc 5: mp4 stub container keeps its frame count
+    // doc 5: mp4 container — frame count parsed from its stts box
     val r5 = decoded.find(_.getAs[Long]("doc_id") == 5L).get
     assert(r5.getAs[Int]("n_frames") == 6 && r5.getAs[String]("format") == "mp4")
+  }
+
+  test("media: mp4 payloads are real ISO BMFF — box walk, not offset peeking") {
+    import graft.media.Mp4
+    val b = Mp4.encode(42L, 320, 240, 7)
+    // total size honors the SQL-expressible contract
+    assert(b.length == Mp4.HeaderBytes + math.min(1024, 320 * 240 / 64))
+    // leading ftyp with isom brand — what any demuxer checks first
+    assert(new String(b, 4, 4, "US-ASCII") == "ftyp")
+    assert(new String(b, 8, 4, "US-ASCII") == "isom")
+    assert(Media.sniffFormat(b) == "mp4")
+    // parse recovers dims (tkhd 16.16 fixed) and frames (stts samples)
+    assert(Mp4.parse(b).contains((320, 240, 7)))
+    assert(Media.decodeBytes(b) == ((320, 240, 7, "mp4", true)))
+    // fail closed: truncation and a misdeclared box size both reject
+    assert(Mp4.parse(b.take(100)).isEmpty)
+    val corrupt = b.clone()
+    corrupt(24) = 0x7F.toByte // moov size declared far beyond the buffer
+    assert(Mp4.parse(corrupt).isEmpty)
+    assert(Media.decodeBytes(corrupt)._5 == false)
+    // resize re-encodes the container with target track dims, same stts
+    import spark.implicits._
+    val blob = Media.MediaBlob(42L, "media://42/0", "mp4", 320, 240, 7, b)
+    val rz = Media.resize(spark.createDataset(Seq(blob)), 64, 48).collect().head
+    assert(Mp4.parse(rz.content).contains((64, 48, 7)))
   }
 
   test("media: image payloads are genuine PNG/JPEG, format sniffed from magic") {
