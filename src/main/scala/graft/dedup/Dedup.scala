@@ -318,7 +318,12 @@ object Dedup {
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
           when(x === y, 1).otherwise(0)), _ === 1)).cast("long"))
       .select(col("id_a"), col("id_b"), col("n_match"))
+    // the shingle frame feeds three readers (per-doc counts + both
+    // sides of the exact-intersection join); persist it so the
+    // tokenize+shingle explode runs once per action instead of three
+    // times — same bounded-cache posture as the signature frame above
     val sh = shingles(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val common = pairs.select(col("id_a"), col("id_b"))
       .join(sh.select(col("id").as("id_a"), col("shingle")), "id_a")
@@ -341,6 +346,7 @@ object Dedup {
         (col("est_jaccard") - exact).as("err"))
     val (cp, _) = checkpointOwned(out)
     sigs.unpersist(blocking = false)
+    sh.unpersist(blocking = false)
     cp
   }
 

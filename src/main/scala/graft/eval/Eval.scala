@@ -75,8 +75,15 @@ object Eval {
     * oracle replays verbatim. Output is a single row.
     */
   def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val cm = df.groupBy(col(aCol).as("ra"), col(bCol).as("rb"))
-      .agg(count(lit(1)).as("c"))
+    // the confusion matrix is read three times below (totals, row
+    // marginals, column marginals); materialize it once so an expensive
+    // upstream pipeline (e.g. the NB holdout classifier feeding
+    // q_cohen_kappa — measured ~3x its single-pass task-CPU without
+    // this) never re-executes per branch. |classes|^2 rows — the
+    // checkpoint is metadata-sized.
+    val (cm, _) = graft.dedup.Dedup.checkpointOwned(
+      df.groupBy(col(aCol).as("ra"), col(bCol).as("rb"))
+        .agg(count(lit(1)).as("c")))
     val tot = cm.agg(sum(col("c")).as("n"),
       sum(when(col("ra") === col("rb"), col("c")).otherwise(0L)).as("n_agree"))
     val rowT = cm.groupBy(col("ra").as("cls")).agg(sum(col("c")).as("cr"))

@@ -87,9 +87,7 @@ object Phash {
       }
       y += 1
     }
-    val baos = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", baos)
-    baos.toByteArray
+    FastPng.encode(img) // lossless: identical pixels, ~5x cheaper
   }
 
   /** Fixture corpus for the near-dup query: groups of four documents
@@ -120,9 +118,7 @@ object Phash {
     * caller can drop them instead of killing the task.
     */
   def dhashChunks(content: Array[Byte]): Array[Int] = {
-    val img =
-      try ImageIO.read(new ByteArrayInputStream(content))
-      catch { case _: Exception => null }
+    val img = Media.decodeImage(content)
     if (img == null) null
     else {
       val w = img.getWidth

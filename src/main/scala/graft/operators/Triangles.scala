@@ -21,9 +21,23 @@ object Triangles {
 
   /** (a, b, c) with a < b < c: each triangle of the undirected graph
     * exactly once. Self-loops and duplicate/reversed edges are
-    * normalized away first.
+    * normalized away first. Production default = DEGREE orientation
+    * ([[trianglesDegreeOriented]]): id orientation fans a hub id
+    * ordered low into C(deg, 2) wedges — quadratic in the hub — while
+    * degree orientation bounds every node's wedge fan-out by O(sqrt(m))
+    * regardless of skew. Output-identical (AnalyticsSpec gates both
+    * against each other); [[trianglesIdOriented]] remains the
+    * oracle-replay form the relational oracle mirrors verbatim.
     */
   def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    trianglesDegreeOriented(edges, srcCol, dstCol)
+
+  /** Canonical id-oriented enumeration — the form the relational oracle
+    * replays verbatim; output-identical to the degree-oriented default
+    * but hub-skew-quadratic, so it stays the unit-test/oracle sibling
+    * rather than the production path.
+    */
+  def trianglesIdOriented(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
     trianglesOf(oriented(edges, srcCol, dstCol))
 
   /** Canonical (u < v) oriented, deduped, self-loop-free edge frame. */
@@ -118,7 +132,10 @@ object Triangles {
     val deg = e.select(col("u").as("node"))
       .union(e.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    val tri = trianglesOf(e)
+    // degree-oriented enumeration (the production default — see
+    // [[triangles]]): T(v) is orientation-invariant, so the coefficient
+    // inherits the sqrt(m) wedge bound without any output change
+    val tri = trianglesDegreeOriented(edges, srcCol, dstCol)
       .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("tri_cnt"))
     deg.join(tri, Seq("node"), "left")

@@ -64,18 +64,27 @@ object LangModel {
     require(window >= 1 && minCount >= 1, s"bad window=$window minCount=$minCount")
     val spread = graft.Parallelize.bySplits(
       docs.select(col(idCol).as("doc_id"), col(textCol).as("__t")), "doc_id")
+    // The token array MUST be bound to its own projection before the
+    // nested transforms reference it — the HOF-CSE hazard bigramPairs'
+    // scaladoc names: inlined syntactically, every element_at() lambda
+    // re-ran the whole split() over the document, O(n^2 * window)
+    // splits per doc (measured: 70.7 task-CPU-s for q_skipgram at
+    // sf0.1 vs ~3 bound). CollapseProject's cost guard keeps the
+    // projections separate because __toks is non-cheap and referenced
+    // more than once.
+    val withToks = spread.select(TextOps.tokens(col("__t")).as("__toks"))
     // for i in 1..n-1: j in i+1..min(i+window, n) — the outer bound
     // keeps every inner sequence ascending; n < 2 guards to empty
     val pairs = expr(
-      s"""CASE WHEN size(split(__t, ' ', -1)) < 2 THEN
+      s"""CASE WHEN size(__toks) < 2 THEN
          |  array()
          |ELSE
-         |  flatten(transform(sequence(1, size(split(__t, ' ', -1)) - 1), i ->
-         |    transform(sequence(i + 1, least(i + $window, size(split(__t, ' ', -1)))), j ->
-         |      struct(element_at(split(__t, ' ', -1), i) AS w1,
-         |             element_at(split(__t, ' ', -1), j) AS w2))))
+         |  flatten(transform(sequence(1, size(__toks) - 1), i ->
+         |    transform(sequence(i + 1, least(i + $window, size(__toks))), j ->
+         |      struct(element_at(__toks, i) AS w1,
+         |             element_at(__toks, j) AS w2))))
          |END""".stripMargin)
-    spread
+    withToks
       .select(explode(pairs).as("p"))
       .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .agg(count(lit(1)).as("cnt"))
@@ -101,21 +110,33 @@ object LangModel {
     * consumer divides lp_micro_sum by n_bigrams.
     */
   def scoreDocs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val pairs = bigramPairs(docs, idCol, textCol)
-    val c12 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    // Per-doc bigram TYPE counts, materialized once: the raw pair
+    // stream was previously read twice (the c12 aggregation and the
+    // scoring join-back), re-running tokenize+zip+explode over the
+    // whole corpus per read. Aggregating to (doc_id, w1, w2, k) first
+    // is lossless — every occurrence of a bigram within a doc carries
+    // the identical lp_micro, so summing k * lp_micro equals summing
+    // lp_micro over occurrences, and n_bigrams = sum(k) — and both c12
+    // and the join-back now read the compact checkpointed frame.
+    val (g, _) = graft.dedup.Dedup.checkpointOwned(
+      bigramPairs(docs, idCol, textCol)
+        .groupBy(col("doc_id"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("k")))
+    val c12 = g.groupBy(col("w1"), col("w2")).agg(sum(col("k")).as("c12"))
     val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val vocab = docs
       .select(explode(TextOps.tokens(col(textCol))).as("w"))
       .agg(countDistinct(col("w")).as("v"))
-    pairs
+    g
       .join(c12, Seq("w1", "w2"))
       .join(c1, Seq("w1"))
       .crossJoin(broadcast(vocab))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("k"),
         floor(log((col("c12") + lit(1.0)) / (col("c1") + col("v"))) * 1e6)
           .cast("long").as("lp_micro"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_micro")).as("lp_micro_sum"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(col("k") * col("lp_micro")).as("lp_micro_sum"))
   }
 
   /** PMI collocations: bigram types with c12 >= minCount scored by

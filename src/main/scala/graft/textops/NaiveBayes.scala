@@ -56,10 +56,20 @@ object NaiveBayes {
     val test = docs.filter(!isTrain(docs, idCol, salt))
 
     val trainOcc = occurrences(train, idCol, labelCol, textCol)
-    val classTok = trainOcc.groupBy(col("label").as("cls"), col("tok"))
-      .agg(count(lit(1)).as("c_lt"))
+    // the (cls, tok) model is consumed by three readers (class totals,
+    // vocabulary, the broadcast scoring join); materialize it once so
+    // the train-corpus tokenize+explode+count pipeline underneath runs
+    // once per action, not once per reader. Model size is bounded by
+    // |classes| x |vocabulary| — independent of corpus size.
+    val (classTok, _) = graft.dedup.Dedup.checkpointOwned(
+      trainOcc.groupBy(col("label").as("cls"), col("tok"))
+        .agg(count(lit(1)).as("c_lt")))
     val classTotal = classTok.groupBy(col("cls")).agg(sum(col("c_lt")).as("c_l"))
-    val vocab = trainOcc.agg(countDistinct(col("tok")).as("v"))
+    // V = distinct train tokens — derivable from the materialized model
+    // (every train token occurs in some class row), saving the second
+    // full tokenize pass over the train corpus that aggregating
+    // trainOcc directly would cost
+    val vocab = classTok.agg(countDistinct(col("tok")).as("v"))
     val priors = train
       .groupBy(col(labelCol).as("cls")).agg(count(lit(1)).as("n_l"))
       .crossJoin(broadcast(train.agg(count(lit(1)).as("n_train"))))

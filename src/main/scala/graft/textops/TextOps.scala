@@ -87,16 +87,26 @@ object TextOps {
     // transform over indices: an index lambda would capture `toks`
     // per element, and HOF lambdas re-evaluate captured subtrees on
     // EVERY element (no codegen/CSE inside CodegenFallback HOFs) — with
-    // toks itself a split() that is O(tokens^2) per document. Here
-    // `toks` appears only in row-level slice arguments (n evaluations
-    // per row, linear), and each zip_with step touches materialized
-    // arrays element-wise.
-    val len = size(toks) - (n - 1)
-    val parts = (0 until n)
-      .map(k => slice(toks, lit(k + 1), greatest(len, lit(0))))
-    val joined = parts.reduce((a, b) => zip_with(a, b,
-      (x, y) => concat_ws(" ", x, y)))
-    when(size(toks) >= n, joined).otherwise(array().cast("array<string>"))
+    // toks itself a split() that is O(tokens^2) per document.
+    //
+    // The input is additionally LET-BOUND once per row via a 1-element
+    // transform(): the slice construction references its argument
+    // ~2n+1 times (each slice + each slice's size()-derived length +
+    // the guard), and with `toks` a split() that was 2n+1 whole-text
+    // splits per row (17 at the substring pass's n=8; measured ~35% of
+    // q_dedup_substring's task-CPU). Inside the lambda `t` is a bound
+    // lambda variable — an O(1) read — so the split runs exactly once
+    // per row; transform(array(x), f)[1] ≡ f(x) for deterministic f,
+    // null included (array(null) -> [null] -> [f(null)]).
+    def sh(t: Column): Column = {
+      val len = size(t) - (n - 1)
+      val parts = (0 until n)
+        .map(k => slice(t, lit(k + 1), greatest(len, lit(0))))
+      val joined = parts.reduce((a, b) => zip_with(a, b,
+        (x, y) => concat_ws(" ", x, y)))
+      when(size(t) >= n, joined).otherwise(array().cast("array<string>"))
+    }
+    element_at(transform(array(toks), t => sh(t)), 1)
   }
 
   /** Repetition score (Gopher-style quality gate): the fraction of

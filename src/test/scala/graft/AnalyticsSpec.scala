@@ -243,7 +243,7 @@ class AnalyticsSpec extends AnyFunSuite {
     val star = (1L to 60L).map(i => (0L, i))
     val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
     val edges = (star ++ k4).toDF("id_a", "id_b")
-    val byId = graft.operators.Triangles.triangles(edges, "id_a", "id_b")
+    val byId = graft.operators.Triangles.trianglesIdOriented(edges, "id_a", "id_b")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val byDeg = graft.operators.Triangles
       .trianglesDegreeOriented(edges, "id_a", "id_b")
