@@ -313,11 +313,15 @@ object Dedup {
       maxBucketSize: Int = 10000): DataFrame = {
     val sigs = minhashSignatures(docs, idCol, textCol, n, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = minhashCandidates(sigs, bands, k / bands, maxBucketSize)
-      .withColumn("n_match",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
-          when(x === y, 1).otherwise(0)), _ === 1)).cast("long"))
-      .select(col("id_a"), col("id_b"), col("n_match"))
+    // the candidate-pair frame is read twice below (the exact-Jaccard
+    // intersection join and the final assembly); checkpoint it so the
+    // banded self-join + rerank runs once — pairs are few and narrow
+    val (pairs, _) = checkpointOwned(
+      minhashCandidates(sigs, bands, k / bands, maxBucketSize)
+        .withColumn("n_match",
+          size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
+            when(x === y, 1).otherwise(0)), _ === 1)).cast("long"))
+        .select(col("id_a"), col("id_b"), col("n_match")))
     // the shingle frame feeds three readers (per-doc counts + both
     // sides of the exact-intersection join); persist it so the
     // tokenize+shingle explode runs once per action instead of three

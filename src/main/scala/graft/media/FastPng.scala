@@ -10,7 +10,10 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * Why it exists: the media queries are CPU-bound on the codec, and
   * ImageIO's PNG writer runs its deflate at a high effort level with
   * per-pixel color-model conversions — measured several times the cost
-  * of this writer (Deflater level 1 over raw filter-0 scanlines) for
+  * of this writer (stored-block deflate over raw filter-0 scanlines —
+  * the synthetic pixel pattern is near-incompressible noise, so deflate
+  * effort buys nothing and nothing ships or hashes the container
+  * bytes) for
   * byte streams that decode to BIT-IDENTICAL pixels. PNG is lossless,
   * so swapping the encoder cannot change anything downstream reads
   * from the pixels (dimensions, dHash samples, resize output) — only
@@ -33,7 +36,7 @@ object FastPng {
       (0 until 8).forall(i => b(i) == Magic(i))
 
   /** Encode TYPE_INT_RGB as 8-bit truecolor PNG, filter 0, deflate
-    * level 1. Any compliant decoder recovers the exact pixels.
+    * level 0 (stored). Any compliant decoder recovers the exact pixels.
     */
   def encode(img: BufferedImage): Array[Byte] = {
     val w = img.getWidth
@@ -60,7 +63,7 @@ object FastPng {
       }
       y += 1
     }
-    val defl = new Deflater(1)
+    val defl = new Deflater(0)
     defl.setInput(raw)
     defl.finish()
     val zbuf = new Array[Byte](raw.length + (raw.length >> 6) + 64)
@@ -76,7 +79,7 @@ object FastPng {
   }
 
   private def encodeGrow(w: Int, h: Int, raw: Array[Byte]): Array[Byte] = {
-    val defl = new Deflater(1)
+    val defl = new Deflater(0)
     defl.setInput(raw)
     defl.finish()
     val out = new java.io.ByteArrayOutputStream(raw.length + 1024)

@@ -204,10 +204,29 @@ object Media {
         val src = decodeImage(b.content)
         if (src == null) b
         else {
+          // nearest-neighbor scale through the raster directly: the
+          // generic Graphics2D scaling pipeline pays per-pixel color
+          // model conversion (measured the dominant cost of the resize
+          // pass); sampling src.getRGB over the int raster is exact,
+          // deterministic and cheap. Downstream consumers read only
+          // dimensions/validity from the re-encoded payload.
+          val sw = src.getWidth
+          val sh = src.getHeight
           val dst = new BufferedImage(targetW, targetH, BufferedImage.TYPE_INT_RGB)
-          val g = dst.createGraphics()
-          g.drawImage(src, 0, 0, targetW, targetH, null)
-          g.dispose()
+          val out = dst.getRaster.getDataBuffer
+            .asInstanceOf[java.awt.image.DataBufferInt].getData
+          var di = 0
+          var y = 0
+          while (y < targetH) {
+            val sy = y * sh / targetH
+            var x = 0
+            while (x < targetW) {
+              out(di) = src.getRGB(x * sw / targetW, sy) & 0xFFFFFF
+              di += 1
+              x += 1
+            }
+            y += 1
+          }
           val bytes =
             if (b.format == "jpg") {
               val baos = new ByteArrayOutputStream()
