@@ -304,8 +304,23 @@ object SparkEntry {
     * user closes by timeout.
     */
   private def streamSessionDrain(s: SparkSession, dir: String): String = {
+    val root = streamSessionLanding(s, dir)
+    val run = streamRunSeq.incrementAndGet()
+    val out = s"$root/out$run"
+    graft.streaming.StreamingState.sessionizeRunOnce(
+      s, s"$root/in", out, s"$root/cp$run", gapSec = 1800L,
+      shufflePartitions = Some(8))
+    out
+  }
+
+  /** The session landing zone alone (no drain): shared by the v1 and
+    * v2 sessionizers. v2 previously "materialized the landing" by
+    * calling the v1 DRAIN — paying a full extra streaming pass per
+    * invocation before its own.
+    */
+  private def streamSessionLanding(s: SparkSession, dir: String): String = {
     streamCleanupHook
-    val root = streamLandingDirs.computeIfAbsent(s"$dir#session", _ => {
+    streamLandingDirs.computeIfAbsent(s"$dir#session", _ => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_ssess").toString
       val ev = s.read.parquet(t(dir, "events"))
         .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
@@ -332,18 +347,11 @@ object SparkEntry {
       landOne(sentinel(maxSec + 40000001L), "c_sentinel", now + 120000L)
       tmp
     })
-    val run = streamRunSeq.incrementAndGet()
-    val out = s"$root/out$run"
-    graft.streaming.StreamingState.sessionizeRunOnce(
-      s, s"$root/in", out, s"$root/cp$run", gapSec = 1800L,
-      shufflePartitions = Some(8))
-    out
   }
 
   /** Same landing zone, drained through the v2 timer sessionizer. */
   private def streamSessionV2Drain(s: SparkSession, dir: String): String = {
-    streamSessionDrain(s, dir) // materializes the shared landing
-    val root = streamLandingDirs.get(s"$dir#session")
+    val root = streamSessionLanding(s, dir)
     val run = streamRunSeq.incrementAndGet()
     val out = s"$root/out$run"
     graft.streaming.StreamingState.sessionizeV2RunOnce(

@@ -76,11 +76,43 @@ object Ivf {
   def train(spark: SparkSession, emb: DataFrame, idCol: String, vecCol: String,
       nList: Int, iters: Int = 5): Model = {
     val vecs = vecsDF(emb, idCol, vecCol).cache()
+    val model = trainOnVecs(spark, vecs, nList, iters)
+    vecs.unpersist()
+    model
+  }
+
+  /** Training core over an ALREADY-CACHED (id, vec) frame — callers
+    * that hold their own vector cache (topK, semanticDedup) pass it
+    * here instead of train() building a second cache of the same data.
+    * Each round's update aggregation emits (cluster, vec) straight
+    * from the assignment map — the previous assign-then-join-by-id
+    * shape paid one extra shuffle join per round for rows the map
+    * already held.
+    */
+  private[ann] def trainOnVecs(spark: SparkSession, vecs: DataFrame,
+      nList: Int, iters: Int): Model = {
+    import spark.implicits._
     // deterministic init: the nList lowest-id vectors
     var model = Model(vecs.orderBy("id").limit(nList)
       .collect().map(_.getSeq[Double](1).toArray))
     for (_ <- 0 until iters) {
-      val assigned = assign(spark, vecs, model).join(vecs, "id")
+      val bc = spark.sparkContext.broadcast(model.centroids)
+      val assigned = vecs.select(col("id"), col("vec")).as[(Long, Seq[Double])]
+        .map { case (_, v) =>
+          val arr = v.toArray
+          val cs = bc.value
+          var best = 0
+          var bestSim = Double.NegativeInfinity
+          var c = 0
+          while (c < cs.length) {
+            val sim = dotArr(cs(c), arr) /
+              (math.max(normArr(cs(c)), 1e-12) * math.max(normArr(arr), 1e-12))
+            if (sim > bestSim) { bestSim = sim; best = c }
+            c += 1
+          }
+          (best, v)
+        }
+        .toDF("cluster", "vec")
       val sums = assigned
         .select(col("cluster"), posexplode(col("vec")))
         .groupBy(col("cluster"), col("pos"))
@@ -94,7 +126,6 @@ object Ivf {
       }
       model = Model(next)
     }
-    vecs.unpersist()
     model
   }
 
@@ -111,7 +142,7 @@ object Ivf {
       iters: Int = 5): DataFrame = {
     import spark.implicits._
     val vecs = vecsDF(emb, idCol, vecCol).cache()
-    val model = train(spark, emb, idCol, vecCol, nList, iters)
+    val model = trainOnVecs(spark, vecs, nList, iters)
     val assigned = assign(spark, vecs, model)
 
     val queryVecs = vecs.filter(col("id").isin(queryIds: _*))
@@ -162,7 +193,7 @@ object Ivf {
       vecCol: String, eps: Double, nList: Int = 16, iters: Int = 3,
       maxClusterSize: Int = 10000): DataFrame = {
     val vecs = vecsDF(emb, idCol, vecCol).cache()
-    val model = train(spark, emb, idCol, vecCol, nList, iters)
+    val model = trainOnVecs(spark, vecs, nList, iters)
     val withC = assign(spark, vecs, model).join(vecs, "id")
       .withColumn("csz", count(lit(1)).over(Window.partitionBy("cluster")))
       .filter(col("csz") <= maxClusterSize)

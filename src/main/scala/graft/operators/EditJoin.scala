@@ -62,7 +62,14 @@ object EditJoin {
     val cutoff = (maxDist + 1) * q // gram path needs len >= cutoff
     val prefixLen = maxDist * q + 1
 
-    val base = df.select(col(idCol).cast("long").as("id"), col(strCol).as("s"))
+    // spread an under-split scan BEFORE the per-string work: the gram
+    // explode, prefix ranking and levenshtein verify are all reachable
+    // from `base` through broadcast joins, so a single-file input would
+    // otherwise run the whole filter-and-verify chain in ONE task
+    // (measured: a 4.9 s single-task stage at sf0.1 = ~80% of the
+    // query's wall) — the Dedup.shingles posture
+    val base = graft.Parallelize.bySplits(
+      df.select(col(idCol).cast("long").as("id"), col(strCol).as("s")), "id")
       .withColumn("len", length(col("s")))
 
     // ---- gram path: both strings >= cutoff ------------------------
@@ -73,10 +80,14 @@ object EditJoin {
         posexplode(expr(
           s"transform(sequence(1, length(s) - ${q - 1}), i -> substring(s, i, $q))"))
           .as(Seq("pos", "gram")))
-    // occurrence index makes the multiset a set of (gram, occ) keys
-    val keys = grams.withColumn("occ",
-      row_number().over(Window.partitionBy("id", "gram").orderBy("pos")))
-      .select("id", "gram", "occ")
+    // occurrence index makes the multiset a set of (gram, occ) keys.
+    // Materialized once: the frequency aggregation and the ranked join
+    // below both read it, and each read would otherwise re-run the
+    // gram explode + occurrence window.
+    val (keys, _) = graft.dedup.Dedup.checkpointOwned(
+      grams.withColumn("occ",
+        row_number().over(Window.partitionBy("id", "gram").orderBy("pos")))
+        .select("id", "gram", "occ"))
     // global total order on keys: corpus frequency, then key itself
     val freq = keys.groupBy("gram", "occ").agg(count(lit(1)).as("kfreq"))
     val ranked = keys.join(freq, Seq("gram", "occ"))
@@ -84,12 +95,21 @@ object EditJoin {
         Window.partitionBy("id").orderBy(col("kfreq"), col("gram"), col("occ"))))
       .filter(col("rk") <= prefixLen)
       .select("id", "gram", "occ")
+    // explicit width on the candidate spread: the pair rows are a few
+    // bytes each, so AQE's byte-targeted coalescing collapses the
+    // distinct's exchange to ONE partition — and the whole levenshtein
+    // verify downstream (reached via broadcast joins, no further
+    // exchange) ran in one task (measured 3.5 s single-task stage at
+    // sf0.1). A pinned partition count keeps the CPU-heavy verify wide;
+    // AQE never coalesces a user repartition with an explicit count.
+    val verifyParts = df.sparkSession.sparkContext.defaultParallelism
     val candidates = ranked.as("a")
       .join(ranked.as("b"),
         col("a.gram") === col("b.gram") && col("a.occ") === col("b.occ") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+      .repartition(verifyParts, col("id_a"), col("id_b"))
     val gramPairs = candidates
       .join(eligible.select(col("id").as("id_a"), col("s").as("s_a"),
         col("len").as("len_a")), Seq("id_a"))
