@@ -12,8 +12,23 @@ import org.apache.spark.sql.functions._
   */
 object PortableHash {
 
-  /** 60-bit hash of a column's raw value. */
+  /** 60-bit hash of a column's raw value — since round 6 a native
+    * Catalyst expression (graft.functions.Md5Hash60Expr): digest ->
+    * long directly, no 32-char hex materialization + conv() re-parse
+    * per row. Value-identical to the SQL form below (spec-pinned); the
+    * cast normalizes binary inputs byte-identically (string<->binary
+    * casts are byte reinterpretations).
+    */
   def md5Hash60(value: Column): Column =
+    org.apache.spark.sql.graft.PlanBridge.column(
+      graft.functions.Md5Hash60Expr(
+        org.apache.spark.sql.graft.PlanBridge.expression(value.cast("string"))))
+
+  /** The pre-round-6 SQL formulation — kept as the spec cross-check
+    * anchor for the native expression (and the shape the DuckDB
+    * oracles replay).
+    */
+  def md5Hash60Sql(value: Column): Column =
     conv(substring(md5(value), 1, 15), 16, 10).cast("long")
 
   /** Salted variant over the value's string form. */

@@ -47,16 +47,28 @@ object Cms {
     */
   def heavyHitters(df: DataFrame, valueCol: String, d: Int = 4,
       w: Int = 1024, minCount: Long, salt: String = "cms"): DataFrame = {
+    // One pass over the (possibly expensive) input: the cell table is
+    // derived from the distinct-value counts instead of [[cells]]'s
+    // occurrence stream — cell(row, col) = Σ over values hashing there
+    // of their occurrence count, identical by commutativity — so the
+    // input is scanned once and the portable hash runs d times per
+    // DISTINCT value rather than d times per occurrence (the previous
+    // shape also re-ran the upstream explode for the cells branch).
+    // The hashed probe frame serves both the cell aggregation and the
+    // estimate join; checkpointed because both read it.
     val vals = df.select(col(valueCol).as("v"))
       .filter(col("v").isNotNull)
       .groupBy(col("v")).agg(count(lit(1)).as("exact_count"))
-    val probes = vals
-      .select(col("v"), col("exact_count"),
-        explode(sequence(lit(0), lit(d - 1))).as("row"))
-      .select(col("v"), col("exact_count"), col("row"),
-        (hashFor(salt) % lit(w.toLong)).as("col"))
+    val (probes, _) = graft.dedup.Dedup.checkpointOwned(
+      vals
+        .select(col("v"), col("exact_count"),
+          explode(sequence(lit(0), lit(d - 1))).as("row"))
+        .select(col("v"), col("exact_count"), col("row"),
+          (hashFor(salt) % lit(w.toLong)).as("col")))
+    val cellTable = probes.groupBy(col("row"), col("col"))
+      .agg(sum(col("exact_count")).as("cnt"))
     probes
-      .join(broadcast(cells(df, valueCol, d, w, salt)), Seq("row", "col"))
+      .join(broadcast(cellTable), Seq("row", "col"))
       .groupBy(col("v"))
       .agg(min(col("cnt")).as("est_count"), max(col("exact_count")).as("exact_count"))
       .filter(col("est_count") >= minCount)

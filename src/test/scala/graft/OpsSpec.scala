@@ -142,6 +142,19 @@ class OpsSpec extends AnyFunSuite {
     assert(got(0).getLong(0) == 7L && got(0).getLong(1) == ref("the quick brown fox"))
   }
 
+  test("md5hash60 native expression == SQL conv(substr(md5)) form, bit for bit") {
+    import org.apache.spark.sql.functions.col
+    val samples = Seq("", " ", "a", "alpha bravo charlie", "的是了 unicode",
+      "salt:12345", "x" * 200, "tab\tand\nnewline", "trailing space ")
+    val df = spark.createDataFrame(samples.map(Tuple1(_))).toDF("s")
+      .select(col("s"),
+        graft.PortableHash.md5Hash60(col("s")).as("native"),
+        graft.PortableHash.md5Hash60Sql(col("s")).as("sql"))
+      .collect()
+    for (r <- df)
+      assert(r.getLong(1) == r.getLong(2), s"mismatch for '${r.getString(0)}'")
+  }
+
   test("shingles: a doc with fewer than n tokens yields zero shingles") {
     val got = Dedup.shingles(
       docsDf((1L, "just two"), (2L, "exactly three tokens"), (3L, "one")),
