@@ -2537,7 +2537,7 @@ object SparkEntry {
             s.read.parquet(t(dir, "documents"))
               .select(col("doc_id"), col("lang"), col("text")), "doc_id")
           .select(col("lang"),
-            explode(TextOps.shingleArray(TextOps.tokens(col("text")), 3)).as("sh")),
+            explode(TextOps.shinglesOfText(col("text"), 3)).as("sh")),
         "lang", "sh")),
 
     // ---- sketch: sliding-window cardinality — distinct users over
@@ -2556,7 +2556,7 @@ object SparkEntry {
         graft.Parallelize.bySplits(
             s.read.parquet(t(dir, "documents"))
               .select(col("doc_id"), col("text")), "doc_id")
-          .select(explode(TextOps.shingleArray(TextOps.tokens(col("text")), 2)).as("bigram")),
+          .select(explode(TextOps.shinglesOfText(col("text"), 2)).as("bigram")),
         "bigram", d = 4, w = 1024, minCount = 30L)),
 
     // ---- classify: corpus-self-trained multinomial Naive Bayes lang

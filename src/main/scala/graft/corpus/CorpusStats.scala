@@ -33,7 +33,7 @@ object CorpusStats {
     val counts = graft.Parallelize.bySplits(
         docs.select(col(groupCol).as("grp"), col(textCol).as("__t")), "grp")
       .select(col("grp"),
-        explode(TextOps.shingleArray(TextOps.tokens(col("__t")), n)).as("shingle"))
+        explode(TextOps.shinglesOfText(col("__t"), n)).as("shingle"))
       .groupBy(col("grp"), col("shingle")).agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy(col("grp"))
       .orderBy(col("cnt").desc, col("shingle").asc)

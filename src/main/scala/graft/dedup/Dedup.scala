@@ -38,7 +38,7 @@ object Dedup {
     * from the relational oracle's range(1, len-n+1) construction).
     */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val sh = TextOps.shingleArray(TextOps.tokens(col("__t")), n)
+    val sh = TextOps.shinglesOfText(col("__t"), n)
     // spread an under-split scan across cores BEFORE the shuffle-free
     // heavy part (tokenize + shingle + per-shingle md5 downstream) —
     // a single-file corpus sample otherwise runs it all on one core
@@ -458,6 +458,14 @@ object Dedup {
     *    so each later round shuffles a shrinking frontier — the variant
     *    to pick when components can be long chains (linked-page graphs,
     *    citation chains) rather than near-dup blobs.
+    */
+  /** Production guidance: call [[connectedComponentsAuto]] when the
+    * graph shape is UNKNOWN (it probes degree statistics once and picks
+    * the variant that wins on that shape); this entry point pins
+    * pointer jumping because its callers are near-dup candidate graphs,
+    * whose shallow-dense-blob shape is known a priori — paying the
+    * probe pass on every dedup run would buy information the pipeline
+    * already has.
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIters: Int = 25): DataFrame =

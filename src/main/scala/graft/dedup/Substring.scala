@@ -63,7 +63,7 @@ object Substring {
     */
   def windows(docs: DataFrame, idCol: String, textCol: String,
       windowTokens: Int): DataFrame = {
-    val sh = TextOps.shingleArray(TextOps.tokens(col("__t")), windowTokens)
+    val sh = TextOps.shinglesOfText(col("__t"), windowTokens)
     graft.Parallelize.bySplits(
         docs.select(col(idCol).as("doc_id"), col(textCol).as("__t")), "doc_id")
       .select(col("doc_id"), posexplode(sh).as(Seq("pos", "wtext")))

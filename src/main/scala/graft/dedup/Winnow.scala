@@ -43,7 +43,7 @@ object Winnow {
     // projections separate because `hs` is non-cheap and referenced
     // more than once.
     val hashes: Column =
-      transform(TextOps.shingleArray(TextOps.tokens(col("__t")), k),
+      transform(TextOps.shinglesOfText(col("__t"), k),
         s => PortableHash.md5Hash60(s))
     val withHs = graft.Parallelize.bySplits(
         docs.select(col(idCol).as("doc_id"), col(textCol).as("__t")), "doc_id")

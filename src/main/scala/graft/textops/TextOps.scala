@@ -82,6 +82,20 @@ object TextOps {
     * relational oracles in round 1. Shared by the dedup family and
     * repetitionScore so the clamp semantics live in one place.
     */
+  /** n-gram token shingles straight from the TEXT column — the native
+    * expression path ([[graft.functions.ShingleArrayExpr]]): identical
+    * output to `shingleArray(tokens(text), n)` (OpsSpec pins it) but
+    * each shingle is emitted as a substring slice of the input bytes
+    * inside whole-stage codegen, instead of the interpreted
+    * slice/zip_with/concat_ws HOF chain. Preferred by every
+    * tokenize-then-shingle caller; the HOF form below remains for
+    * pre-tokenized arrays.
+    */
+  def shinglesOfText(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.PlanBridge.column(
+      graft.functions.ShingleArrayExpr(
+        org.apache.spark.sql.graft.PlanBridge.expression(text), n))
+
   def shingleArray(toks: Column, n: Int): Column = {
     // Built from n shifted slices folded with zip_with rather than a
     // transform over indices: an index lambda would capture `toks`
@@ -117,7 +131,7 @@ object TextOps {
     * oracle-replayable.
     */
   def repetitionScore(text: Column, n: Int = 3): Column = {
-    val sh = shingleArray(tokens(text), n)
+    val sh = shinglesOfText(text, n)
     when(size(sh) === 0, lit(0.0))
       .otherwise(lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh))
   }

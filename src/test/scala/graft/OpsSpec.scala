@@ -155,6 +155,36 @@ class OpsSpec extends AnyFunSuite {
       assert(r.getLong(1) == r.getLong(2), s"mismatch for '${r.getString(0)}'")
   }
 
+  test("shinglesOfText native expression == shingleArray(tokens) HOF form") {
+    import org.apache.spark.sql.functions.col
+    val samples = Seq("", " ", "  ", "a", "a b", "a b c", "a  b  c d",
+      " leading", "trailing ", "的 是 了 unicode mixed in", "a b c d e f g h i",
+      "double  space inside run", "x " * 30 + "tail")
+    for (n <- Seq(1, 2, 3, 4, 8)) {
+      val df = spark.createDataFrame(samples.map(Tuple1(_))).toDF("s")
+        .select(col("s"),
+          graft.textops.TextOps.shinglesOfText(col("s"), n).as("native"),
+          graft.textops.TextOps.shingleArray(
+            graft.textops.TextOps.tokens(col("s")), n).as("hof"))
+        .collect()
+      for (r <- df)
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"n=$n text='${r.getString(0)}'")
+    }
+    // null text maps to an empty array in both formulations
+    val nullRow = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(null: String))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("s",
+            org.apache.spark.sql.types.StringType, nullable = true))))
+      .select(
+        graft.textops.TextOps.shinglesOfText(col("s"), 3).as("native"),
+        graft.textops.TextOps.shingleArray(
+          graft.textops.TextOps.tokens(col("s")), 3).as("hof"))
+      .collect().head
+    assert(nullRow.getSeq[String](0) == Seq.empty && nullRow.getSeq[String](1) == Seq.empty)
+  }
+
   test("shingles: a doc with fewer than n tokens yields zero shingles") {
     val got = Dedup.shingles(
       docsDf((1L, "just two"), (2L, "exactly three tokens"), (3L, "one")),
