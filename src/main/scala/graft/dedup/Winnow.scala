@@ -31,8 +31,32 @@ object Winnow {
     * offset of the chosen k-gram. Docs with fewer than k tokens emit
     * nothing; docs with fewer than w shingle hashes yield one window
     * (the whole hash sequence).
+    *
+    * One native codegen'd expression per row ([[graft.functions.WinnowFpExpr]]):
+    * tokenize, hash shingle byte-ranges, winnow-select, adjacent-dedup
+    * — which equals the per-doc distinct of all window selections
+    * (equal selections form contiguous window runs; proof on the
+    * expression), so the old plan's distinct() EXCHANGE over every
+    * selection row is gone. WinnowSpec pins row-set equality against
+    * [[fingerprintsHof]], the pre-round-6 HOF + distinct formulation.
     */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be positive: k=$k w=$w")
+    val sel = org.apache.spark.sql.graft.PlanBridge.column(
+      graft.functions.WinnowFpExpr(
+        org.apache.spark.sql.graft.PlanBridge.expression(col("__t")), k, w))
+    graft.Parallelize.bySplits(
+        docs.select(col(idCol).as("doc_id"), col(textCol).as("__t")), "doc_id")
+      .select(col("doc_id"), explode(sel).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
+  }
+
+  /** The pre-round-6 HOF + distinct formulation — kept as the spec
+    * cross-check anchor for [[fingerprints]] (WinnowSpec asserts both
+    * emit the identical row set).
+    */
+  private[graft] def fingerprintsHof(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 4, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, s"k and w must be positive: k=$k w=$w")
     // The hash array MUST be bound to its own projection before the

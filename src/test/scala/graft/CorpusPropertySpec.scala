@@ -90,6 +90,34 @@ class CorpusPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: native winnow expression == HOF + distinct formulation") {
+    import spark.implicits._
+    // tiny alphabet + short words => repeated shingles => tie-heavy
+    // windows, the adversarial case for the rightmost-min rule and for
+    // the adjacent-dedup-equals-distinct claim
+    for (seed <- 1 to 8) {
+      val rng = new Random(seed * 31337L)
+      val k = 1 + rng.nextInt(4)
+      val w = 1 + rng.nextInt(5)
+      val docs = (0 until 8).map { id =>
+        val n = rng.nextInt(60)
+        (id.toLong, (0 until n).map(_ => word(rng, "ab")).mkString(" "))
+      } ++ Seq(
+        (100L, ""), (101L, " "), (102L, "a"), (103L, "a a a a a a a a a a"),
+        (104L, "x " * 30 + "x"))
+      val df = docs.toDF("doc_id", "text")
+      def rows(d: DataFrame) = d.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val native = rows(Winnow.fingerprints(df, "doc_id", "text", k, w))
+      val hof = rows(Winnow.fingerprintsHof(df, "doc_id", "text", k, w))
+      assert(native == hof, s"seed $seed (k=$k w=$w)")
+      // the native emission is already duplicate-free per doc (the
+      // contiguous-runs argument) — no distinct needed downstream
+      val raw = Winnow.fingerprints(df, "doc_id", "text", k, w).collect()
+      assert(raw.length == native.size, s"seed $seed: duplicate rows emitted")
+    }
+  }
+
   test("property: budget selection equals the local greedy prefix") {
     import spark.implicits._
     for (seed <- 1 to 10) {
