@@ -149,9 +149,38 @@ object Dedup {
     graft.PortableHash.md5Hash60(shingle) % MinhashP
 
   /** k MinHash components per doc: min over shingles of h_i(base).
-    * One groupBy with k partial-aggregating mins — no per-seed shuffle.
+    * One native codegen'd expression per row
+    * ([[graft.functions.MinhashSigExpr]]): the aggregate formulation
+    * materialized one row per (doc, distinct shingle) and probed a
+    * k-buffer hash aggregate per row; the expression folds the same
+    * arithmetic record-locally. Docs with no shingles stay absent
+    * (null signature, filtered — the aggregate emitted no group).
+    * OpsSpec pins row-set equality against [[minhashSignaturesAgg]].
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int): DataFrame = {
+    val sig = org.apache.spark.sql.graft.PlanBridge.column(
+      graft.functions.MinhashSigExpr(
+        org.apache.spark.sql.graft.PlanBridge.expression(col("__t")), n, k))
+    // the no-shingle guard must NOT test the signature itself: a
+    // filter on sig IS NOT NULL is pushed below the spread exchange
+    // and re-evaluates the whole expression per row (plan-verified —
+    // the §4.4 duplicated-expensive-expression trap). The equivalent
+    // cheap predicate: sig is null <=> text null or fewer than n
+    // tokens <=> fewer than n-1 spaces (split-on-space tokens).
+    val base = graft.Parallelize.bySplits(
+      docs.select(col(idCol).as("id"), col(textCol).as("__t")), "id")
+    val enough =
+      if (n <= 1) col("__t").isNotNull
+      else col("__t").isNotNull &&
+        (length(col("__t")) - length(replace(col("__t"), lit(" "), lit(""))) >= n - 1)
+    base.filter(enough).select(col("id"), sig.as("sig"))
+  }
+
+  /** The pre-round-6 explode + groupBy formulation — kept as the spec
+    * cross-check anchor for [[minhashSignatures]].
+    */
+  private[graft] def minhashSignaturesAgg(docs: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int): DataFrame = {
     val sh = shingles(docs, idCol, textCol, n)
       .select(col("id"), minhashBase(col("shingle")).as("hx"))

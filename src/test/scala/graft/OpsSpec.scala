@@ -185,6 +185,36 @@ class OpsSpec extends AnyFunSuite {
     assert(nullRow.getSeq[String](0) == Seq.empty && nullRow.getSeq[String](1) == Seq.empty)
   }
 
+  test("minhash native expression == explode + groupBy aggregate form") {
+    import org.apache.spark.sql.functions.col
+    import scala.util.Random
+    // tiny alphabet => repeated shingles, exercising the multiset-min
+    // == set-min claim; edge docs cover absent-group semantics
+    val rng = new Random(20260822L)
+    val docs = (0 until 12).map { id =>
+      val nTok = rng.nextInt(30)
+      (id.toLong, (0 until nTok).map(_ =>
+        "ab"(rng.nextInt(2)).toString * (1 + rng.nextInt(2))).mkString(" "))
+    } ++ Seq((100L, ""), (101L, " "), (102L, "one two"), (103L, "a a a a a a"))
+    val df = docsDf(docs: _*)
+    for ((n, k) <- Seq((3, 8), (1, 4), (4, 16))) {
+      def rows(d: DataFrame) = d.collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toSet
+      val native = rows(Dedup.minhashSignatures(df, "doc_id", "text", n, k))
+      val agg = rows(Dedup.minhashSignaturesAgg(df, "doc_id", "text", n, k))
+      assert(native == agg, s"n=$n k=$k")
+    }
+    // null text behaves like the absent group
+    val nullDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(5L, null: String))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType, nullable = true))))
+    assert(Dedup.minhashSignatures(nullDf, "doc_id", "text", 3, 4).count() == 0)
+  }
+
   test("shingles: a doc with fewer than n tokens yields zero shingles") {
     val got = Dedup.shingles(
       docsDf((1L, "just two"), (2L, "exactly three tokens"), (3L, "one")),
