@@ -250,21 +250,33 @@ object Dedup {
     // The DuckDB oracle replays the uncapped construction, valid while
     // every test-corpus bucket is far below the default cap.
     //
-    // Plan shape (verified with broadcasts off): the banded self-join
-    // reuses ONE exchange (the window's), and the two sig-attach joins
-    // share a second. minhashNearDups persists `sigs` upstream, so the
-    // three reads (banding + both rerank attaches) hit one cached
-    // computation of the shingle shuffle + partial mins.
-    val banded = bandedBuckets(sigs, bands, rowsPerBand)
-      .filter(col("bsz") <= maxBucketSize)
-      .drop("bsz")
-    val a = banded.as("a")
-    val b = banded.as("b")
-    val pairs = a.join(b,
-        col("a.band") === col("b.band") &&
-          col("a.band_hash") === col("b.band_hash") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // Plan shape: ONE exchange of the (id, band, band_hash) rows into
+    // a collect_list aggregate per bucket, then RECORD-LOCAL ordered
+    // pair expansion per member list — the pre-round-6 formulation
+    // attached a per-row window count (a full sort of the banded rows
+    // behind the same exchange) and self-joined the frame, and the
+    // window+sort+join machinery measured ~5 of the ~7 task-CPU-s of
+    // the candidate stage at sf0.1. The member lists are bounded by
+    // maxBucketSize (over-cap buckets drop whole, as before), each id
+    // appears once per bucket, and sort_array makes ids[i] < ids[j]
+    // for i < j — the same (id_a < id_b) pair set the self-join built.
+    // The ids array is an ATTRIBUTE, so the HOF lambdas referencing it
+    // re-read a bound value, not a recomputed subtree (the HOF-CSE
+    // rule). minhashNearDups persists `sigs` upstream, so its three
+    // reads (banding + both rerank attaches) hit one cached
+    // computation of the signature pass.
+    val buckets = bandedKeys(sigs, bands, rowsPerBand)
+      .groupBy(col("band"), col("band_hash"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucketSize)
+      .select(sort_array(col("ids")).as("ids"))
+    val pairs = buckets
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ids) - 2), i ->
+          |  transform(sequence(i + 1, size(ids) - 1), j ->
+          |    struct(element_at(ids, i + 1) AS id_a,
+          |           element_at(ids, j + 1) AS id_b))))""".stripMargin)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .distinct()
     pairs
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
