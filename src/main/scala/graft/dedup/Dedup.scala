@@ -57,6 +57,41 @@ object Dedup {
       .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxShingleDf)
 
+  /** Shared candidate core for the exact n-gram similarity pair
+    * queries: per-doc counts of cap-surviving shingles and per-pair
+    * intersection counts, built from ONE groupBy of the shingle rows
+    * into per-shingle member lists with record-local ordered pair
+    * expansion — the pre-round-6 formulation attached a per-row window
+    * document frequency (a full sort of the shingle rows) and
+    * self-joined the frame. Equivalence: the member lists ARE the
+    * cap-surviving rows (each id once per shingle — shingles() emits
+    * distinct shingles per doc), so exploding them back replays the
+    * per-id counts, and the sorted i<j expansion emits one (id_a,
+    * id_b) per shared surviving shingle exactly as the a.id < b.id
+    * self-join did. The ids array is an attribute, so the HOF lambdas
+    * re-read a bound value (the HOF-CSE rule).
+    */
+  private def shingleOverlap(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, maxShingleDf: Int): (DataFrame, DataFrame) = {
+    val groups = shingles(docs, idCol, textCol, n)
+      .groupBy(col("shingle"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) <= maxShingleDf)
+    val counts = groups.select(explode(col("ids")).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val common = groups
+      .filter(size(col("ids")) >= 2)
+      .select(sort_array(col("ids")).as("ids"))
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ids) - 2), i ->
+          |  transform(sequence(i + 1, size(ids) - 1), j ->
+          |    struct(element_at(ids, i + 1) AS id_a,
+          |           element_at(ids, j + 1) AS id_b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    (counts, common)
+  }
+
   /** Near-duplicate pairs by exact n-gram Jaccard >= threshold.
     * maxShingleDf drops shingles appearing in more docs than the cap —
     * the standard stop-shingle guard that bounds join fan-out (skew) at
@@ -70,17 +105,7 @@ object Dedup {
       n: Int,
       threshold: Double,
       maxShingleDf: Int = 1000): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n)
-    val filtered = sh
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
-      .filter(col("df") <= maxShingleDf)
-      .drop("df")
-    val counts = filtered.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val a = filtered.as("a")
-    val b = filtered.as("b")
-    val common = a.join(b, col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("n_common"))
+    val (counts, common) = shingleOverlap(docs, idCol, textCol, n, maxShingleDf)
     common
       .join(counts.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
       .join(counts.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
@@ -111,17 +136,7 @@ object Dedup {
       n: Int,
       threshold: Double,
       maxShingleDf: Int = 1000): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n)
-    val filtered = sh
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
-      .filter(col("df") <= maxShingleDf)
-      .drop("df")
-    val counts = filtered.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val a = filtered.as("a")
-    val b = filtered.as("b")
-    val common = a.join(b, col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("n_common"))
+    val (counts, common) = shingleOverlap(docs, idCol, textCol, n, maxShingleDf)
     common
       .join(counts.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
       .join(counts.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
