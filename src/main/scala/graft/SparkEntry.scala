@@ -91,6 +91,18 @@ object SparkEntry {
     * pair), so the checkpoint is metadata-sized; Bench unpersists all
     * leftover blocks after every query.
     */
+  /** Index-ordered double dot-product fold as a native expression —
+    * bit-identical to the `aggregate(sequence(...))` HOF the cosine
+    * baselines previously evaluated interpreted per pair (see
+    * [[graft.functions.DotFoldExpr]]; only for sites that cast BOTH
+    * element sides to double).
+    */
+  private def dotFold(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.PlanBridge.column(
+      graft.functions.DotFoldExpr(
+        org.apache.spark.sql.graft.PlanBridge.expression(a),
+        org.apache.spark.sql.graft.PlanBridge.expression(b)))
+
   private def winnowPairsCp(s: SparkSession, dir: String): DataFrame = {
     val pairs = graft.dedup.Winnow.candidatePairs(
       graft.dedup.Winnow.fingerprints(
@@ -2350,14 +2362,9 @@ object SparkEntry {
         .select(col("label"), expr("transform(cs, s -> s.m)").as("cvec"))
       emb.join(broadcast(cent), Seq("label"))
         .select(col("vec_id"), col("label"),
-          expr("aggregate(sequence(1, size(embedding)), 0.0D, (acc, i) -> " +
-            "acc + cast(element_at(embedding, i) as double) * element_at(cvec, i))")
-            .as("dot"),
-          expr("aggregate(sequence(1, size(embedding)), 0.0D, (acc, i) -> " +
-            "acc + cast(element_at(embedding, i) as double) * " +
-            "cast(element_at(embedding, i) as double))").as("nv2"),
-          expr("aggregate(sequence(1, size(cvec)), 0.0D, (acc, i) -> " +
-            "acc + element_at(cvec, i) * element_at(cvec, i))").as("nc2"))
+          dotFold(col("embedding"), col("cvec")).as("dot"),
+          dotFold(col("embedding"), col("embedding")).as("nv2"),
+          dotFold(col("cvec"), col("cvec")).as("nc2"))
         .select(col("vec_id"), col("label"),
           (col("dot") / (sqrt(col("nv2")) * sqrt(col("nc2")))).as("cos_sim"))
         .withColumn("is_outlier", (col("cos_sim") < 0.1).cast("int"))
@@ -2376,15 +2383,9 @@ object SparkEntry {
         .select(col("vec_id"), col("embedding"))
       corpus.crossJoin(broadcast(eval_))
         .select(col("vec_id"), col("eval_id"),
-          (expr("aggregate(sequence(1, size(embedding)), 0.0D, (acc, i) -> " +
-            "acc + cast(element_at(embedding, i) as double) * " +
-            "cast(element_at(ev, i) as double))") /
-            (sqrt(expr("aggregate(sequence(1, size(embedding)), 0.0D, (acc, i) -> " +
-              "acc + cast(element_at(embedding, i) as double) * " +
-              "cast(element_at(embedding, i) as double))")) *
-              sqrt(expr("aggregate(sequence(1, size(ev)), 0.0D, (acc, i) -> " +
-                "acc + cast(element_at(ev, i) as double) * " +
-                "cast(element_at(ev, i) as double))")))).as("cos"))
+          (dotFold(col("embedding"), col("ev")) /
+            (sqrt(dotFold(col("embedding"), col("embedding"))) *
+              sqrt(dotFold(col("ev"), col("ev"))))).as("cos"))
         .groupBy(col("vec_id"))
         .agg(max(struct(col("cos"), (-col("eval_id")).as("ne"))).as("b"))
         .select(col("vec_id"), (-col("b.ne")).as("best_eval_id"),
@@ -3915,17 +3916,19 @@ object SparkEntry {
       val v = s.read.parquet(t(dir, "embeddings"))
         .filter(col("vec_id") % 4 === 0)
         .select(col("vec_id"), col("embedding"),
-          sqrt(expr("aggregate(sequence(1, size(embedding)), 0.0D, (acc, i) -> " +
-            "acc + cast(element_at(embedding, i) as double) * " +
-            "cast(element_at(embedding, i) as double))")).as("nrm"))
-      val cos = v.crossJoin(broadcast(
+          sqrt(dotFold(col("embedding"), col("embedding"))).as("nrm"))
+      // spread the probe side BEFORE the n^2 pair stage: the slice
+      // comes from a single-file scan, so the whole bounded cross
+      // product otherwise runs in ONE task (measured a 1.4 s
+      // single-task stage at sf0.1 = ~80% of the query's wall — the
+      // EditJoin posture); the broadcast build side stays unspread
+      val probe = graft.Parallelize.bySplits(v, "vec_id")
+      val cos = probe.crossJoin(broadcast(
           v.select(col("vec_id").as("o_id"), col("embedding").as("ov"),
             col("nrm").as("o_nrm"))))
         .filter(col("vec_id") =!= col("o_id"))
         .select(col("vec_id"), col("o_id"),
-          (expr("aggregate(sequence(1, size(embedding)), 0.0D, (acc, i) -> " +
-            "acc + cast(element_at(embedding, i) as double) * " +
-            "cast(element_at(ov, i) as double))") /
+          (dotFold(col("embedding"), col("ov")) /
             (col("nrm") * col("o_nrm"))).as("cos"))
       val best = cos.groupBy(col("vec_id"))
         .agg(max(struct(col("cos"), (-col("o_id")).as("no"))).as("b"))

@@ -185,6 +185,39 @@ class OpsSpec extends AnyFunSuite {
     assert(nullRow.getSeq[String](0) == Seq.empty && nullRow.getSeq[String](1) == Seq.empty)
   }
 
+  test("dot_fold native expression == aggregate(sequence) HOF, bit for bit") {
+    import org.apache.spark.sql.functions.{col, expr}
+    import scala.util.Random
+    val rng = new Random(424242L)
+    val rows = (0 until 40).map { i =>
+      (i.toLong,
+        Array.fill(64)(rng.nextFloat() * 2f - 1f),
+        Array.fill(64)(rng.nextDouble() * 2 - 1))
+    }
+    import spark.implicits._
+    val df = rows.toDF("id", "fv", "dv")
+    def nat(a: String, b: String) = org.apache.spark.sql.graft.PlanBridge.column(
+      graft.functions.DotFoldExpr(
+        org.apache.spark.sql.graft.PlanBridge.expression(col(a)),
+        org.apache.spark.sql.graft.PlanBridge.expression(col(b))))
+    val got = df.select(col("id"),
+        nat("fv", "fv").as("n_ff"),
+        expr("aggregate(sequence(1, size(fv)), 0.0D, (acc, i) -> " +
+          "acc + cast(element_at(fv, i) as double) * " +
+          "cast(element_at(fv, i) as double))").as("h_ff"),
+        nat("fv", "dv").as("n_fd"),
+        expr("aggregate(sequence(1, size(fv)), 0.0D, (acc, i) -> " +
+          "acc + cast(element_at(fv, i) as double) * element_at(dv, i))").as("h_fd"),
+        nat("dv", "dv").as("n_dd"),
+        expr("aggregate(sequence(1, size(dv)), 0.0D, (acc, i) -> " +
+          "acc + element_at(dv, i) * element_at(dv, i))").as("h_dd"))
+      .collect()
+    for (r <- got; c <- Seq(1 -> 2, 3 -> 4, 5 -> 6))
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(c._1)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(c._2)),
+        s"id=${r.getLong(0)} cols $c")
+  }
+
   test("minhash native expression == explode + groupBy aggregate form") {
     import org.apache.spark.sql.functions.col
     import scala.util.Random
