@@ -27,6 +27,49 @@ import javax.imageio.ImageIO
   */
 object Media {
 
+  /** JPEG codec plumbing: `ImageIO.write`/`read` create a FILE-backed
+    * stream cache per call (a temp file open/write/delete per image)
+    * and re-scan the plugin registry per call; both are pure overhead
+    * at thousands of blobs per task (measured ~10x the actual DCT cost
+    * at sf0.1). Memory-cached streams + a per-thread writer/reader
+    * produce byte-identical JPEG output — same plugin, same default
+    * params, only the scratch I/O changes.
+    */
+  private object Jio {
+    javax.imageio.ImageIO.setUseCache(false)
+    private val writer = ThreadLocal.withInitial[javax.imageio.ImageWriter](
+      () => ImageIO.getImageWritersByFormatName("jpg").next())
+    private val reader = ThreadLocal.withInitial[javax.imageio.ImageReader](
+      () => ImageIO.getImageReadersByFormatName("jpg").next())
+
+    def encodeJpg(img: BufferedImage): Array[Byte] = {
+      val baos = new ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+      val w = writer.get()
+      w.setOutput(ios)
+      w.write(null, new javax.imageio.IIOImage(img, null, null), null)
+      ios.flush()
+      ios.close()
+      baos.toByteArray
+    }
+
+    /** null on undecodable bytes (callers fail closed). */
+    def readJpg(content: Array[Byte]): BufferedImage =
+      try {
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new ByteArrayInputStream(content))
+        val r = reader.get()
+        r.setInput(iis, true, true)
+        val img = r.read(0)
+        iis.close()
+        img
+      } catch { case _: Exception => null }
+
+    def isJpg(b: Array[Byte]): Boolean =
+      b.length >= 3 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8 &&
+        (b(2) & 0xFF) == 0xFF
+  }
+
   final case class MediaBlob(
       doc_id: Long,
       media_ref: String,
@@ -66,11 +109,8 @@ object Media {
       }
       y += 1
     }
-    if (fmt == "jpg") {
-      val baos = new ByteArrayOutputStream()
-      ImageIO.write(img, "jpg", baos)
-      baos.toByteArray
-    } else FastPng.encode(img) // lossless: identical pixels, ~5x cheaper
+    if (fmt == "jpg") Jio.encodeJpg(img)
+    else FastPng.encode(img) // lossless: identical pixels, ~5x cheaper
   }
 
   /** Metadata is a pure function of doc_id (so a SQL oracle can verify
@@ -156,9 +196,10 @@ object Media {
   /** Image decode with the FastPng fast path and the ImageIO fallback;
     * null on undecodable payloads (callers fail closed).
     */
-  private[media] def decodeImage(content: Array[Byte]): BufferedImage = {
+  private[graft] def decodeImage(content: Array[Byte]): BufferedImage = {
     val fast = if (FastPng.isPng(content)) FastPng.decode(content) else null
     if (fast != null) fast
+    else if (Jio.isJpg(content)) Jio.readJpg(content)
     else
       try ImageIO.read(new ByteArrayInputStream(content))
       catch { case _: Exception => null }
@@ -228,11 +269,8 @@ object Media {
             y += 1
           }
           val bytes =
-            if (b.format == "jpg") {
-              val baos = new ByteArrayOutputStream()
-              ImageIO.write(dst, "jpg", baos)
-              baos.toByteArray
-            } else FastPng.encode(dst)
+            if (b.format == "jpg") Jio.encodeJpg(dst)
+            else FastPng.encode(dst)
           MediaBlob(b.doc_id, b.media_ref, b.format, targetW, targetH, b.n_frames,
             bytes)
         }

@@ -672,6 +672,33 @@ class OpsSpec extends AnyFunSuite {
     assert(Media.decodeBytes(Array.fill[Byte](64)(0x5a)) == ((-1, -1, -1, "invalid", false)))
   }
 
+  test("media: pooled JPEG plumbing is byte-identical to stock ImageIO") {
+    // the per-thread writer + memory-cached streams must change only
+    // scratch I/O, never the encoded stream: re-encode the exact source
+    // raster (recovered losslessly from the PNG twin) through stock
+    // ImageIO.write and compare bytes; then decode both ways and
+    // compare every pixel
+    for (id <- Seq(1L, 4L, 7L)) {
+      val w = Media.widthOf(id); val h = Media.heightOf(id)
+      val fastJpg = Media.encodeImage(id, w, h, "jpg")
+      val srcRaster = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Media.encodeImage(id, w, h, "png")))
+      val rgb = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      rgb.createGraphics().drawImage(srcRaster, 0, 0, null)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(rgb, "jpg", baos)
+      assert(java.util.Arrays.equals(fastJpg, baos.toByteArray),
+        s"JPEG bytes diverged from stock ImageIO for id=$id")
+      val stock = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fastJpg))
+      val pooled = Media.decodeImage(fastJpg)
+      assert(Media.decodeBytes(fastJpg) == ((w, h, 1, "jpg", true)))
+      assert((0 until h).forall(y => (0 until w).forall(x =>
+        (stock.getRGB(x, y) & 0xFFFFFF) == (pooled.getRGB(x, y) & 0xFFFFFF))),
+        s"pooled JPEG reader pixels diverged from stock ImageIO.read for id=$id")
+    }
+  }
+
   test("media: resize passes corrupt image payloads through instead of failing the task") {
     import spark.implicits._
     val corrupt = Media.MediaBlob(9L, "media://9/0", "png", 40, 30, 1,
