@@ -29,6 +29,18 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Always use the serialized (Tungsten) shuffle writer, never the
+  // bypass-merge writer. Bypass kicks in at R <= 200 reduce partitions
+  // and writes R files per map task; on this sandbox's filesystem the
+  // create/write/delete syscall storm measured 11.4 task-CPU-s for a
+  // 120k-row groupBy that the serialized writer does in 0.9 (tools/
+  // BypassTest; the same data on tmpfs costs 1.5, confirming it's
+  // file-op overhead, not sorting). At production scale R >> 200, so
+  // the serialized writer IS the default path — this aligns the local
+  // bench (R = cores = 32, from the frozen session config) with the
+  // production writer instead of a local-only degenerate one.
+  // Parameterised: SPARK_BYPASS_THRESHOLD restores any other value.
+  s"-Dspark.shuffle.sort.bypassMergeThreshold=${sys.env.getOrElse("SPARK_BYPASS_THRESHOLD", "1")}",
   // 24g default: the 87-query bench suite in one JVM (cached BPE
   // models, stream landing zones, checkpointed graph blocks) runs into
   // a GC wall at 8g — measured 2.3x slower flagship timings with gc at
