@@ -127,13 +127,20 @@ object LangModel {
     val vocab = docs
       .select(explode(TextOps.tokens(col(textCol))).as("w"))
       .agg(countDistinct(col("w")).as("v"))
-    g
-      .join(c12, Seq("w1", "w2"))
+    // score at the TYPE level first (c12 join c1 join V over the small
+    // bigram-type table), then attach to the per-doc frame with ONE
+    // (w1, w2) equi-join — the previous shape joined the per-doc frame
+    // (the largest frame here) twice, shuffling it by (w1, w2) and then
+    // again by w1. lp_micro is a pure function of (c12, c1, v), so the
+    // per-type value is identical either way.
+    val typeScore = c12
       .join(c1, Seq("w1"))
       .crossJoin(broadcast(vocab))
-      .select(col("doc_id"), col("k"),
+      .select(col("w1"), col("w2"),
         floor(log((col("c12") + lit(1.0)) / (col("c1") + col("v"))) * 1e6)
           .cast("long").as("lp_micro"))
+    g
+      .join(typeScore, Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(sum(col("k")).as("n_bigrams"),
         sum(col("k") * col("lp_micro")).as("lp_micro_sum"))
@@ -152,7 +159,9 @@ object LangModel {
     val c12 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val c2 = c12.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
-    val n = pairs.agg(count(lit(1)).as("n_bg"))
+    // N = total bigram occurrences = sum of type counts — derived from
+    // c12 instead of a second full tokenize+explode pass over the corpus
+    val n = c12.agg(sum(col("c12")).as("n_bg"))
     c12.filter(col("c12") >= minCount)
       .join(c1, Seq("w1"))
       .join(c2, Seq("w2"))
