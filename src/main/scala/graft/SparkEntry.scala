@@ -1650,6 +1650,13 @@ object SparkEntry {
           TextOps.langId(col("text")).as("pred_lang"),
           TextOps.qualityScore(col("text")).as("quality"),
           TextOps.tokenCount(col("text")).as("n_tokens"))
+        // lazy persist as an optimizer fence, not for reuse: predicate
+        // pushdown otherwise substitutes the full scoring expressions
+        // into a filter BELOW the spread exchange, running the whole
+        // quality/langid computation inside the one scan task (measured
+        // a 1.5 s single-task stage) and re-evaluating it above for the
+        // output columns
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         .filter(col("quality") >= 0.5 && col("pred_lang") =!= "und")
       val canonical = scored
         .withColumn("keep_id",
@@ -1959,8 +1966,13 @@ object SparkEntry {
     // gate errored sorting the array<int> column in pandas
     // ("unhashable numpy.ndarray"), so no array column reaches it.
     "q_embed_quant" -> ((s, dir) =>
+      // spread the single-split scan: the quantization HOFs and the
+      // posexplode otherwise evaluate inside the one scan task
+      // (measured a 1.6 s single-task stage = ~90% of the query's wall)
       graft.ann.Quant.quantize(
-        s.read.parquet(t(dir, "embeddings")), "vec_id", "embedding")
+        graft.Parallelize.bySplits(
+          s.read.parquet(t(dir, "embeddings")), "vec_id"),
+        "vec_id", "embedding")
         .select(col("vec_id"), col("scale"),
           posexplode(col("q")).as(Seq("i", "q_i")))),
 
