@@ -28,9 +28,18 @@ object Cdc {
     */
   def chunks(docs: DataFrame, idCol: String, textCol: String,
       divisor: Int): DataFrame = {
-    val tok = docs.select(col(idCol).as("doc_id"),
-        posexplode(split(col(textCol), " ", -1)).as(Seq("pos0", "tok")))
-      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"))
+    // spread the token frame on the window's own key: the window's
+    // ENSURE_REQUIREMENTS exchange is byte-targeted, so AQE coalesced
+    // it to 2 partitions (token rows are small in bytes) and the
+    // rolling-gram hashing + chunk sha ran 2-way parallel (measured
+    // 0.4-0.6 s 2-task stages at sf0.1). The pinned keyed repartition
+    // satisfies ClusteredDistribution(doc_id), so the window adds no
+    // second exchange; at production scan widths bySplits is a no-op.
+    val tok = graft.Parallelize.bySplits(
+      docs.select(col(idCol).as("doc_id"),
+          posexplode(split(col(textCol), " ", -1)).as(Seq("pos0", "tok")))
+        .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok")),
+      "doc_id")
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val gram = concat_ws(" ",
       lag(col("tok"), 3).over(w), lag(col("tok"), 2).over(w),
