@@ -113,7 +113,15 @@ object Interleave {
           array_sort(collect_list(struct(col(posCol).as("p"), col(textCol).as("t")))),
           x => x.getField("t")), " ").as("text"),
         min_by(col(refCol), col(posCol)).as("media_ref"))
-    runs.select(col(idCol),
+    // pinned keyed repartition below the re-index window: the exchange
+    // carries small rows, so AQE's byte-targeted coalescing collapsed
+    // it to ONE task (measured a 0.4-0.7 s single-task stage at sf0.1);
+    // the explicit count satisfies ClusteredDistribution(idCol) — same
+    // shuffle either way, immune to the coalescing
+    val spreadRuns = runs.repartition(
+      math.max(1, runs.sparkSession.sparkContext.defaultParallelism),
+      col(idCol))
+    spreadRuns.select(col(idCol),
         (row_number().over(
           Window.partitionBy(idCol).orderBy(col("__minpos"))) - 1).as("offset"),
         col("kind"), col("text"), col("media_ref"))
