@@ -1968,11 +1968,16 @@ object SparkEntry {
     "q_embed_quant" -> ((s, dir) =>
       // spread the single-split scan: the quantization HOFs and the
       // posexplode otherwise evaluate inside the one scan task
-      // (measured a 1.6 s single-task stage = ~90% of the query's wall)
+      // (measured a 1.6 s single-task stage = ~90% of the query's
+      // wall). The lazy persist is an optimizer fence, not reuse:
+      // posexplode's implicit size/null guard otherwise pushes below
+      // the spread exchange and evaluates the whole quantize
+      // expression serially in the scan task — and again above it.
       graft.ann.Quant.quantize(
         graft.Parallelize.bySplits(
           s.read.parquet(t(dir, "embeddings")), "vec_id"),
         "vec_id", "embedding")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         .select(col("vec_id"), col("scale"),
           posexplode(col("q")).as(Seq("i", "q_i")))),
 
