@@ -43,11 +43,16 @@ object KCore {
         .agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select(col("node"))
+      // dst-semi first, src-semi LAST: the final join's output is
+      // already clustered by src (shuffled semi-joins repartition on
+      // their key; a broadcast semi preserves the incoming src
+      // clustering), so the next round's degree groupBy needs no
+      // further exchange — the explicit repartition-back-to-src this
+      // ordering replaces was one full edge-frame shuffle per round
       val (next, nextIds) = graft.dedup.Dedup.checkpointOwned(
-        e.join(surviving.withColumnRenamed("node", "src"), Seq("src"), "leftsemi")
-          .join(surviving.withColumnRenamed("node", "dst"), Seq("dst"), "leftsemi")
-          .select(col("src"), col("dst"))
-          .repartition(shuffleParts, col("src")))
+        e.join(surviving.withColumnRenamed("node", "dst"), Seq("dst"), "leftsemi")
+          .join(surviving.withColumnRenamed("node", "src"), Seq("src"), "leftsemi")
+          .select(col("src"), col("dst")))
       graft.dedup.Dedup.unpersistOwned(sc, eIds)
       e = next
       eIds = nextIds
