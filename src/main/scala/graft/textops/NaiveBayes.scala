@@ -77,20 +77,35 @@ object NaiveBayes {
         floor(log(col("n_l").cast("double") / col("n_train")) * 1e6)
           .cast("long").as("prior_micro"))
 
-    // every test token occurrence scored against every class: the
-    // class list is tiny, the (cls, tok) model bounded by vocabulary —
-    // both broadcast; unseen (cls, tok) falls to the smoothed floor
-    val testOcc = occurrences(test, idCol, labelCol, textCol)
-      .crossJoin(broadcast(classTotal.select(col("cls"))))
-    val scored = testOcc
-      .join(broadcast(classTok), Seq("cls", "tok"), "left")
-      .join(broadcast(classTotal), Seq("cls"))
+    // per-(cls, tok) log-probabilities computed once at the TYPE level
+    // (model-bounded rows) rather than once per test token occurrence:
+    // lp_micro is a pure function of (c_lt, c_l, v), so scoring joins
+    // the broadcast lp table and sums k * lp over per-doc token counts
+    // — exact integers, identical totals. Unseen (cls, tok) falls to
+    // the per-class smoothed floor ln(1 / (c_l + V)).
+    val lpTable = classTok
+      .join(classTotal, Seq("cls"))
       .crossJoin(broadcast(vocab))
+      .select(col("cls"), col("tok"),
+        floor(log((col("c_lt") + lit(1L)).cast("double") /
+          (col("c_l") + col("v")).cast("double")) * 1e6)
+          .cast("long").as("lp_micro"))
+    val lpDefault = classTotal
+      .crossJoin(broadcast(vocab))
+      .select(col("cls"),
+        floor(log(lit(1.0) / (col("c_l") + col("v")).cast("double")) * 1e6)
+          .cast("long").as("lp0_micro"))
+    val testCnt = occurrences(test, idCol, labelCol, textCol)
+      .groupBy(col("doc_id"), col("label"), col("tok"))
+      .agg(count(lit(1)).as("k"))
+    val scored = testCnt
+      .crossJoin(broadcast(classTotal.select(col("cls"))))
+      .join(broadcast(lpTable), Seq("cls", "tok"), "left")
+      .join(broadcast(lpDefault), Seq("cls"))
       .select(col("doc_id"), col("label"), col("cls"),
-        floor(log((coalesce(col("c_lt"), lit(0L)) + lit(1L)).cast("double") /
-          (col("c_l") + col("v")).cast("double")) * 1e6).cast("long").as("lp_micro"))
+        (col("k") * coalesce(col("lp_micro"), col("lp0_micro"))).as("contrib"))
       .groupBy(col("doc_id"), col("label"), col("cls"))
-      .agg(sum(col("lp_micro")).as("tok_micro"))
+      .agg(sum(col("contrib")).as("tok_micro"))
       .join(broadcast(priors), Seq("cls"))
       .select(col("doc_id"), col("label"), col("cls"),
         (col("tok_micro") + col("prior_micro")).as("score_micro"))
