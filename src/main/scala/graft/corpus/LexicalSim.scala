@@ -63,7 +63,12 @@ object LexicalSim {
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(sum(col("a.tf") * col("b.tf") * col("a.idfm")).as("score"))
-    val sym = pairs.unionByName(pairs.select(col("id_b").as("id_a"),
+    // materialize before mirroring: the union's two branches otherwise
+    // each re-run the whole term self-join + aggregation (lazy persist,
+    // not a checkpoint barrier — the branches sit in one final job)
+    val pairsCached =
+      pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sym = pairsCached.unionByName(pairsCached.select(col("id_b").as("id_a"),
       col("id_a").as("id_b"), col("score")))
     sym
       .withColumn("rank", row_number().over(
