@@ -100,30 +100,41 @@ class PlanSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(p).length == 1, "fingerprints must be computed once")
   }
 
-  test("lexical top-k: both join sides + the mirror reuse exchanges; rank limit pushed") {
-    // Beyond the broadcast regime the identical-column-set self-join
-    // sides collapse onto ONE tf term-exchange and ONE df exchange
-    // (ReusedExchange), and the post-agg mirror union reuses the pair
-    // aggregation's exchange — the whole pair pipeline runs once.
-    // Tokenization deliberately runs TWICE (tf and df are different
-    // aggregates of the exploded stream; deriving df as a
-    // count-over-term window would reuse the exchange but funnel every
-    // hot stopword's postings into one window task — Zipf skew kills
-    // that at 100 TB, a second map-side-combined scan does not).
-    // Fixed scan budget: 2 tokenize + 1 one-column n_docs + 1
-    // zero-column crossJoin count = 4. Also pin the top-k rank-limit
-    // pushdown: a Partial WindowGroupLimit must bound map output at k
-    // rows per doc below the final exchange.
+  test("lexical top-k: pair frame cached for the mirror; self-join reuses exchanges; rank limit pushed") {
+    // The mirror union's two branches both read the MATERIALIZED pair
+    // frame (InMemoryTableScan x2 — round 6: the lazy persist replaced
+    // the ReusedExchange-based mirror reuse, which re-ran the pair
+    // aggregation when any plan detail diverged). Inside the cached
+    // pair plan the identical-column-set self-join sides still
+    // collapse onto ONE tf term-exchange and ONE df exchange
+    // (ReusedExchange). Tokenization deliberately runs TWICE (tf and
+    // df are different aggregates of the exploded stream; deriving df
+    // as a count-over-term window would reuse the exchange but funnel
+    // every hot stopword's postings into one window task — Zipf skew
+    // kills that at 100 TB, a second map-side-combined scan does not).
+    // Fixed scan budget inside the cached plan: 2 tokenize + 1
+    // one-column n_docs + 1 zero-column crossJoin count = 4. Also pin
+    // the top-k rank-limit pushdown: a Partial WindowGroupLimit must
+    // bound map output at k rows per doc below the final exchange.
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     s2.conf.set("spark.sql.adaptive.enabled", "false")
-    val p = graft.corpus.LexicalSim.topKSimilar(
+    val exec = graft.corpus.LexicalSim.topKSimilar(
         s2.read.parquet(s"$sf/documents.parquet"), "doc_id", "text",
         k = 5, minDf = 2L, dfCap = 100L)
-      .queryExecution.executedPlan.toString
-    assert("ReusedExchange".r.findAllIn(p).length >= 3, p.take(2000))
-    assert("Scan parquet".r.findAllIn(p).length == 4, "scan budget regressed")
+      .queryExecution.executedPlan
+    val p = exec.toString
+    assert("InMemoryTableScan".r.findAllIn(p).length == 2,
+      s"pair frame not materialized for both mirror branches:\n${p.take(2000)}")
     assert("WindowGroupLimit".r.findAllIn(p).length == 2, "rank-limit pushdown lost")
+    val cached = exec.collectFirst {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        s.relation.cachedPlan
+    }.map(_.toString).getOrElse("")
+    assert("ReusedExchange".r.findAllIn(cached).length >= 2, cached.take(2000))
+    assert("Scan parquet".r.findAllIn(cached).length == 4, "scan budget regressed")
+    // drop the cache this test materialized registration for
+    s2.catalog.clearCache()
   }
 
   test("as-of join: one keyed exchange + one window, no join operator at all") {
