@@ -119,6 +119,11 @@ class PlanSpec extends AnyFunSuite {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     s2.conf.set("spark.sql.adaptive.enabled", "false")
+    // the CacheManager is shared across sessions: drop any pair-frame
+    // registration a previous test left (its cachedPlan was compiled
+    // under THAT test's join config) so the plan below compiles under
+    // this test's no-broadcast conf
+    s2.catalog.clearCache()
     val exec = graft.corpus.LexicalSim.topKSimilar(
         s2.read.parquet(s"$sf/documents.parquet"), "doc_id", "text",
         k = 5, minDf = 2L, dfCap = 100L)
